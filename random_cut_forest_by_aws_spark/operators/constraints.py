@@ -1,0 +1,64 @@
+"""Row-level invariant checks → violation rows.
+
+The per-row invariant mandated by ``input_hint`` is token-array equality:
+``n_tok == size(tokens)`` and tokens round-trip unchanged through the
+engine. These are pure narrow (no-shuffle) filters, fully codegen'd; at
+10^12 rows they cost one scan that Catalyst fuses with whatever else reads
+the table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def row_invariant_violations(
+    df: DataFrame,
+    invariants: dict[str, Column],
+    id_cols: Sequence[str],
+) -> DataFrame:
+    """Rows failing any named invariant, tagged with the failed names.
+
+    ``invariants`` maps name → boolean Column that must hold. One scan
+    evaluates all invariants; output keeps only ``id_cols`` plus the
+    array of failed constraint names.
+    """
+    failed = F.filter(
+        F.array(
+            *[
+                F.when(~F.coalesce(cond, F.lit(False)), F.lit(name)).otherwise(F.lit(None))
+                for name, cond in invariants.items()
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        df.withColumn("failed_constraints", failed)
+        .filter(F.size("failed_constraints") > 0)
+        .select(*id_cols, "failed_constraints")
+    )
+
+
+def token_equality_violations(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    n_tok_col: str = "n_tok",
+    id_cols: Sequence[str] = ("doc_id", "source", "seq"),
+) -> DataFrame:
+    """The input_hint invariant: n_tok must equal size(tokens); tokens
+    must be non-null; token values must be non-negative."""
+    t, n = F.col(tokens_col), F.col(n_tok_col)
+    return row_invariant_violations(
+        df,
+        {
+            "tokens_not_null": t.isNotNull(),
+            "n_tok_matches_size": t.isNotNull() & (F.size(t) == n),
+            "n_tok_positive": n > 0,
+            "token_values_in_range": t.isNotNull()
+            & (F.size(F.filter(t, lambda x: (x < 0) | x.isNull())) == 0),
+        },
+        id_cols,
+    )

@@ -1,0 +1,74 @@
+"""Per-column statistics operator (north_rule item a).
+
+Pure DataFrame aggregations — one shuffle on the grouping key, map-side
+partial aggregation (Catalyst HashAggregate partial → final), whole-stage
+codegen, column pruning down to exactly the profiled columns. Quantiles
+use ``percentile_approx`` (a GK/KLL-style mergeable sketch — see
+PAPERS.md) and cardinality ``approx_count_distinct`` (HyperLogLog++), both
+of which merge associatively so the plan scales to 10^12 rows without a
+driver bottleneck.
+
+The reference's analogue of these running statistics is the discounted
+``Deviation`` sketch (``Java/core/.../statistics/Deviation.java:24-76``);
+here plain distributed aggregation replaces single-stream discounting.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def numeric_profile(
+    df: DataFrame,
+    col: str,
+    group_by: Sequence[str] | None = None,
+    quantiles: Sequence[float] = (0.25, 0.5, 0.75, 0.95, 0.99),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """min/max/null-rate/mean/stddev + quantile sketch for one numeric column."""
+    c = F.col(col)
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(c).alias("n_present"),
+        (F.count(F.lit(1)) - F.count(c)).alias("n_null"),
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+        F.avg(c).alias("mean"),
+        F.stddev_samp(c).alias("stddev"),
+        F.percentile_approx(c, list(quantiles), accuracy).alias("quantiles"),
+    ]
+    g = df.groupBy(*group_by) if group_by else df.groupBy()
+    out = g.agg(*aggs)
+    return out.withColumn(
+        "null_rate", F.col("n_null").cast("double") / F.col("n_rows").cast("double")
+    )
+
+
+def column_stats(
+    df: DataFrame,
+    numeric_cols: Sequence[str],
+    key_cols: Sequence[str] = (),
+    group_by: Sequence[str] | None = None,
+    exact_distinct: bool = False,
+) -> DataFrame:
+    """Wide stats row per group: per-numeric-column min/max/null-count and
+    per-key-column cardinality (HLL sketch; exact opt-in for test scale)."""
+    aggs: list = [F.count(F.lit(1)).alias("n_rows")]
+    for col in numeric_cols:
+        c = F.col(col)
+        aggs += [
+            F.min(c).alias(f"{col}_min"),
+            F.max(c).alias(f"{col}_max"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{col}_nulls"),
+            F.sum(c).alias(f"{col}_sum"),
+        ]
+    for col in key_cols:
+        if exact_distinct:
+            aggs.append(F.countDistinct(F.col(col)).alias(f"{col}_cardinality"))
+        else:
+            aggs.append(F.approx_count_distinct(F.col(col)).alias(f"{col}_cardinality"))
+    g = df.groupBy(*group_by) if group_by else df.groupBy()
+    return g.agg(*aggs)

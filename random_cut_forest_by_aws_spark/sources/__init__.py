@@ -1,0 +1,2 @@
+from .sequences import sequences, sources_dim  # noqa: F401
+from .tables import load_table, register_views, TABLES  # noqa: F401

@@ -1,0 +1,97 @@
+"""Stats / uniqueness / referential / row-invariant operators, verified
+against pandas oracles on the deterministic sequences fixture."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from random_cut_forest_by_aws_spark.operators import (
+    column_stats,
+    numeric_profile,
+    referential_verdict,
+    referential_violations,
+    token_equality_violations,
+    uniqueness_verdict,
+    uniqueness_violations,
+)
+from random_cut_forest_by_aws_spark.sources import sequences, sources_dim
+
+
+def test_sequences_deterministic(spark):
+    a = sequences(spark, 500, seed=7).toPandas().sort_values("seq").reset_index(drop=True)
+    b = sequences(spark, 500, seed=7).toPandas().sort_values("seq").reset_index(drop=True)
+    assert a.equals(b)
+    assert list(a.columns) == ["doc_id", "tokens", "n_tok", "source", "seq"]
+
+
+def test_sequences_skew_and_violations(seqs):
+    pdf = seqs.toPandas()
+    frac_web = (pdf["source"] == "web").mean()
+    assert 0.75 < frac_web < 0.85
+    assert pdf["doc_id"].isna().sum() > 0
+    dup_mask = pdf["doc_id"].dropna().duplicated(keep=False)
+    assert dup_mask.sum() > 1
+
+
+def test_numeric_profile_oracle(seqs):
+    got = numeric_profile(seqs, "n_tok", group_by=["source"]).toPandas().set_index("source")
+    pdf = seqs.toPandas()
+    for src, grp in pdf.groupby("source"):
+        row = got.loc[src]
+        assert row["n_rows"] == len(grp)
+        assert row["min"] == grp["n_tok"].min()
+        assert row["max"] == grp["n_tok"].max()
+        assert abs(row["mean"] - grp["n_tok"].mean()) < 1e-9
+        assert row["null_rate"] == 0.0
+
+
+def test_column_stats_cardinality(seqs):
+    got = column_stats(
+        seqs, ["n_tok"], key_cols=["doc_id"], group_by=["source"], exact_distinct=True
+    ).toPandas()
+    pdf = seqs.toPandas()
+    for _, row in got.iterrows():
+        grp = pdf[pdf["source"] == row["source"]]
+        assert row["doc_id_cardinality"] == grp["doc_id"].dropna().nunique()
+        assert row["n_tok_sum"] == grp["n_tok"].sum()
+
+
+def test_uniqueness_oracle(seqs):
+    got = uniqueness_violations(seqs, ["doc_id"]).toPandas()
+    pdf = seqs.toPandas()
+    counts = pdf["doc_id"].dropna().value_counts()
+    expected = counts[counts > 1]
+    assert set(got["doc_id"]) == set(expected.index)
+    got_map = dict(zip(got["doc_id"], got["dup_count"]))
+    for k, v in expected.items():
+        assert got_map[k] == v
+    verdict = uniqueness_verdict(seqs, ["doc_id"]).toPandas().iloc[0]
+    assert not verdict["passed"]
+    assert verdict["violating_keys"] == len(expected)
+
+
+def test_uniqueness_clean_key_passes(seqs):
+    clean = seqs.withColumn("k", F.col("seq"))
+    verdict = uniqueness_verdict(clean, ["k"]).toPandas().iloc[0]
+    assert verdict["passed"]
+
+
+def test_referential_oracle(spark, seqs):
+    dim = sources_dim(spark, missing="forums")
+    viol = referential_violations(seqs, dim, ["source"]).toPandas()
+    assert list(viol["source"]) == ["forums"]
+    pdf = seqs.toPandas()
+    assert viol["fact_rows"].iloc[0] == (pdf["source"] == "forums").sum()
+    verdict = referential_verdict(seqs, dim, ["source"]).toPandas().iloc[0]
+    assert not verdict["passed"]
+    full_dim = sources_dim(spark, missing="__none__")
+    assert referential_verdict(seqs, full_dim, ["source"]).toPandas().iloc[0]["passed"]
+
+
+def test_token_equality_invariant(seqs):
+    viol = token_equality_violations(seqs).toPandas()
+    pdf = seqs.toPandas()
+    expected_bad = pdf[pdf["tokens"].map(len) != pdf["n_tok"]]
+    assert len(viol) == len(expected_bad)
+    assert set(viol["seq"]) == set(expected_bad["seq"])
+    assert all("n_tok_matches_size" in list(f) for f in viol["failed_constraints"])
