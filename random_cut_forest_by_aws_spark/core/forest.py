@@ -124,12 +124,13 @@ class RCFForest:
             for t in range(T)
         ]
         # distinct counter keys for sampler u and initial-accept u
+        mask = (1 << 64) - 1
         self._wkeys = [
-            int(_splitmix64(np.array([seed * 2654435761 + 7919 * t + 1], np.uint64))[0])
+            int(_splitmix64(np.array([(seed * 2654435761 + 7919 * t + 1) & mask], np.uint64))[0])
             for t in range(T)
         ]
         self._ikeys = [
-            int(_splitmix64(np.array([seed * 40503 + 104729 * t + 2], np.uint64))[0])
+            int(_splitmix64(np.array([(seed * 40503 + 104729 * t + 2) & mask], np.uint64))[0])
             for t in range(T)
         ]
 

@@ -1,0 +1,451 @@
+"""Distribution-drift operator (north_rule item c).
+
+Runs a Random Cut Forest sketch per ``(group, bucket)`` partition inside
+one Arrow ``applyInPandas`` grouped-map UDF — the Spark-idiomatic
+re-expression of the reference's ThresholdedRandomCutForest pipeline
+(``parkservices/ThresholdedRandomCutForest.java:234-277``: preprocess →
+score → threshold → update):
+
+* feature columns are computed JVM-side (`functions.token_features`), so
+  the UDF receives a ready float matrix via Arrow — no per-row Python;
+* per-partition streaming NORMALIZE transform (discounted per-dim
+  mean/dev, ``preprocessor/Preprocessor.java:807-820``) applied in
+  closed-form per chunk;
+* chunked score-then-update protocol (the batch analogue of
+  ``processSequentially``, ``ThresholdedRandomCutForest.java:295-389``);
+* BasicThresholder grades each score; grade > 0 rows become violation
+  rows, plus one summary row per partition → pass/fail verdict.
+
+Scale design: the grouping key is ``(group_cols…, bucket)`` where bucket
+salts the skewed key (web ≈ 80% of rows) into bounded-size partitions, so
+one hot source cannot overwhelm a single task (north_rule skew handling).
+Per-source verdicts then merge bucket verdicts. Shuffle count: exactly one
+(the groupBy); the forest state lives entirely inside the task.
+
+Checkpoint/resume (north_rule d): with ``checkpoint_dir`` set, each group
+saves forest+thresholder+normalizer state keyed by group; a re-run skips
+already-processed rows (seq ≤ saved watermark) and continues the sketch —
+bit-identical to an uninterrupted run (tested), mirroring the reference's
+state-mapper round-trips (``state/RandomCutForestMapper.java:118,209``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..core.forest import RCFForest
+from ..core.thresholder import BasicThresholder, Deviation
+
+SUMMARY_SEQ = -1
+
+
+@dataclass
+class DriftConfig:
+    num_trees: int = 30
+    sample_size: int = 256
+    time_decay: float | None = 0.0  # long memory: validation compares to baseline
+    seed: int = 42
+    chunk_size: int = 4096
+    z_factor: float = 3.0  # per-row thresholder (violation rows)
+    normalize: bool = True
+    norm_discount: float = 0.0  # cumulative stats ⇒ stable baseline coords
+    clip_factor: float = 100.0
+    # windowed drift verdict: flag a window when its mean score exceeds the
+    # baseline of window means by drift_z deviations (with a relative floor)
+    window: int = 256
+    drift_z: float = 4.0
+    min_baseline_windows: int = 5
+    baseline_discount: float = 0.02
+    dev_floor_frac: float = 0.02
+    # per-row anomalies: emit only confident grades as violation rows
+    min_emit_grade: float = 0.5
+    anomaly_rate_threshold: float = 0.01
+    buckets: int = 8
+    checkpoint_dir: str | None = None
+    feature_dim: int = 4
+    extra: dict = field(default_factory=dict)
+
+
+def _group_seed(key: tuple, seed: int) -> int:
+    h = hashlib.blake2b("\x1f".join(str(k) for k in key).encode(), digest_size=8)
+    return (int.from_bytes(h.digest(), "big") ^ seed) % (2**63 - 1)
+
+
+class _Normalizer:
+    """Streaming per-dim NORMALIZE transform, closed-form batch updates.
+
+    y = clip((x − mean) / (2·(dev + ε)), ±clip) per Preprocessor.java
+    normalize():807-820; discounted mean/dev per Deviation.java but updated
+    a chunk at a time: after B updates with factor f per step,
+    weight' = weight·f^B + (1−f^B)/(1−f), sum' = sum·f^B + Σ x_i·f^{B−1−i}.
+    """
+
+    def __init__(self, dim: int, discount: float, clip: float):
+        self.discount = discount
+        self.clip = clip
+        self.weight = 0.0
+        self.sum = np.zeros(dim)
+        self.sumsq = np.zeros(dim)
+
+    def transform(self, X: np.ndarray) -> np.ndarray:
+        if self.weight <= 0:
+            return np.zeros_like(X, np.float32)
+        m = self.sum / self.weight
+        v = np.maximum(self.sumsq / self.weight - m * m, 0.0)
+        dev = np.sqrt(v)
+        y = (X - m) / (2.0 * (dev + 1e-9))
+        return np.clip(y, -self.clip, self.clip).astype(np.float32)
+
+    def update(self, X: np.ndarray) -> None:
+        B = len(X)
+        f = 1.0 - self.discount
+        if self.discount == 0.0:
+            self.weight += B
+            self.sum = self.sum + X.sum(0)  # no in-place: snapshots alias
+            self.sumsq = self.sumsq + (X * X).sum(0)
+            return
+        w = np.power(f, np.arange(B - 1, -1, -1, dtype=np.float64))
+        fB = f**B
+        self.weight = self.weight * fB + (1.0 - fB) / (1.0 - f)
+        self.sum = self.sum * fB + (w[:, None] * X).sum(0)
+        self.sumsq = self.sumsq * fB + (w[:, None] * X * X).sum(0)
+
+    def to_state(self) -> dict:
+        return {
+            "nw": np.array([self.weight, self.discount, self.clip]),
+            "nsum": self.sum.copy(),
+            "nsumsq": self.sumsq.copy(),
+        }
+
+    def load_state(self, s: dict) -> None:
+        self.weight, self.discount, self.clip = (float(x) for x in s["nw"])
+        self.sum = s["nsum"].copy()
+        self.sumsq = s["nsumsq"].copy()
+
+
+def _checkpoint_path(ckpt_dir: str, key: tuple) -> str:
+    tag = hashlib.blake2b("\x1f".join(str(k) for k in key).encode(), digest_size=12).hexdigest()
+    return os.path.join(ckpt_dir, f"group-{tag}.npz")
+
+
+def _state_dict(
+    forest: RCFForest,
+    th: BasicThresholder,
+    norm: _Normalizer,
+    extras: dict,
+    buf_X: np.ndarray,
+    buf_seqs: np.ndarray,
+) -> dict:
+    """Serialize (forest, thresholder, normalizer, counters) as of a chunk
+    boundary, plus the replay buffer of post-boundary rows. The buffer is
+    what makes resume bit-exact for any interruption point: scores depend
+    on forest state at chunk boundaries, so the checkpoint always stores
+    boundary state and re-delivers the (< chunk_size) tail on resume."""
+    state = forest.to_state()
+    state.pop("rng_state")
+    rs = [(g.bit_generator.state["state"]["state"], g.bit_generator.state["state"]["inc"])
+          for g in forest._rngs]
+    state["rng_lo"] = np.array([s & ((1 << 64) - 1) for s, _ in rs], np.uint64)
+    state["rng_hi"] = np.array([(s >> 64) & ((1 << 64) - 1) for s, _ in rs], np.uint64)
+    state["rng_hi2"] = np.array([(s >> 128) & ((1 << 64) - 1) for s, _ in rs], np.uint64)
+    state["inc_lo"] = np.array([i & ((1 << 64) - 1) for _, i in rs], np.uint64)
+    state["inc_hi"] = np.array([(i >> 64) & ((1 << 64) - 1) for _, i in rs], np.uint64)
+    th_state = th.to_state()
+    state["th_primary"] = np.array(th_state["primary"])
+    state["th_secondary"] = np.array(th_state["secondary"])
+    state["th_threshold_dev"] = np.array(th_state["threshold_dev"])
+    state["th_params"] = np.array(th_state["params"])
+    state.update(norm.to_state())
+    state["extras"] = np.array(
+        [extras.get("last_seq", -1), extras.get("n_rows", 0), extras.get("n_scored", 0),
+         extras.get("n_anomalous", 0), extras.get("n_windows", 0),
+         extras.get("n_drifted_windows", 0)],
+        np.int64,
+    )
+    state["extras_f"] = np.array(
+        [extras.get("score_sum", 0.0), extras.get("win_sum", 0.0),
+         extras.get("win_cnt", 0.0)]
+    )
+    state["baseline"] = np.array(extras["baseline"].to_state())
+    state["buf_X"] = np.asarray(buf_X, np.float64).reshape(len(buf_seqs), -1)
+    state["buf_seqs"] = np.asarray(buf_seqs, np.int64)
+    return state
+
+
+def _write_group_state(path: str, state: dict) -> None:
+    tmp = path + ".tmp"
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(tmp, "wb") as fh:
+        np.savez_compressed(fh, **state)
+    os.replace(tmp, path)  # atomic: readers never see partial state
+
+
+def _load_group_state(path: str):
+    z = np.load(path, allow_pickle=False)
+    state = {k: z[k] for k in z.files}
+    n = len(state["rng_lo"])
+    rng_state = []
+    for i in range(n):
+        s = (int(state["rng_hi2"][i]) << 128) | (int(state["rng_hi"][i]) << 64) | int(
+            state["rng_lo"][i]
+        )
+        inc = (int(state["inc_hi"][i]) << 64) | int(state["inc_lo"][i])
+        rng_state.append((s, inc))
+    state["rng_state"] = np.array(rng_state, dtype=object)
+    forest = RCFForest.from_state(state)
+    th = BasicThresholder.from_state(
+        {
+            "primary": state["th_primary"],
+            "secondary": state["th_secondary"],
+            "threshold_dev": state["th_threshold_dev"],
+            "params": state["th_params"],
+        }
+    )
+    extras = {
+        "last_seq": int(state["extras"][0]),
+        "n_rows": int(state["extras"][1]),
+        "n_scored": int(state["extras"][2]),
+        "n_anomalous": int(state["extras"][3]),
+        "n_windows": int(state["extras"][4]),
+        "n_drifted_windows": int(state["extras"][5]),
+        "score_sum": float(state["extras_f"][0]),
+        "win_sum": float(state["extras_f"][1]),
+        "win_cnt": float(state["extras_f"][2]),
+        "baseline": Deviation.from_state(state["baseline"]),
+    }
+    return forest, th, state, extras
+
+
+def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg: DriftConfig):
+    """Build the grouped-map function (pickled to executors)."""
+
+    def fn(key, pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        X = np.stack(pdf[feature_col].to_numpy()).astype(np.float64)
+        seqs = pdf[order_col].to_numpy(np.int64)
+        d = X.shape[1]
+
+        ckpt = (
+            _checkpoint_path(cfg.checkpoint_dir, tuple(key)) if cfg.checkpoint_dir else None
+        )
+        extras = {
+            "last_seq": -1, "n_rows": 0, "n_scored": 0, "n_anomalous": 0,
+            "n_windows": 0, "n_drifted_windows": 0, "score_sum": 0.0,
+            "win_sum": 0.0, "win_cnt": 0.0, "baseline": Deviation(cfg.baseline_discount),
+        }
+        norm = _Normalizer(d, cfg.norm_discount if cfg.normalize else 0.0, cfg.clip_factor)
+        emit_wm = -1  # emit only rows with seq > emit_wm
+        if ckpt and os.path.exists(ckpt):
+            forest, th, raw, extras = _load_group_state(ckpt)
+            norm.load_state(raw)
+            emit_wm = extras["last_seq"]
+            keep = seqs > emit_wm  # resume: drop rows already processed…
+            X, seqs = X[keep], seqs[keep]
+            if len(raw["buf_seqs"]):  # …but replay the post-boundary tail
+                X = np.vstack([raw["buf_X"], X]) if len(X) else raw["buf_X"]
+                seqs = np.concatenate([raw["buf_seqs"], seqs])
+        else:
+            forest = RCFForest(
+                d,
+                num_trees=cfg.num_trees,
+                sample_size=cfg.sample_size,
+                time_decay=cfg.time_decay,
+                seed=_group_seed(tuple(key), cfg.seed),
+            )
+            th = BasicThresholder(z_factor=cfg.z_factor)
+
+        baseline = extras["baseline"]
+        anomalies: list[tuple] = []  # confident per-row violations
+        windows: list[tuple] = []  # drifted windows (the verdict signal)
+
+        def close_window(end_seq: int) -> None:
+            win_mean = extras["win_sum"] / extras["win_cnt"]
+            extras["n_windows"] += 1
+            if baseline.count >= cfg.min_baseline_windows:
+                dev = max(
+                    baseline.deviation, cfg.dev_floor_frac * abs(baseline.mean), 1e-9
+                )
+                z = (win_mean - baseline.mean) / dev
+                if z > cfg.drift_z:
+                    extras["n_drifted_windows"] += 1
+                    grade = min(1.0, (z - cfg.drift_z) / cfg.drift_z)
+                    windows.append(
+                        (end_seq, win_mean, baseline.mean + cfg.drift_z * dev, grade)
+                    )
+                    # drifted windows do not contaminate the baseline
+                    extras["win_sum"] = extras["win_cnt"] = 0.0
+                    return
+            baseline.update(win_mean)
+            extras["win_sum"] = extras["win_cnt"] = 0.0
+
+        B = len(X)
+        done = extras["n_rows"]  # boundary-aligned when resuming
+        oa = forest.output_after
+
+        def next_boundary(n: int) -> int:
+            """Absolute chunk grid: [0, output_after, output_after + k·C].
+            Checkpoints land only on this grid, so any resume reproduces
+            the same score-then-update boundaries (bit-exact resume)."""
+            if n < oa:
+                return oa
+            return oa + ((n - oa) // cfg.chunk_size + 1) * cfg.chunk_size
+
+        def process(lo: int, hi: int) -> None:
+            if hi <= lo:
+                return
+            chunk = X[lo:hi]
+            updated = False
+            if cfg.normalize and norm.weight <= 0:
+                # bootstrap from the first chunk (reference Preprocessor's
+                # startNormalization analogue) — never feed all-zero points
+                norm.update(chunk)
+                updated = True
+            xn = norm.transform(chunk) if cfg.normalize else chunk.astype(np.float32)
+            if forest.is_output_ready:
+                scores = forest.score(xn)
+                for i, s in enumerate(scores):
+                    threshold, grade = th.process(float(s), normalized=cfg.normalize)
+                    extras["n_scored"] += 1
+                    extras["score_sum"] += float(s)
+                    extras["win_sum"] += float(s)
+                    extras["win_cnt"] += 1.0
+                    if extras["win_cnt"] >= cfg.window:
+                        close_window(int(seqs[lo + i]))
+                    if grade >= cfg.min_emit_grade:
+                        extras["n_anomalous"] += 1
+                        if seqs[lo + i] > emit_wm:  # suppress replayed rows
+                            anomalies.append(
+                                (int(seqs[lo + i]), float(s), float(threshold), float(grade))
+                            )
+            if cfg.normalize and not updated:
+                norm.update(chunk)
+            forest.update_batch(xn, seqs=seqs[lo:hi])
+            extras["n_rows"] += hi - lo
+
+        chunks = []
+        pos = 0
+        while pos < B:
+            hi = min(B, next_boundary(done + pos) - done)
+            chunks.append((pos, hi))
+            pos = hi
+        tail_lo = B
+        if ckpt and chunks and (done + B) < next_boundary(done + chunks[-1][0]):
+            tail_lo = chunks.pop()[0]  # defer the partial tail to the buffer
+        for lo, hi in chunks:
+            process(lo, hi)
+
+        if ckpt:
+            state = _state_dict(forest, th, norm, extras, X[tail_lo:], seqs[tail_lo:])
+            process(tail_lo, B)  # tail: emitted now, replayed next run
+            state["extras"][0] = extras["last_seq"] = (
+                int(seqs[-1]) if B else extras["last_seq"]
+            )
+            _write_group_state(ckpt, state)
+        else:
+            process(tail_lo, B)
+            if B:
+                extras["last_seq"] = int(seqs[-1])
+
+        keyvals = list(key)
+        rows = [
+            keyvals + [seq, score, threshold, grade, "anomaly",
+                       0, 0, 0, 0, 0, 0.0]
+            for seq, score, threshold, grade in anomalies
+        ]
+        rows += [
+            keyvals + [seq, score, threshold, grade, "window",
+                       0, 0, 0, 0, 0, 0.0]
+            for seq, score, threshold, grade in windows
+        ]
+        mean_score = (
+            extras["score_sum"] / extras["n_scored"] if extras["n_scored"] else 0.0
+        )
+        rows.append(
+            keyvals
+            + [SUMMARY_SEQ, 0.0, 0.0, 0.0, "summary", extras["n_rows"],
+               extras["n_scored"], extras["n_anomalous"], extras["n_windows"],
+               extras["n_drifted_windows"], mean_score]
+        )
+        cols = group_cols + [
+            order_col, "score", "threshold", "grade", "row_kind",
+            "n_rows", "n_scored", "n_anomalous", "n_windows",
+            "n_drifted_windows", "mean_score",
+        ]
+        return pd.DataFrame(rows, columns=cols)
+
+    return fn
+
+
+def drift_scores(
+    df: DataFrame,
+    feature_col: str = "features",
+    group_cols: tuple[str, ...] = ("source",),
+    order_col: str = "seq",
+    cfg: DriftConfig | None = None,
+) -> DataFrame:
+    """Raw drift output: anomaly rows + one summary row per (group, bucket).
+
+    Input must already carry ``feature_col`` (see functions.token_features)
+    and a monotone ``order_col``. Only the needed columns cross the Arrow
+    boundary (tokens etc. are pruned before the shuffle).
+    """
+    cfg = cfg or DriftConfig()
+    gcols = list(group_cols)
+    # salt the (skewed) group key into bounded buckets
+    bucketed = df.select(
+        *gcols,
+        F.pmod(F.xxhash64(F.col(order_col), F.lit(cfg.seed)), F.lit(cfg.buckets))
+        .cast("int")
+        .alias("bucket"),
+        F.col(order_col),
+        F.col(feature_col),
+    )
+    key_cols = gcols + ["bucket"]
+    schema_prefix = ", ".join(
+        f"{c} {t}" for c, t in bucketed.select(*key_cols).dtypes
+    )
+    out_schema = (
+        f"{schema_prefix}, {order_col} long, score double, threshold double, "
+        "grade double, row_kind string, n_rows long, n_scored long, "
+        "n_anomalous long, n_windows long, n_drifted_windows long, "
+        "mean_score double"
+    )
+    fn = _make_drift_fn(key_cols, order_col, feature_col, cfg)
+    return bucketed.groupBy(*key_cols).applyInPandas(fn, schema=out_schema)
+
+
+def drift_verdicts(raw: DataFrame, group_cols=("source",), cfg: DriftConfig | None = None) -> DataFrame:
+    """Per-group verdict merged across buckets (mean of bucket stats)."""
+    cfg = cfg or DriftConfig()
+    s = raw.filter(F.col("row_kind") == "summary")
+    agg = s.groupBy(*group_cols).agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_scored").alias("n_scored"),
+        F.sum("n_anomalous").alias("n_anomalous"),
+        F.sum("n_windows").alias("n_windows"),
+        F.sum("n_drifted_windows").alias("n_drifted_windows"),
+        (F.sum(F.col("mean_score") * F.col("n_scored")) / F.sum("n_scored")).alias(
+            "mean_score"
+        ),
+    )
+    rate = F.col("n_anomalous").cast("double") / F.greatest(F.col("n_scored"), F.lit(1))
+    return agg.withColumn("anomaly_rate", rate).withColumn(
+        "passed",
+        F.when(F.col("n_windows") == 0, F.lit(None).cast("boolean")).otherwise(
+            F.col("n_drifted_windows") == 0
+        ),
+    )
+
+
+def drift_anomalies(raw: DataFrame) -> DataFrame:
+    return raw.filter(F.col("row_kind") == "anomaly").drop(
+        "row_kind", "n_rows", "n_scored", "n_anomalous", "mean_score"
+    )

@@ -1,0 +1,117 @@
+"""Drift operator end-to-end: the planted drifted partition (source=code,
+second half by seq — FIXTURES.md §3) must fail; stationary sources pass.
+Plus checkpoint/resume equivalence and normalizer closed-form math."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from random_cut_forest_by_aws_spark.core.thresholder import Deviation
+from random_cut_forest_by_aws_spark.functions import token_features
+from random_cut_forest_by_aws_spark.operators.drift import (
+    DriftConfig,
+    _Normalizer,
+    drift_anomalies,
+    drift_scores,
+    drift_verdicts,
+)
+from random_cut_forest_by_aws_spark.sources import sequences
+
+
+def _cfg(**kw):
+    base = dict(
+        num_trees=20, sample_size=64, chunk_size=512, buckets=1, seed=42,
+        window=64, min_baseline_windows=5,
+    )
+    base.update(kw)
+    return DriftConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def feat_df(spark):
+    df = sequences(spark, 20_000, seed=42, violations=False, drift=True)
+    return df.withColumn("features", token_features()).select(
+        "source", "seq", "features"
+    ).cache()
+
+
+def test_normalizer_matches_sequential_deviation():
+    rng = np.random.default_rng(0)
+    X = rng.normal(3.0, 2.0, size=(500, 2))
+    n = _Normalizer(2, discount=0.01, clip=100.0)
+    d0, d1 = Deviation(0.01), Deviation(0.01)
+    for lo, hi in [(0, 100), (100, 101), (101, 350), (350, 500)]:
+        n.update(X[lo:hi])
+    for x in X:
+        d0.update(x[0])
+        d1.update(x[1])
+    assert n.weight == pytest.approx(d0.weight, rel=1e-9)
+    assert n.sum[0] == pytest.approx(d0.sum, rel=1e-9)
+    assert n.sumsq[1] == pytest.approx(d1.sum_squared, rel=1e-9)
+
+
+def test_drift_verdicts_flag_planted_partition(feat_df):
+    cfg = _cfg()
+    raw = drift_scores(feat_df, cfg=cfg).cache()
+    verdicts = drift_verdicts(raw, cfg=cfg).toPandas().set_index("source")
+    assert not verdicts.loc["code", "passed"]
+    assert verdicts.loc["code", "n_drifted_windows"] >= 1
+    for src in ["web", "books", "wiki"]:
+        assert verdicts.loc[src, "passed"], f"{src} should pass: {verdicts.loc[src]}"
+    # drifted windows sit in the drifted half of the stream (seq ≥ 10k)
+    wins = raw.filter("row_kind = 'window'").toPandas()
+    assert (wins[wins["source"] == "code"]["seq"] >= 10_000).all()
+    raw.unpersist()
+
+
+def test_drift_bucketing_splits_hot_source(feat_df):
+    cfg = _cfg(buckets=4, sample_size=32, num_trees=10, window=32, min_baseline_windows=3)
+    raw = drift_scores(feat_df, cfg=cfg)
+    s = raw.filter("row_kind = 'summary'").toPandas()
+    web = s[s["source"] == "web"]
+    assert len(web) == 4  # hot source split across 4 bounded tasks
+    assert web["n_rows"].max() < 0.5 * web["n_rows"].sum()
+    verdicts = drift_verdicts(raw, cfg=cfg).toPandas().set_index("source")
+    assert not verdicts.loc["code", "passed"]
+
+
+def test_drift_checkpoint_resume_equivalence(spark, feat_df, tmp_path):
+    """Resume from checkpoint ⇒ scores bit-identical to uninterrupted run
+    (reference state-mapper round-trip analogue)."""
+    cfg_plain = _cfg()
+    full = drift_scores(feat_df, cfg=cfg_plain).toPandas()
+
+    ckpt = str(tmp_path / "ckpt")
+    cfg_ck = _cfg(checkpoint_dir=ckpt)
+    part1 = feat_df.filter("seq < 12000")
+    drift_scores(part1, cfg=cfg_ck).collect()  # first run: materialize state
+    resumed = drift_scores(feat_df, cfg=cfg_ck).toPandas()  # full input, resume
+
+    f_an = full[(full.row_kind == "anomaly") & (full.seq >= 12000)]
+    r_an = resumed[resumed.row_kind == "anomaly"]
+    key = ["source", "bucket", "seq"]
+    f_an = f_an.sort_values(key).reset_index(drop=True)
+    r_an = r_an[r_an.seq >= 12000].sort_values(key).reset_index(drop=True)
+    assert len(f_an) == len(r_an)
+    assert (f_an["seq"].values == r_an["seq"].values).all()
+    np.testing.assert_array_equal(f_an["score"].values, r_an["score"].values)
+    np.testing.assert_array_equal(f_an["grade"].values, r_an["grade"].values)
+    # cumulative totals match the uninterrupted run exactly
+    f_sum = full[full.row_kind == "summary"].sort_values(["source", "bucket"])
+    r_sum = resumed[resumed.row_kind == "summary"].sort_values(["source", "bucket"])
+    np.testing.assert_array_equal(f_sum["n_scored"].values, r_sum["n_scored"].values)
+    np.testing.assert_array_equal(
+        f_sum["n_anomalous"].values, r_sum["n_anomalous"].values
+    )
+
+
+def test_drift_rerun_after_completion_is_noop(spark, feat_df, tmp_path):
+    ckpt = str(tmp_path / "ckpt2")
+    cfg = _cfg(checkpoint_dir=ckpt, buckets=1)
+    first = drift_scores(feat_df, cfg=cfg).toPandas()
+    second = drift_scores(feat_df, cfg=cfg).toPandas()  # all rows ≤ watermark
+    s1 = first[first.row_kind == "summary"].sort_values(["source", "bucket"])
+    s2 = second[second.row_kind == "summary"].sort_values(["source", "bucket"])
+    np.testing.assert_array_equal(s1["n_rows"].values, s2["n_rows"].values)
+    assert (second[second.row_kind == "anomaly"]).empty  # nothing new to flag
