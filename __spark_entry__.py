@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship validation suite; ``queries`` exposes each
+implemented operator from SURVEY.md §2 / the engine's operator set;
+``oracle_sql`` provides DuckDB-equivalent SQL for everything
+SQL-expressible (RCF drift / MinHash / SimHash / LSH are sketch-based and
+get rows-only checks).
 """
 
 from __future__ import annotations
@@ -12,27 +12,388 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------- #
+# flagship
+# --------------------------------------------------------------------- #
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Full validation suite (stats + uniqueness + referential + token
+    invariants + RCF drift) over the tokenized sf0.001 documents table."""
+    from random_cut_forest_by_aws_spark.operators.drift import DriftConfig
+    from random_cut_forest_by_aws_spark.plans import SuiteConfig, ValidationSuite
+    from random_cut_forest_by_aws_spark.sources import tokenized_documents
+
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    seqs = tokenized_documents(docs)
+    dim = docs.select("source").distinct()
+    cfg = SuiteConfig(
+        drift=DriftConfig(num_trees=10, sample_size=16, window=8,
+                          min_baseline_windows=2, buckets=1, chunk_size=256)
+    )
+    return ValidationSuite(spark, cfg).run(seqs, ref_dim=dim).verdicts
+
+
+# --------------------------------------------------------------------- #
+# queries
+# --------------------------------------------------------------------- #
+def _q_stats_ntok(spark, sf_dir):
+    from random_cut_forest_by_aws_spark.operators import column_stats
+    from random_cut_forest_by_aws_spark.sources import tokenized_documents
+
+    seqs = tokenized_documents(_docs(spark, sf_dir))
+    out = column_stats(
+        seqs, ["n_tok"], key_cols=["doc_id"], group_by=["source"], exact_distinct=True
+    )
+    return out.select(
+        "source",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_tok_min").cast("bigint").alias("n_tok_min"),
+        F.col("n_tok_max").cast("bigint").alias("n_tok_max"),
+        F.col("n_tok_nulls").cast("bigint").alias("n_tok_nulls"),
+        F.col("n_tok_sum").cast("bigint").alias("n_tok_sum"),
+        F.col("doc_id_cardinality").cast("bigint").alias("doc_id_cardinality"),
+    )
+
+
+def _q_ntok_quantiles(spark, sf_dir):
+    from random_cut_forest_by_aws_spark.sources import tokenized_documents
+
+    seqs = tokenized_documents(_docs(spark, sf_dir))
+    q = seqs.groupBy("source").agg(
+        F.expr("percentile(n_tok, array(0.25, 0.5, 0.75))").alias("_q")
+    )
+    return q.select(
+        "source",
+        F.round(F.col("_q")[0], 6).alias("p25"),
+        F.round(F.col("_q")[1], 6).alias("p50"),
+        F.round(F.col("_q")[2], 6).alias("p75"),
+    )
+
+
+def _q_uniq_lineitem(spark, sf_dir):
+    from random_cut_forest_by_aws_spark.operators import uniqueness_violations
+
+    v = uniqueness_violations(_t(spark, sf_dir, "lineitem"), ["l_orderkey"])
+    return v.select("l_orderkey", F.col("dup_count").cast("bigint").alias("dup_count"))
+
+
+def _q_uniq_composite(spark, sf_dir):
+    from random_cut_forest_by_aws_spark.operators import uniqueness_violations
+
+    v = uniqueness_violations(_t(spark, sf_dir, "lineitem"), ["l_orderkey", "l_linenumber"])
+    return v.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
+        F.col("dup_count").cast("bigint").alias("dup_count"),
+    )
+
+
+def _q_ref_orders_customer(spark, sf_dir):
+    from random_cut_forest_by_aws_spark.operators import referential_violations
+
+    v = referential_violations(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer"), ["o_custkey"], ["c_custkey"]
+    )
+    return v.select("o_custkey", F.col("fact_rows").cast("bigint").alias("fact_rows"))
+
+
+def _q_ref_events_customer(spark, sf_dir):
+    from random_cut_forest_by_aws_spark.operators import referential_violations
+
+    v = referential_violations(
+        _t(spark, sf_dir, "events"), _t(spark, sf_dir, "customer"), ["user_id"], ["c_custkey"]
+    )
+    return v.select("user_id", F.col("fact_rows").cast("bigint").alias("fact_rows"))
+
+
+def _q_token_positive(spark, sf_dir):
+    from random_cut_forest_by_aws_spark.operators import row_invariant_violations
+    from random_cut_forest_by_aws_spark.sources import tokenized_documents
+
+    seqs = tokenized_documents(_docs(spark, sf_dir))
+    v = row_invariant_violations(
+        seqs,
+        {"n_tok_positive": F.col("n_tok") > 0,
+         "n_tok_matches_size": F.size("tokens") == F.col("n_tok")},
+        ["seq"],
+    )
+    return v.select(F.col("seq").cast("bigint").alias("seq"))
+
+
+def _q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q_top_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+def _q_revenue_by_nation(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def _q_events_by_type(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def _q_exact_dup_docs(spark, sf_dir):
+    from random_cut_forest_by_aws_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_docs(spark, sf_dir), ["text"]).select(
+        "text", F.col("dup_count").cast("bigint").alias("dup_count")
+    )
+
+
+def _q_text_profile(spark, sf_dir):
+    from random_cut_forest_by_aws_spark.operators.textqc import stopword_frac, word_stats
+
+    d = _docs(spark, sf_dir)
+    n_words, n_chars, avg_word_len = word_stats("text")
+    return d.select(
+        "doc_id",
+        n_words,
+        n_chars,
+        F.round(avg_word_len, 6).alias("avg_word_len"),
+        F.round(stopword_frac("text"), 6).alias("stopword_frac"),
+    )
+
+
+def _q_ann_cosine(spark, sf_dir):
+    from random_cut_forest_by_aws_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(emb, queries, k=10)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 5).alias("cosine"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+# ---- sketch-based ops: rows-only checks (no SQL equivalent) ----------- #
+def _q_minhash_candidates(spark, sf_dir):
+    from random_cut_forest_by_aws_spark.operators.dedup import minhash_candidates
+
+    return minhash_candidates(_docs(spark, sf_dir))
+
+
+def _q_simhash(spark, sf_dir):
+    from random_cut_forest_by_aws_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+def _q_lsh_cosine(spark, sf_dir):
+    from random_cut_forest_by_aws_spark.operators.similarity import lsh_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_cosine_topk(emb, queries, dim=64, k=10, bits=8)
+
+
+def _q_lang_quality(spark, sf_dir):
+    from random_cut_forest_by_aws_spark.operators.textqc import text_profile
+
+    return text_profile(_docs(spark, sf_dir))
+
+
+def _q_drift_sequences(spark, sf_dir):
+    from random_cut_forest_by_aws_spark.functions import token_features
+    from random_cut_forest_by_aws_spark.operators.drift import (
+        DriftConfig, drift_scores, drift_verdicts,
+    )
+    from random_cut_forest_by_aws_spark.sources import sequences
+
+    df = sequences(spark, 20_000, seed=42, violations=False, drift=True)
+    feat = df.withColumn("features", token_features()).select("source", "seq", "features")
+    cfg = DriftConfig(num_trees=20, sample_size=64, chunk_size=512, buckets=1,
+                      window=64, min_baseline_windows=5)
+    return drift_verdicts(drift_scores(feat, cfg=cfg), cfg=cfg)
+
+
+def _q_suite_verdicts(spark, sf_dir):
+    from random_cut_forest_by_aws_spark.operators.drift import DriftConfig
+    from random_cut_forest_by_aws_spark.plans import SuiteConfig, ValidationSuite
+    from random_cut_forest_by_aws_spark.sources import tokenized_documents
+
+    docs = _docs(spark, sf_dir)
+    seqs = tokenized_documents(docs)
+    cfg = SuiteConfig(
+        drift=DriftConfig(num_trees=10, sample_size=16, window=8,
+                          min_baseline_windows=2, buckets=1, chunk_size=256)
+    )
+    return ValidationSuite(spark, cfg).run(seqs, ref_dim=docs.select("source").distinct()).verdicts
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "stats_ntok_by_source": _q_stats_ntok,
+        "ntok_quantiles_by_source": _q_ntok_quantiles,
+        "uniqueness_lineitem_orderkey": _q_uniq_lineitem,
+        "uniqueness_lineitem_composite": _q_uniq_composite,
+        "referential_orders_customer": _q_ref_orders_customer,
+        "referential_events_customer": _q_ref_events_customer,
+        "token_invariant_violations": _q_token_positive,
+        "pricing_summary": _q_pricing_summary,
+        "top_orders_per_customer": _q_top_orders,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "events_by_type": _q_events_by_type,
+        "exact_dup_docs": _q_exact_dup_docs,
+        "text_profile_docs": _q_text_profile,
+        "ann_cosine_topk": _q_ann_cosine,
+        "minhash_candidates_docs": _q_minhash_candidates,
+        "simhash_docs": _q_simhash,
+        "lsh_cosine_topk": _q_lsh_cosine,
+        "lang_quality_docs": _q_lang_quality,
+        "drift_verdicts_sequences": _q_drift_sequences,
+        "validation_suite_verdicts": _q_suite_verdicts,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_STOP_EN = "['the','a','and','of','to','in','is','it','that','for']"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "stats_ntok_by_source": """
+            SELECT source,
+                   count(*) AS n_rows,
+                   CAST(min(len(string_split(text, ' '))) AS BIGINT) AS n_tok_min,
+                   CAST(max(len(string_split(text, ' '))) AS BIGINT) AS n_tok_max,
+                   CAST(0 AS BIGINT) AS n_tok_nulls,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok_sum,
+                   count(DISTINCT CAST(doc_id AS VARCHAR)) AS doc_id_cardinality
+            FROM documents GROUP BY source
+        """,
+        "ntok_quantiles_by_source": """
+            SELECT source,
+                   round(quantile_cont(CAST(len(string_split(text,' ')) AS DOUBLE), 0.25), 6) AS p25,
+                   round(quantile_cont(CAST(len(string_split(text,' ')) AS DOUBLE), 0.5), 6) AS p50,
+                   round(quantile_cont(CAST(len(string_split(text,' ')) AS DOUBLE), 0.75), 6) AS p75
+            FROM documents GROUP BY source
+        """,
+        "uniqueness_lineitem_orderkey": """
+            SELECT l_orderkey, count(*) AS dup_count
+            FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+        """,
+        "uniqueness_lineitem_composite": """
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   count(*) AS dup_count
+            FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1
+        """,
+        "referential_orders_customer": """
+            SELECT o_custkey, count(*) AS fact_rows FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+            GROUP BY o_custkey
+        """,
+        "referential_events_customer": """
+            SELECT user_id, count(*) AS fact_rows FROM events e
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+            GROUP BY user_id
+        """,
+        "token_invariant_violations": """
+            SELECT CAST(doc_id AS BIGINT) AS seq FROM documents
+            WHERE len(string_split(text, ' ')) <= 0
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, rn FROM (
+              SELECT o_custkey, o_orderkey,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders) WHERE rn <= 3
+        """,
+        "revenue_by_nation": """
+            SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "events_by_type": """
+            SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY event_type
+        """,
+        "exact_dup_docs": """
+            SELECT text, count(*) AS dup_count FROM documents
+            GROUP BY text HAVING count(*) > 1
+        """,
+        "text_profile_docs": f"""
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                   CAST(length(text) AS BIGINT) AS n_chars_eng,
+                   round((length(text) - (len(string_split(text,' ')) - 1))
+                         / greatest(len(string_split(text,' ')), 1), 6) AS avg_word_len,
+                   round(len(list_filter(string_split(text, ' '),
+                                         w -> list_contains({_STOP_EN}, lower(w))))
+                         / greatest(len(string_split(text, ' ')), 1), 6) AS stopword_frac
+            FROM documents
+        """,
+        "ann_cosine_topk": """
+            SELECT query_id, vec_id, round(cosine, 5) AS cosine, rank FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                     list_dot_product(q.embedding, c.embedding)
+                       / greatest(sqrt(list_dot_product(q.embedding, q.embedding))
+                                  * sqrt(list_dot_product(c.embedding, c.embedding)),
+                                  1e-12) AS cosine,
+                     row_number() OVER (
+                        PARTITION BY q.vec_id
+                        ORDER BY list_dot_product(q.embedding, c.embedding)
+                                   / greatest(sqrt(list_dot_product(q.embedding, q.embedding))
+                                              * sqrt(list_dot_product(c.embedding, c.embedding)),
+                                              1e-12) DESC, c.vec_id) AS rank
+              FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+            ) WHERE rank <= 10
+        """,
+    }

