@@ -4,9 +4,21 @@ A from-scratch, vectorized re-implementation of the reference's forest
 semantics (aws/random-cut-forest-by-aws), designed to live inside an Arrow
 ``applyInPandas`` UDF: all tree state is a handful of flat arrays with a
 leading tree axis (mirroring the reference's own columnar NodeStore design,
-``Java/core/.../tree/AbstractNodeStore.java:27-39``), scoring is fully
-vectorized across (queries × trees), and updates loop only over *accepted*
-reservoir events (O(k·log n) per tree), never over raw rows.
+``Java/core/.../tree/AbstractNodeStore.java:27-39``).
+
+Execution model (performance-critical):
+
+* **scoring** is vectorized with active-lane compaction: every
+  (query, tree) pair is a lane; descent and the leaf-to-root walk operate
+  on flat index arrays that shrink as lanes finish, so total work is
+  Σ path-lengths, not max-depth × lanes;
+* **updates** loop only over *accepted* reservoir events (O(k·log n) per
+  tree, not O(n)); the per-event tree surgery runs on pure-Python list
+  mirrors of one tree's arrays (NumPy scalar indexing costs ~µs/access —
+  ~20× slower than list ops at shingle-scale dims), synced back to the
+  canonical float32 arrays at batch end. All values written into mirrors
+  are float32-quantized on creation, so the sync is lossless and
+  checkpoint/resume stays bit-exact.
 
 Semantics re-expressed from the reference (file:line cites into
 /root/reference/Java/core/src/main/java/com/amazon/randomcutforest/):
@@ -36,8 +48,8 @@ Determinism: sampler draws are counter-based (splitmix64 of
 (seed, tree, seq)) so accept decisions are independent of batch/chunk
 boundaries; cut draws come from one PCG64 stream per tree, consumed only
 by accepted inserts — results are therefore invariant to how a partition's
-rows are chunked (tested), which is the engine's analogue of the
-reference's sequential==parallel consistency tests
+rows are chunked (tested), the engine's analogue of the reference's
+sequential==parallel consistency tests
 (``parkservices/ConsistencyTest.java:41-278``).
 """
 
@@ -65,6 +77,255 @@ def _u01(key: np.uint64, seqs: np.ndarray) -> np.ndarray:
     h = _splitmix64(seqs.astype(np.uint64) ^ np.uint64(key))
     u = (h >> np.uint64(11)).astype(np.float64) * (2.0 ** -53)
     return np.clip(u, 1e-300, 1.0 - 1e-16)
+
+
+_F32_TINY = float(np.finfo(np.float32).tiny)
+
+
+def _f32(v: float) -> float:
+    """Quantize to the nearest float32 value (stored precision)."""
+    return float(np.float32(v))
+
+
+class _TreeOps:
+    """Pure-Python mirror of one tree's flat arrays for the update loop.
+
+    Insert/delete perform ~dozens of scalar reads/writes per tree level;
+    on lists these are ~50ns each vs ~1µs for NumPy scalar indexing. The
+    mirror is created from, and synced back to, the canonical arrays
+    around each update batch.
+    """
+
+    __slots__ = (
+        "t", "d", "parent", "left", "right", "cutdim", "cutval", "mass",
+        "bbmin", "bbmax", "root", "freelist", "freetop", "rng",
+    )
+
+    def __init__(self, f: "RCFForest", t: int):
+        self.t = t
+        self.d = f.d
+        self.parent = f.parent[t].tolist()
+        self.left = f.left[t].tolist()
+        self.right = f.right[t].tolist()
+        self.cutdim = f.cutdim[t].tolist()
+        self.cutval = f.cutval[t].astype(np.float64).tolist()
+        self.mass = f.mass[t].tolist()
+        self.bbmin = f.bbmin[t].astype(np.float64).tolist()
+        self.bbmax = f.bbmax[t].astype(np.float64).tolist()
+        self.root = int(f.root[t])
+        self.freelist = f.freelist[t].tolist()
+        self.freetop = int(f.freetop[t])
+        self.rng = f._rngs[t]
+
+    def writeback(self, f: "RCFForest") -> None:
+        t = self.t
+        f.parent[t] = self.parent
+        f.left[t] = self.left
+        f.right[t] = self.right
+        f.cutdim[t] = self.cutdim
+        f.cutval[t] = self.cutval
+        f.mass[t] = self.mass
+        f.bbmin[t] = self.bbmin
+        f.bbmax[t] = self.bbmax
+        f.root[t] = self.root
+        f.freelist[t] = self.freelist
+        f.freetop[t] = self.freetop
+
+    # -- node management ------------------------------------------------
+    def _alloc(self) -> int:
+        self.freetop -= 1
+        return self.freelist[self.freetop]
+
+    def _free(self, n: int) -> None:
+        self.freelist[self.freetop] = n
+        self.freetop += 1
+        self.cutdim[n] = _NULL
+        self.parent[n] = _NULL
+        self.left[n] = _NULL
+        self.right[n] = _NULL
+        self.mass[n] = 0
+
+    def _new_leaf(self, x: list[float]) -> int:
+        n = self._alloc()
+        self.cutdim[n] = _NULL
+        self.mass[n] = 1
+        self.bbmin[n] = x[:]
+        self.bbmax[n] = x[:]
+        self.left[n] = _NULL
+        self.right[n] = _NULL
+        self.parent[n] = _NULL
+        return n
+
+    # -- insert (tree/RandomCutTree.java:251-348 semantics) ---------------
+    def insert(self, x: list[float]) -> int:
+        if self.root == _NULL:
+            leaf = self._new_leaf(x)
+            self.root = leaf
+            return leaf
+        cutdim, cutval = self.cutdim, self.cutval
+        left, right, parent = self.left, self.right, self.parent
+        mass, bbmin, bbmax = self.mass, self.bbmin, self.bbmax
+        d = self.d
+
+        # descend to leaf recording (node, sibling) from root down
+        node = self.root
+        stack = [(node, _NULL)]
+        cd = cutdim[node]
+        while cd >= 0:
+            if x[cd] <= cutval[node]:
+                nxt, sib = left[node], right[node]
+            else:
+                nxt, sib = right[node], left[node]
+            stack.append((nxt, sib))
+            node = nxt
+            cd = cutdim[node]
+        leaf = node
+        lp = bbmin[leaf]
+
+        if x == lp:  # duplicate ⇒ leaf-mass bump
+            mass[leaf] += 1
+            for i in range(len(stack) - 2, -1, -1):
+                mass[stack[i][0]] += 1
+            return leaf
+
+        # bottom-up walk: propose a cut on box∪x per level, keep deepest
+        # separating one (tree/RandomCutTree.java:283-327)
+        bmin = lp[:]
+        bmax = lp[:]
+        idx = len(stack) - 1
+        cur, sibling = leaf, stack[idx][1]
+        par = stack[idx - 1][0] if idx >= 1 else _NULL
+        saved_node, saved_parent = leaf, par
+        saved_dim, saved_val = _NULL, 0.0
+        saved_min, saved_max = bmin[:], bmax[:]
+        rng_random = self.rng.random
+        while True:
+            factor = rng_random()
+            # --- random cut over box∪x (randomCut :153-240) -------------
+            total = 0.0
+            for i in range(d):
+                lo, hi, xi = bmin[i], bmax[i], x[i]
+                if xi < lo:
+                    lo = xi
+                elif xi > hi:
+                    hi = xi
+                total += hi - lo
+            bp = factor * total
+            dim, value = _NULL, 0.0
+            acc = 0.0
+            for i in range(d):
+                lo, hi, xi = bmin[i], bmax[i], x[i]
+                if xi < lo:
+                    lo = xi
+                elif xi > hi:
+                    hi = xi
+                gap = hi - lo
+                if gap > 0.0 and bp <= acc + gap:
+                    dim = i
+                    value = _f32(lo + (bp - acc))
+                    if value >= hi:
+                        value = float(np.nextafter(np.float32(hi), np.float32(lo)))
+                    break
+                acc += gap
+            if dim == _NULL:  # float fallback: first nonzero-gap dim
+                for i in range(d):
+                    lo = bmin[i] if bmin[i] <= x[i] else x[i]
+                    hi = bmax[i] if bmax[i] >= x[i] else x[i]
+                    if hi > lo:
+                        dim = i
+                        value = float(np.nextafter(np.float32(hi), np.float32(lo)))
+                        break
+            # --- separation / save deepest -------------------------------
+            if (x[dim] <= value < bmin[dim]) or (x[dim] > value >= bmax[dim]):
+                saved_dim, saved_val = dim, value
+                saved_node, saved_parent = cur, par
+                saved_min, saved_max = bmin[:], bmax[:]
+            inside = True
+            for i in range(d):
+                if not (bmin[i] <= x[i] <= bmax[i]):
+                    inside = False
+                    break
+            if inside or par == _NULL:
+                break
+            # grow to parent's subtree box by merging the sibling box
+            sb_min, sb_max = bbmin[sibling], bbmax[sibling]
+            for i in range(d):
+                if sb_min[i] < bmin[i]:
+                    bmin[i] = sb_min[i]
+                if sb_max[i] > bmax[i]:
+                    bmax[i] = sb_max[i]
+            idx -= 1
+            cur, sibling = stack[idx][0], stack[idx][1]
+            par = stack[idx - 1][0] if idx >= 1 else _NULL
+
+        # split: new internal node m replaces saved_node
+        new_leaf = self._new_leaf(x)
+        m = self._alloc()
+        if x[saved_dim] <= saved_val:
+            left[m], right[m] = new_leaf, saved_node
+        else:
+            left[m], right[m] = saved_node, new_leaf
+        cutdim[m], cutval[m] = saved_dim, saved_val
+        mass[m] = mass[saved_node] + 1
+        bbmin[m] = [saved_min[i] if saved_min[i] <= x[i] else x[i] for i in range(d)]
+        bbmax[m] = [saved_max[i] if saved_max[i] >= x[i] else x[i] for i in range(d)]
+        parent[new_leaf] = m
+        parent[saved_node] = m
+        parent[m] = saved_parent
+        if saved_parent == _NULL:
+            self.root = m
+        elif left[saved_parent] == saved_node:
+            left[saved_parent] = m
+        else:
+            right[saved_parent] = m
+        a = saved_parent
+        while a != _NULL:  # ancestors: +1 mass, grow boxes
+            mass[a] += 1
+            bna, bxa = bbmin[a], bbmax[a]
+            for i in range(d):
+                xi = x[i]
+                if xi < bna[i]:
+                    bna[i] = xi
+                elif xi > bxa[i]:
+                    bxa[i] = xi
+            a = parent[a]
+        return new_leaf
+
+    # -- delete (tree/RandomCutTree.java:403-458 semantics) ---------------
+    def delete(self, leaf: int) -> None:
+        parent, left, right = self.parent, self.left, self.right
+        mass, bbmin, bbmax = self.mass, self.bbmin, self.bbmax
+        if mass[leaf] > 1:
+            a = leaf
+            while a != _NULL:
+                mass[a] -= 1
+                a = parent[a]
+            return
+        p = parent[leaf]
+        if p == _NULL:
+            self.root = _NULL
+            self._free(leaf)
+            return
+        sib = right[p] if left[p] == leaf else left[p]
+        g = parent[p]
+        parent[sib] = g
+        if g == _NULL:
+            self.root = sib
+        elif left[g] == p:
+            left[g] = sib
+        else:
+            right[g] = sib
+        self._free(leaf)
+        self._free(p)
+        d = self.d
+        a = g
+        while a != _NULL:  # shrink ancestor boxes bottom-up
+            mass[a] -= 1
+            ln, rn = left[a], right[a]
+            lmin, rmin, lmax, rmax = bbmin[ln], bbmin[rn], bbmax[ln], bbmax[rn]
+            bbmin[a] = [lmin[i] if lmin[i] <= rmin[i] else rmin[i] for i in range(d)]
+            bbmax[a] = [lmax[i] if lmax[i] >= rmax[i] else rmax[i] for i in range(d)]
+            a = parent[a]
 
 
 class RCFForest:
@@ -135,181 +396,19 @@ class RCFForest:
         ]
 
     # ------------------------------------------------------------------ #
-    # node management
+    # single-op helpers (unit tests / small flows); batch path uses the
+    # same _TreeOps surgery without per-op mirror round-trips
     # ------------------------------------------------------------------ #
-    def _alloc(self, t: int) -> int:
-        self.freetop[t] -= 1
-        return int(self.freelist[t, self.freetop[t]])
-
-    def _free(self, t: int, n: int) -> None:
-        self.freelist[t, self.freetop[t]] = n
-        self.freetop[t] += 1
-        self.cutdim[t, n] = _NULL
-        self.parent[t, n] = _NULL
-        self.left[t, n] = _NULL
-        self.right[t, n] = _NULL
-        self.mass[t, n] = 0
-
-    def _new_leaf(self, t: int, x: np.ndarray) -> int:
-        n = self._alloc(t)
-        self.cutdim[t, n] = _NULL
-        self.mass[t, n] = 1
-        self.bbmin[t, n] = x
-        self.bbmax[t, n] = x
-        self.left[t, n] = _NULL
-        self.right[t, n] = _NULL
-        self.parent[t, n] = _NULL
-        return n
-
-    # ------------------------------------------------------------------ #
-    # insert / delete (reference tree/RandomCutTree.java:251-458 semantics)
-    # ------------------------------------------------------------------ #
-    def _insert(self, t: int, x: np.ndarray) -> int:
-        """Insert float32 point into tree t, return its leaf node id."""
-        if self.root[t] == _NULL:
-            leaf = self._new_leaf(t, x)
-            self.root[t] = leaf
-            return leaf
-
-        cutdim, cutval = self.cutdim[t], self.cutval[t]
-        left, right, parent = self.left[t], self.right[t], self.parent[t]
-        bbmin, bbmax, mass = self.bbmin[t], self.bbmax[t], self.mass[t]
-
-        # descend to leaf, recording (node, sibling) from root down
-        node = int(self.root[t])
-        stack: list[tuple[int, int]] = [(node, _NULL)]
-        while cutdim[node] >= 0:
-            if x[cutdim[node]] <= cutval[node]:
-                nxt, sib = int(left[node]), int(right[node])
-            else:
-                nxt, sib = int(right[node]), int(left[node])
-            stack.append((nxt, sib))
-            node = nxt
-        leaf = node
-        leafpt = bbmin[leaf]
-
-        if np.array_equal(x, leafpt):  # duplicate ⇒ leaf mass bump
-            mass[leaf] += 1
-            for i in range(len(stack) - 2, -1, -1):
-                mass[stack[i][0]] += 1
-            return leaf
-
-        # bottom-up walk: propose a cut on box∪x at each level, keep the
-        # deepest separating one (tree/RandomCutTree.java:283-327)
-        rng = self._rngs[t]
-        box_min = leafpt.copy()
-        box_max = leafpt.copy()
-        idx = len(stack) - 1  # stack index of current node
-        cur, sibling = leaf, stack[idx][1]
-        par = int(stack[idx - 1][0]) if idx >= 1 else _NULL
-        saved_node = leaf
-        saved_parent = par
-        saved_dim, saved_val = _NULL, np.float32(0)
-        saved_box = (box_min.copy(), box_max.copy())
-        while True:
-            factor = rng.random()
-            dim, value = self._random_cut(factor, x, box_min, box_max)
-            separation = (x[dim] <= value < box_min[dim]) or (
-                x[dim] > value >= box_max[dim]
-            )
-            if separation:
-                saved_dim, saved_val = dim, value
-                saved_node, saved_parent = cur, par
-                saved_box = (box_min.copy(), box_max.copy())
-            inside = bool(np.all(box_min <= x) and np.all(x <= box_max))
-            if inside or par == _NULL:
-                break
-            # grow to the parent's subtree box by merging the sibling box
-            np.minimum(box_min, bbmin[sibling], out=box_min)
-            np.maximum(box_max, bbmax[sibling], out=box_max)
-            idx -= 1
-            cur, sibling = int(stack[idx][0]), stack[idx][1]
-            par = int(stack[idx - 1][0]) if idx >= 1 else _NULL
-
-        # split: new internal node replaces saved_node
-        new_leaf = self._new_leaf(t, x)
-        m = self._alloc(t)
-        if x[saved_dim] <= saved_val:
-            left[m], right[m] = new_leaf, saved_node
-        else:
-            left[m], right[m] = saved_node, new_leaf
-        cutdim[m], cutval[m] = saved_dim, saved_val
-        mass[m] = mass[saved_node] + 1
-        bbmin[m] = np.minimum(saved_box[0], x)
-        bbmax[m] = np.maximum(saved_box[1], x)
-        parent[new_leaf] = m
-        parent[saved_node] = m
-        parent[m] = saved_parent
-        if saved_parent == _NULL:
-            self.root[t] = m
-        elif left[saved_parent] == saved_node:
-            left[saved_parent] = m
-        else:
-            right[saved_parent] = m
-        # ancestors: +1 mass, grow boxes to include x
-        a = saved_parent
-        while a != _NULL:
-            mass[a] += 1
-            np.minimum(bbmin[a], x, out=bbmin[a])
-            np.maximum(bbmax[a], x, out=bbmax[a])
-            a = int(parent[a])
-        return new_leaf
-
-    def _random_cut(
-        self, factor: float, x: np.ndarray, bmin: np.ndarray, bmax: np.ndarray
-    ) -> tuple[int, np.float32]:
-        """Pick (dim, value) ∝ per-dim range of box∪x (randomCut :153-240)."""
-        umin = np.minimum(bmin, x)
-        umax = np.maximum(bmax, x)
-        gaps = (umax - umin).astype(np.float64)
-        total = float(gaps.sum())
-        bp = factor * total
-        cum = np.cumsum(gaps)
-        dim = int(np.searchsorted(cum, bp))
-        if dim >= len(gaps) or gaps[dim] <= 0:
-            # float fallback: first nonzero-gap dim, cut just below max
-            nz = np.nonzero(gaps > 0)[0]
-            dim = int(nz[0])
-            value = np.nextafter(umax[dim], umin[dim])
-            return dim, np.float32(value)
-        prev = float(cum[dim - 1]) if dim > 0 else 0.0
-        value = np.float32(umin[dim] + (bp - prev))
-        if value >= umax[dim]:
-            value = np.nextafter(umax[dim], umin[dim])
-        return dim, np.float32(value)
+    def _insert(self, t: int, x) -> int:
+        ops = _TreeOps(self, t)
+        leaf = ops.insert([float(np.float32(v)) for v in x])
+        ops.writeback(self)
+        return leaf
 
     def _delete(self, t: int, leaf: int) -> None:
-        parent, left, right = self.parent[t], self.left[t], self.right[t]
-        mass, bbmin, bbmax = self.mass[t], self.bbmin[t], self.bbmax[t]
-        if mass[leaf] > 1:
-            a = leaf
-            while a != _NULL:
-                mass[a] -= 1
-                a = int(parent[a])
-            return
-        p = int(parent[leaf])
-        if p == _NULL:
-            self.root[t] = _NULL
-            self._free(t, leaf)
-            return
-        sib = int(right[p]) if int(left[p]) == leaf else int(left[p])
-        g = int(parent[p])
-        parent[sib] = g
-        if g == _NULL:
-            self.root[t] = sib
-        elif int(left[g]) == p:
-            left[g] = sib
-        else:
-            right[g] = sib
-        self._free(t, leaf)
-        self._free(t, p)
-        a = g
-        while a != _NULL:  # shrink ancestor boxes bottom-up
-            mass[a] -= 1
-            l, r = int(left[a]), int(right[a])
-            np.minimum(bbmin[l], bbmin[r], out=bbmin[a])
-            np.maximum(bbmax[l], bbmax[r], out=bbmax[a])
-            a = int(parent[a])
+        ops = _TreeOps(self, t)
+        ops.delete(int(leaf))
+        ops.writeback(self)
 
     # ------------------------------------------------------------------ #
     # streaming update
@@ -328,19 +427,22 @@ class RCFForest:
         if self.seq0 is None:
             self.seq0 = int(seqs[0])
         rel = (seqs - self.seq0).astype(np.float64)
+        xs = X.astype(np.float64).tolist()  # float32-exact python floats
         for t in range(self.T):
-            self._update_tree(t, X, seqs, rel)
+            ops = _TreeOps(self, t)
+            self._update_tree(t, ops, xs, seqs, rel)
+            ops.writeback(self)
         self.entries += B
 
-    def _update_tree(self, t, X, seqs, rel) -> None:
+    def _update_tree(self, t, ops: _TreeOps, xs, seqs, rel) -> None:
         K = self.K
         # counter-based weights: chunk-boundary invariant
         u = _u01(self._wkeys[t], seqs)
-        w = -rel * self.lam + np.log(-np.log(u))
+        w = (-rel * self.lam + np.log(-np.log(u))).tolist()
         sw, sleaf, sseq = self.sweight[t], self.sleaf[t], self.sseq[t]
         size = int(self.ssize[t])
         i = 0
-        B = len(X)
+        B = len(xs)
         f = self.initial_accept_fraction
         # fill phase (initial accept ramp, CompactSampler.java:143-159)
         while size < K and i < B:
@@ -351,7 +453,7 @@ class RCFForest:
                 ramp = 1.0 - (size / K - f) / (1.0 - f)
                 accept = ui < ramp or (size > 0 and w[i] < sw[:size].max())
             if accept:
-                leaf = self._insert(t, X[i])
+                leaf = ops.insert(xs[i])
                 sw[size], sleaf[size], sseq[size] = w[i], leaf, seqs[i]
                 size += 1
             i += 1
@@ -361,155 +463,206 @@ class RCFForest:
         # steady state: replace-max; scan candidates under the current max
         mx_slot = int(np.argmax(sw))
         mx = float(sw[mx_slot])
-        cand = np.nonzero(w[i:] < mx)[0]
+        warr = np.asarray(w[i:])
+        cand = np.nonzero(warr < mx)[0]
         for j in cand:
             jj = i + int(j)
-            if w[jj] >= mx:
+            wj = w[jj]
+            if wj >= mx:
                 continue
-            self._delete(t, int(sleaf[mx_slot]))
-            leaf = self._insert(t, X[jj])
-            sw[mx_slot], sleaf[mx_slot], sseq[mx_slot] = w[jj], leaf, seqs[jj]
+            ops.delete(int(sleaf[mx_slot]))
+            leaf = ops.insert(xs[jj])
+            sw[mx_slot], sleaf[mx_slot], sseq[mx_slot] = wj, leaf, seqs[jj]
             mx_slot = int(np.argmax(sw))
             mx = float(sw[mx_slot])
 
     # ------------------------------------------------------------------ #
-    # queries (vectorized across queries × trees)
+    # queries (vectorized with active-lane compaction)
     # ------------------------------------------------------------------ #
     @property
     def is_output_ready(self) -> bool:
         return self.entries >= self.output_after
 
-    def _descend(self, X32: np.ndarray):
-        """Vectorized root-to-leaf descent. Returns (leaf[Q,T], depth[Q,T])."""
-        Q, T = X32.shape[0], self.T
-        tt = np.broadcast_to(np.arange(T, dtype=np.int64)[None, :], (Q, T))
-        qq = np.arange(Q, dtype=np.int64)[:, None]
-        cur = np.broadcast_to(self.root.astype(np.int64), (Q, T)).copy()
-        depth = np.zeros((Q, T), np.int32)
-        safe = np.maximum(cur, 0)
-        while True:
-            cd = self.cutdim[tt, safe]
-            internal = (cur >= 0) & (cd >= 0)
-            if not internal.any():
-                break
-            cv = self.cutval[tt, safe]
-            xd = X32[qq, np.maximum(cd, 0)]
-            goleft = xd <= cv
-            nxt = np.where(goleft, self.left[tt, safe], self.right[tt, safe])
-            cur = np.where(internal, nxt, cur)
-            depth += internal
-            safe = np.maximum(cur, 0)
-        return cur, depth
+    def _flat(self):
+        T, N = self.T, self.N
+        return (
+            self.cutdim.reshape(T * N),
+            self.cutval.reshape(T * N),
+            self.left.reshape(T * N),
+            self.right.reshape(T * N),
+            self.parent.reshape(T * N),
+            self.bbmin.reshape(T * N, self.d),
+            self.bbmax.reshape(T * N, self.d),
+            self.mass.reshape(T * N),
+        )
 
     def score(self, X: np.ndarray) -> np.ndarray:
-        """Anomaly score per query point (mean over trees)."""
+        """Anomaly score per query point (mean over trees).
+
+        Lane model: one lane per (query, tree); flat gathers over
+        tree-offset node addresses; lanes are compacted out as they
+        finish, so work is proportional to actual path lengths.
+        """
         X32 = np.ascontiguousarray(np.atleast_2d(X), np.float32)
-        Q, T = X32.shape[0], self.T
-        if not (self.root >= 0).any():
-            return np.zeros(Q)
-        tt = np.broadcast_to(np.arange(T, dtype=np.int64)[None, :], (Q, T))
-        leaf, depth = self._descend(X32)
-        safe = np.maximum(leaf, 0)
-        alive = leaf >= 0  # tree non-empty
-        leafpt = self.bbmin[tt, safe]  # leaf box is the point
-        eq = alive & np.all(X32[:, None, :] == leafpt, axis=-1)
-        lm = self.mass[tt, safe].astype(np.float64)
-        tm = np.where(
-            self.root >= 0, self.mass[np.arange(T), np.maximum(self.root, 0)], 0
-        ).astype(np.float64)[None, :]
+        Q, T, N = X32.shape[0], self.T, self.N
+        out = np.zeros(Q)
+        live_trees = np.nonzero(self.root >= 0)[0]
+        if Q == 0 or len(live_trees) == 0:
+            return out
+        cutdim, cutval, left, right, parent, bbmin, bbmax, mass = self._flat()
+        tm_all = np.zeros(T)
+        tm_all[live_trees] = mass[live_trees * N + self.root[live_trees]]
+        log_tm = np.log2(tm_all + 1.0)
+
+        L = Q * len(live_trees)
+        qs = np.repeat(np.arange(Q, dtype=np.int64), len(live_trees))
+        ts = np.tile(live_trees.astype(np.int64), Q)
+        addr = ts * N + self.root[ts].astype(np.int64)
+        depth = np.zeros(L, np.int64)
+        score = np.zeros(L)
+        frozen = np.zeros(L, bool)
+
+        # --- descent ----------------------------------------------------
+        active = np.arange(L)
+        while len(active):
+            a = addr[active]
+            cd = cutdim[a]
+            at_leaf = cd < 0
+            stepping = active[~at_leaf]
+            if len(stepping):
+                a2 = addr[stepping]
+                cd2 = cutdim[a2].astype(np.int64)
+                xv = X32[qs[stepping], cd2]
+                goleft = xv <= cutval[a2]
+                child = np.where(goleft, left[a2], right[a2]).astype(np.int64)
+                addr[stepping] = ts[stepping] * N + child
+                depth[stepping] += 1
+            active = stepping
+
+        # --- leaf scores --------------------------------------------------
+        a = addr
+        leafpt = bbmin[a]
+        eq = np.all(X32[qs] == leafpt, axis=1)
+        lm = mass[a].astype(np.float64)
         d64 = depth.astype(np.float64)
-        score_seen = (1.0 - lm / (2.0 * np.maximum(tm, 1.0))) / (
-            d64 + np.log2(lm + 1.0)
-        )
-        score = np.where(eq, score_seen, 1.0 / (d64 + 1.0))
-        frozen = eq | ~alive
-        cur = np.where(alive, self.parent[tt, safe], -1)
+        tmv = tm_all[ts]
+        seen = (1.0 - lm / (2.0 * np.maximum(tmv, 1.0))) / (d64 + np.log2(lm + 1.0))
+        score = np.where(eq, seen, 1.0 / (d64 + 1.0))
+        frozen = eq
+
+        # --- leaf-to-root walk -------------------------------------------
+        up = parent[a].astype(np.int64)
+        active = np.nonzero(~frozen & (up >= 0))[0]
+        cur = np.where(up >= 0, ts * N + up, -1)
         d64 = d64 - 1.0
-        Xb = X32[:, None, :].astype(np.float32)
-        while True:
-            act = (cur >= 0) & ~frozen
-            if not act.any():
-                break
-            safe = np.maximum(cur, 0)
-            bmn = self.bbmin[tt, safe]
-            bmx = self.bbmax[tt, safe]
+        while len(active):
+            a = cur[active]
+            bmn = bbmin[a]
+            bmx = bbmax[a]
+            xv = X32[qs[active]]
             dlt = (
-                np.maximum(bmn - Xb, 0).sum(-1, dtype=np.float64)
-                + np.maximum(Xb - bmx, 0).sum(-1, dtype=np.float64)
+                np.maximum(bmn - xv, 0).sum(1, dtype=np.float64)
+                + np.maximum(xv - bmx, 0).sum(1, dtype=np.float64)
             )
-            newr = (bmx - bmn).sum(-1, dtype=np.float64) + dlt
-            with np.errstate(invalid="ignore", divide="ignore"):
-                p = np.where(newr > 0, dlt / newr, 0.0)
-            upd = act & (p > 0)
-            inv_d = 1.0 / (np.maximum(d64, 0.0) + 1.0)  # inactive lanes masked
-            score = np.where(upd, p * inv_d + (1.0 - p) * score, score)
-            frozen |= act & (p <= 0)
-            cur = np.where(act, self.parent[tt, safe], cur)
-            d64 -= 1.0
-        score = score * np.log2(tm + 1.0)
-        return score.sum(1) / T
+            newr = (bmx - bmn).sum(1, dtype=np.float64) + dlt
+            p = np.where(newr > 0, dlt / np.maximum(newr, _F32_TINY), 0.0)
+            pos = p > 0
+            sa = score[active]
+            score[active] = np.where(
+                pos, p / (d64[active] + 1.0) + (1.0 - p) * sa, sa
+            )
+            nxt = parent[a].astype(np.int64)
+            keep = pos & (nxt >= 0)
+            cur[active] = np.where(nxt >= 0, ts[active] * N + nxt, -1)
+            d64[active] -= 1.0
+            active = active[keep]
+
+        np.add.at(out, qs, score * log_tm[ts])
+        return out / T
 
     def attribution(self, X: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """DiVector (high[Q,d], low[Q,d]); high+low sums to score(X)."""
         X32 = np.ascontiguousarray(np.atleast_2d(X), np.float32)
-        Q, T, d = X32.shape[0], self.T, self.d
-        if not (self.root >= 0).any():
-            return np.zeros((Q, d)), np.zeros((Q, d))
-        tt = np.broadcast_to(np.arange(T, dtype=np.int64)[None, :], (Q, T))
-        leaf, depth = self._descend(X32)
-        safe = np.maximum(leaf, 0)
-        alive = leaf >= 0
-        leafpt = self.bbmin[tt, safe]
-        Xb = X32[:, None, :]
-        dh = np.maximum(Xb - leafpt, 0).astype(np.float64)
-        dl = np.maximum(leafpt - Xb, 0).astype(np.float64)
-        sumnew = (dh + dl).sum(-1)
-        eq = alive & (sumnew <= 0)
-        lm = self.mass[tt, safe].astype(np.float64)
-        tm = np.where(
-            self.root >= 0, self.mass[np.arange(T), np.maximum(self.root, 0)], 0
-        ).astype(np.float64)[None, :]
+        Q, T, N, d = X32.shape[0], self.T, self.N, self.d
+        hi_out = np.zeros((Q, d))
+        lo_out = np.zeros((Q, d))
+        live_trees = np.nonzero(self.root >= 0)[0]
+        if Q == 0 or len(live_trees) == 0:
+            return hi_out, lo_out
+        cutdim, cutval, left, right, parent, bbmin, bbmax, mass = self._flat()
+        tm_all = np.zeros(T)
+        tm_all[live_trees] = mass[live_trees * N + self.root[live_trees]]
+        log_tm = np.log2(tm_all + 1.0)
+
+        L = Q * len(live_trees)
+        qs = np.repeat(np.arange(Q, dtype=np.int64), len(live_trees))
+        ts = np.tile(live_trees.astype(np.int64), Q)
+        addr = ts * N + self.root[ts].astype(np.int64)
+        depth = np.zeros(L, np.int64)
+
+        active = np.arange(L)
+        while len(active):
+            a = addr[active]
+            at_leaf = cutdim[a] < 0
+            stepping = active[~at_leaf]
+            if len(stepping):
+                a2 = addr[stepping]
+                cd2 = cutdim[a2].astype(np.int64)
+                xv = X32[qs[stepping], cd2]
+                goleft = xv <= cutval[a2]
+                child = np.where(goleft, left[a2], right[a2]).astype(np.int64)
+                addr[stepping] = ts[stepping] * N + child
+                depth[stepping] += 1
+            active = stepping
+
+        a = addr
+        leafpt = bbmin[a]
+        Xl = X32[qs].astype(np.float64)
+        dh = np.maximum(Xl - leafpt, 0)
+        dl = np.maximum(leafpt - Xl, 0)
+        sumnew = (dh + dl).sum(1)
+        eq = sumnew <= 0
+        lm = mass[a].astype(np.float64)
         d64 = depth.astype(np.float64)
-        seen = (1.0 - lm / (2.0 * np.maximum(tm, 1.0))) / (d64 + np.log2(lm + 1.0))
+        tmv = tm_all[ts]
+        seen = (1.0 - lm / (2.0 * np.maximum(tmv, 1.0))) / (d64 + np.log2(lm + 1.0))
         unseen = 1.0 / (d64 + 1.0)
         saved = np.where(eq, seen, unseen)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            high = np.where(
-                eq[..., None], saved[..., None] / (2 * d), saved[..., None] * dh / sumnew[..., None]
-            )
-            low = np.where(
-                eq[..., None], saved[..., None] / (2 * d), saved[..., None] * dl / sumnew[..., None]
-            )
-        high = np.where(alive[..., None], high, 0.0)
-        low = np.where(alive[..., None], low, 0.0)
-        frozen = eq | ~alive
-        cur = np.where(alive, self.parent[tt, safe], -1)
+        denom = np.where(eq, 1.0, sumnew)
+        high = np.where(eq[:, None], saved[:, None] / (2 * d), saved[:, None] * dh / denom[:, None])
+        low = np.where(eq[:, None], saved[:, None] / (2 * d), saved[:, None] * dl / denom[:, None])
+
+        up = parent[a].astype(np.int64)
+        active = np.nonzero(~eq & (up >= 0))[0]
+        cur = np.where(up >= 0, ts * N + up, -1)
         d64 = d64 - 1.0
-        while True:
-            act = (cur >= 0) & ~frozen
-            if not act.any():
-                break
-            safe = np.maximum(cur, 0)
-            bmn = self.bbmin[tt, safe]
-            bmx = self.bbmax[tt, safe]
-            dh = np.maximum(Xb - bmx, 0).astype(np.float64)
-            dl = np.maximum(bmn - Xb, 0).astype(np.float64)
-            dlt = (dh + dl).sum(-1)
-            newr = (bmx - bmn).sum(-1, dtype=np.float64) + dlt
-            with np.errstate(invalid="ignore", divide="ignore"):
-                p = np.where(newr > 0, dlt / newr, 0.0)
-            upd = act & (p > 0)
-            ns = 1.0 / (np.maximum(d64, 0.0) + 1.0)  # inactive lanes masked
-            with np.errstate(invalid="ignore", divide="ignore"):
-                nh = (dh / newr[..., None]) * ns[..., None] + (1 - p)[..., None] * high
-                nl = (dl / newr[..., None]) * ns[..., None] + (1 - p)[..., None] * low
-            high = np.where(upd[..., None], nh, high)
-            low = np.where(upd[..., None], nl, low)
-            frozen |= act & (p <= 0)
-            cur = np.where(act, self.parent[tt, safe], cur)
-            d64 -= 1.0
-        norm = np.log2(tm + 1.0)[..., None]
-        return (high * norm).sum(1) / T, (low * norm).sum(1) / T
+        while len(active):
+            a = cur[active]
+            bmn = bbmin[a]
+            bmx = bbmax[a]
+            xv = X32[qs[active]].astype(np.float64)
+            dh = np.maximum(xv - bmx, 0)
+            dl = np.maximum(bmn - xv, 0)
+            dlt = (dh + dl).sum(1)
+            newr = (bmx - bmn).sum(1, dtype=np.float64) + dlt
+            safe_r = np.maximum(newr, _F32_TINY)
+            p = np.where(newr > 0, dlt / safe_r, 0.0)
+            pos = p > 0
+            ns = 1.0 / (d64[active] + 1.0)
+            nh = (dh / safe_r[:, None]) * ns[:, None] + (1 - p)[:, None] * high[active]
+            nl = (dl / safe_r[:, None]) * ns[:, None] + (1 - p)[:, None] * low[active]
+            high[active] = np.where(pos[:, None], nh, high[active])
+            low[active] = np.where(pos[:, None], nl, low[active])
+            nxt = parent[a].astype(np.int64)
+            keep = pos & (nxt >= 0)
+            cur[active] = np.where(nxt >= 0, ts[active] * N + nxt, -1)
+            d64[active] -= 1.0
+            active = active[keep]
+
+        wts = log_tm[ts]
+        np.add.at(hi_out, qs, high * wts[:, None])
+        np.add.at(lo_out, qs, low * wts[:, None])
+        return hi_out / T, lo_out / T
 
     # ------------------------------------------------------------------ #
     # checkpoint (state/RandomCutForestMapper.java analogue)

@@ -124,7 +124,7 @@ def test_attribution_sums_to_score():
     ).astype(np.float32)
     s = f.score(Q)
     hi, lo = f.attribution(Q)
-    np.testing.assert_allclose(hi.sum(1) + lo.sum(1), s, rtol=1e-10)
+    np.testing.assert_allclose(hi.sum(1) + lo.sum(1), s, rtol=1e-8)
 
 
 def test_two_cluster_fixture_band():
