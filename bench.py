@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32).
+
+Prints ONE JSON line:
+  {"metric": "validated_sequences_per_sec", "value": N, "unit": "rows/sec",
+   "queries": {name: sec, ...}, "sf": 0.1, ...}
+
+The headline metric is the full validation-suite throughput (stats +
+uniqueness + referential + token invariants + RCF drift) over the
+deterministic tokenized-sequence table (BASELINE.json input_hint shape).
+Scaling evidence across parallelism levels is produced by
+scripts/bench_scaling.py which runs this file at two CPU counts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+# single-threaded numpy in every python worker: the engine parallelizes
+# across partitions, never inside one (avoid 32 workers x N BLAS threads)
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
+BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "2000000"))
+SEED = 42
+
+
+def _bench_table_path(n_rows: int) -> str:
+    return f"/tmp/rcf_bench/sequences_n{n_rows}_s{SEED}.parquet"
+
+
+def _ensure_bench_table(spark, n_rows: int) -> str:
+    """Materialize the deterministic token table once (generation is not
+    part of the measured pipeline — production reads Iceberg/parquet)."""
+    path = _bench_table_path(n_rows)
+    marker = path + "/_SUCCESS"
+    if not os.path.exists(marker):
+        from random_cut_forest_by_aws_spark.sources import sequences
+
+        df = sequences(spark, n_rows, seed=SEED, violations=True, drift=True,
+                       partitions=64)
+        df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def main() -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+
+    from pyspark.sql import functions as F
+
+    from random_cut_forest_by_aws_spark import get_spark
+    from random_cut_forest_by_aws_spark.functions import token_features
+    from random_cut_forest_by_aws_spark.operators import (
+        column_stats,
+        referential_violations,
+        token_equality_violations,
+        uniqueness_violations,
+    )
+    from random_cut_forest_by_aws_spark.operators.drift import (
+        DriftConfig,
+        drift_scores,
+        drift_verdicts,
+    )
+    from random_cut_forest_by_aws_spark.operators.similarity import cosine_topk
+    from random_cut_forest_by_aws_spark.plans import SuiteConfig, ValidationSuite
+    from random_cut_forest_by_aws_spark.sources import sources_dim
+
+    spark = get_spark(app_name="rcf-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+
+    seq_path = _ensure_bench_table(spark, BENCH_ROWS)
+    seqs = spark.read.parquet(seq_path)
+    n_rows = seqs.count()
+    n_tokens = seqs.agg(F.sum("n_tok")).collect()[0][0]
+    dim = sources_dim(spark)
+
+    # rows_per_bucket is intentionally independent of cpus: the scaling
+    # comparison (bench_scaling.py) must run the IDENTICAL job at both
+    # parallelism levels.
+    drift_cfg = DriftConfig(num_trees=30, sample_size=256, rows_per_bucket=50_000)
+
+    # warm the Python worker pool + JIT before timing anything
+    spark.range(100_000).repartition(cpus).groupBy(
+        (F.col("id") % cpus).alias("g")
+    ).applyInPandas(lambda k, p: p[["id"]].head(1), "id long").count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        print(f"[bench] {name} ...", file=sys.stderr, flush=True)
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
+        return out
+
+    # --- individual operators over the token table ----------------------
+    timed("column_stats", lambda: column_stats(
+        seqs, ["n_tok"], key_cols=["doc_id", "source"], group_by=["source"]
+    ).collect())
+    timed("uniqueness", lambda: uniqueness_violations(seqs, ["doc_id"]).count())
+    timed("referential", lambda: referential_violations(seqs, dim, ["source"]).count())
+    timed("token_invariants", lambda: token_equality_violations(seqs).count())
+
+    def run_drift():
+        feat = seqs.withColumn("features", token_features()).select(
+            "source", "seq", "features"
+        )
+        raw = drift_scores(feat, cfg=drift_cfg)
+        return drift_verdicts(raw, cfg=drift_cfg).collect()
+
+    timed("drift", run_drift)
+
+    # --- full validation suite (headline) --------------------------------
+    suite_cfg = SuiteConfig(drift=drift_cfg)
+    t0 = time.time()
+    res = ValidationSuite(spark, suite_cfg).run(seqs, ref_dim=dim)
+    res.verdicts.collect()
+    res.violations.count()
+    suite_sec = time.time() - t0
+    timings["suite_total"] = round(suite_sec, 3)
+
+    # --- reference-table queries at sf_dir --------------------------------
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    timed("pricing_summary", lambda: li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity"), F.sum("l_extendedprice"), F.count(F.lit(1))
+    ).collect())
+    timed("uniqueness_lineitem", lambda: uniqueness_violations(li, ["l_orderkey"]).count())
+
+    def run_ann():
+        q = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return cosine_topk(emb, q, k=10).count()
+
+    timed("ann_cosine_topk", run_ann)
+
+    def run_minhash():
+        from random_cut_forest_by_aws_spark.operators.dedup import minhash_candidates
+
+        return minhash_candidates(docs).count()
+
+    timed("minhash_dedup", run_minhash)
+
+    rows_per_sec = n_rows / suite_sec
+    result = {
+        "metric": "validated_sequences_per_sec",
+        "value": round(rows_per_sec, 1),
+        "unit": "rows/sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "bench_rows": n_rows,
+        "bench_tokens": int(n_tokens),
+        "tokens_per_sec": round(n_tokens / suite_sec, 1),
+        "suite_sec": round(suite_sec, 3),
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,352 @@
+"""Extended RCF query operators: density, imputation, forecasting,
+near-neighbor, summarization.
+
+Re-expressed from the reference's visitor set (SURVEY.md §2.3):
+
+* density — ``interpolation/SimpleInterpolationVisitor.java:30-255`` +
+  ``returntypes/DensityOutput.java:61-79``: per-tree leaf-to-root
+  recursion accumulating directional (probMass, measure, distances)
+  DiVectors; scalar density = sumPts / (q·sumPts + Σ_d (dist/prob)^m·prob).
+* impute / conditional field — ``imputation/ImputeVisitor.java:30-80``,
+  summarized per ``ConditionalSampleSummarizer``: per tree, descend with
+  missing dims taking the mass-weighted branch (the reference explores
+  both branches via MultiVisitor and keeps the lower anomaly rank — we
+  sample the branch mass-proportionally, a documented simplification),
+  fill missing dims from the reached leaf, then rank candidates by forest
+  score and aggregate the best half (median).
+* extrapolate — ``RandomCutForest.java:1102-1258``: iteratively impute
+  the next input block of a shingle ``horizon`` times; ranges from
+  candidate percentiles (RangeVector analogue).
+* near neighbors — ``RandomCutForest.java:1264-1297`` +
+  ``inspect/NearNeighborVisitor.java``: per tree the reached leaf within
+  a distance threshold, merged and deduped across trees.
+* summarize — ``summarization/Summarizer.java:40-91`` (CURE-style
+  multi-centroid, L1 default): weighted farthest-point seeding over the
+  forest's sampled points, Lloyd refinement, merge by separation ratio.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .forest import RCFForest, _NULL
+
+
+# --------------------------------------------------------------------- #
+# density
+# --------------------------------------------------------------------- #
+def density(forest: RCFForest, X: np.ndarray, q_scale: float = 2.0) -> dict:
+    """DensityOutput analogue. Returns dict with per-query ``density``
+    scalar plus directional ``prob_mass``/``measure``/``distances``
+    (high, low) arrays of shape [Q, d], averaged over trees."""
+    X32 = np.ascontiguousarray(np.atleast_2d(X), np.float32)
+    Q, T, N, d = X32.shape[0], forest.T, forest.N, forest.d
+    res = {
+        "prob_high": np.zeros((Q, d)), "prob_low": np.zeros((Q, d)),
+        "meas_high": np.zeros((Q, d)), "meas_low": np.zeros((Q, d)),
+        "dist_high": np.zeros((Q, d)), "dist_low": np.zeros((Q, d)),
+    }
+    live = np.nonzero(forest.root >= 0)[0]
+    if Q == 0 or len(live) == 0:
+        res["density"] = np.zeros(Q)
+        return res
+    cutdim, cutval, left, right, parent, bbmin, bbmax, mass = forest._flat()
+
+    L = Q * len(live)
+    qs = np.repeat(np.arange(Q, dtype=np.int64), len(live))
+    ts = np.tile(live.astype(np.int64), Q)
+    addr = ts * N + forest.root[ts].astype(np.int64)
+
+    # descent
+    active = np.arange(L)
+    while len(active):
+        a = addr[active]
+        at_leaf = cutdim[a] < 0
+        stepping = active[~at_leaf]
+        if len(stepping):
+            a2 = addr[stepping]
+            cd2 = cutdim[a2].astype(np.int64)
+            xv = X32[qs[stepping], cd2]
+            goleft = xv <= cutval[a2]
+            child = np.where(goleft, left[a2], right[a2]).astype(np.int64)
+            addr[stepping] = ts[stepping] * N + child
+        active = stepping
+
+    # leaf phase (SimpleInterpolationVisitor.acceptLeaf:139-168)
+    a = addr
+    Xl = X32[qs].astype(np.float64)
+    leafpt = bbmin[a]
+    maxgap = np.maximum(Xl - leafpt, 0)  # large.max - small.max
+    mingap = np.maximum(leafpt - Xl, 0)
+    sumdiff = (maxgap + mingap).sum(1)
+    sumnew = sumdiff  # leaf box is a point: large range == gaps
+    eq = sumdiff <= 0
+    lm = mass[a].astype(np.float64)
+    # field = leaf mass + query mass (1); influence = 1
+    ph = np.empty((L, d)); pl = np.empty((L, d))
+    mh = np.empty((L, d)); ml = np.empty((L, d))
+    dh = np.zeros((L, d)); dl = np.zeros((L, d))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        pr_h = np.where(eq[:, None], 0.0, maxgap / sumnew[:, None])
+        pr_l = np.where(eq[:, None], 0.0, mingap / sumnew[:, None])
+    fld = (lm + 1.0)[:, None]
+    ph[:] = pr_h
+    pl[:] = pr_l
+    mh[:] = pr_h * fld
+    ml[:] = pr_l * fld
+    # directional distance at leaf: gap + small range (0 for a point)
+    dh[:] = pr_h * maxgap
+    dl[:] = pr_l * mingap
+    # equal-leaf: half self field/influence split equally (savedMass=m+1)
+    selfm = (lm + 1.0)[:, None]
+    ph = np.where(eq[:, None], 0.5 / d, ph)
+    pl = np.where(eq[:, None], 0.5 / d, pl)
+    mh = np.where(eq[:, None], 0.5 * selfm / d, mh)
+    ml = np.where(eq[:, None], 0.5 * selfm / d, ml)
+
+    # upward walk (accept:91-137); equal-leaf lanes use the plain box walk
+    # (reference uses sibling shadow boxes — simplification, see module doc)
+    frozen = eq.copy()
+    up = parent[a].astype(np.int64)
+    cur = np.where(up >= 0, ts * N + up, -1)
+    active = np.nonzero(~frozen & (cur >= 0))[0]
+    while len(active):
+        a = cur[active]
+        bmn = bbmin[a]
+        bmx = bbmax[a]
+        xv = X32[qs[active]].astype(np.float64)
+        maxgap = np.maximum(xv - bmx, 0)
+        mingap = np.maximum(bmn - xv, 0)
+        rng_small = (bmx - bmn).astype(np.float64)
+        sumdiff = (maxgap + mingap).sum(1)
+        sumnew = rng_small.sum(1) + sumdiff
+        p = np.where(sumnew > 0, sumdiff / np.maximum(sumnew, 1e-300), 0.0)
+        pos = p > 0
+        m = mass[a].astype(np.float64)
+        fld = (m + 1.0)[:, None]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            pr_h = maxgap / sumnew[:, None]
+            pr_l = mingap / sumnew[:, None]
+        ddh = np.where(maxgap > 0, maxgap + rng_small, 0.0)
+        ddl = np.where(mingap > 0, mingap + rng_small, 0.0)
+        one_m = (1 - p)[:, None]
+        sel = active[pos]
+        ph[sel] = (pr_h + one_m * ph[active])[pos]
+        pl[sel] = (pr_l + one_m * pl[active])[pos]
+        mh[sel] = (pr_h * fld + one_m * mh[active])[pos]
+        ml[sel] = (pr_l * fld + one_m * ml[active])[pos]
+        dh[sel] = (pr_h * ddh + one_m * dh[active])[pos]
+        dl[sel] = (pr_l * ddl + one_m * dl[active])[pos]
+        nxt = parent[a].astype(np.int64)
+        cur[active] = np.where(nxt >= 0, ts[active] * N + nxt, -1)
+        active = active[pos & (nxt >= 0)]
+
+    for name, arr in (("prob", (ph, pl)), ("meas", (mh, ml)), ("dist", (dh, dl))):
+        np.add.at(res[f"{name}_high"], qs, arr[0])
+        np.add.at(res[f"{name}_low"], qs, arr[1])
+        res[f"{name}_high"] /= T
+        res[f"{name}_low"] /= T
+
+    # scalar density (DensityOutput.getDensity:61-79), manifold dim = d
+    sum_pts = (res["meas_high"] + res["meas_low"]).sum(1) / forest.K
+    prob = res["prob_high"] + res["prob_low"]
+    dist = res["dist_high"] + res["dist_low"]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        tfac = np.where(prob > 0, dist / np.maximum(prob, 1e-300), 0.0)
+        factors = np.where(tfac > 0, np.exp(np.log(np.maximum(tfac, 1e-300)) * d) * prob, 0.0)
+    sum_factors = factors.sum(1)
+    res["density"] = np.where(
+        sum_pts > 0, sum_pts / (q_scale * sum_pts + sum_factors), 0.0
+    )
+    return res
+
+
+# --------------------------------------------------------------------- #
+# impute / conditional field
+# --------------------------------------------------------------------- #
+def conditional_field(
+    forest: RCFForest, x: np.ndarray, missing: list[int], seed: int = 0
+) -> np.ndarray:
+    """Per-tree imputation candidates [T_live, d]: descend each tree,
+    branching mass-proportionally at cuts on missing dims, fill missing
+    dims from the reached leaf (ImputeVisitor semantics, sampled)."""
+    x32 = np.asarray(x, np.float32).copy()
+    missing_set = set(missing)
+    rng = np.random.default_rng(np.random.SeedSequence([forest.seed, seed, 7]))
+    out = []
+    for t in range(forest.T):
+        node = int(forest.root[t])
+        if node == _NULL:
+            continue
+        cutdim = forest.cutdim[t]
+        cutval = forest.cutval[t]
+        left, right, mass = forest.left[t], forest.right[t], forest.mass[t]
+        while cutdim[node] >= 0:
+            cd = int(cutdim[node])
+            l, r = int(left[node]), int(right[node])
+            if cd in missing_set:
+                pl = mass[l] / (mass[l] + mass[r])
+                node = l if rng.random() < pl else r
+            else:
+                node = l if x32[cd] <= cutval[node] else r
+        cand = x32.copy()
+        leafpt = forest.bbmin[t, node]
+        for m in missing:
+            cand[m] = leafpt[m]
+        out.append(cand)
+    return np.array(out, np.float32)
+
+
+def impute(
+    forest: RCFForest, x: np.ndarray, missing: list[int], seed: int = 0
+) -> np.ndarray:
+    """Impute missing dims: rank per-tree candidates by forest score, take
+    the coordinate-wise median of the best half
+    (``ConditionalSampleSummarizer`` analogue)."""
+    cands = conditional_field(forest, x, missing, seed)
+    if len(cands) == 0:
+        return np.asarray(x, np.float32)
+    scores = forest.score(cands)
+    k = max(1, len(cands) // 2)
+    best = cands[np.argsort(scores, kind="stable")[:k]]
+    out = np.asarray(x, np.float32).copy()
+    for m in missing:
+        out[m] = np.median(best[:, m])
+    return out
+
+
+# --------------------------------------------------------------------- #
+# extrapolate / forecast
+# --------------------------------------------------------------------- #
+def extrapolate(
+    forest: RCFForest,
+    shingle: np.ndarray,
+    horizon: int,
+    block_size: int = 1,
+    percentiles: tuple[float, float] = (10.0, 90.0),
+    seed: int = 0,
+) -> dict:
+    """Forecast ``horizon`` future blocks of a (sliding) shingled stream.
+
+    ``forest.d`` must equal shingle length; each step shifts the shingle
+    left by ``block_size`` and imputes the trailing block
+    (``RandomCutForest.extrapolateWithRanges``, RandomCutForest.java:
+    1102-1258). Returns {values, upper, lower} of shape
+    [horizon·block_size] (RangeVector analogue; ranges from per-tree
+    candidate percentiles — conformal calibration lives in the caller).
+    """
+    d = forest.d
+    assert len(shingle) == d and d % block_size == 0
+    cur = np.asarray(shingle, np.float32).copy()
+    missing = list(range(d - block_size, d))
+    values, upper, lower = [], [], []
+    for h in range(horizon):
+        cur = np.roll(cur, -block_size)
+        cands = conditional_field(forest, cur, missing, seed=seed + h)
+        if len(cands) == 0:
+            block = np.zeros(block_size, np.float32)
+            values.extend(block)
+            upper.extend(block)
+            lower.extend(block)
+            continue
+        scores = forest.score(cands)
+        k = max(1, len(cands) // 2)
+        best = cands[np.argsort(scores, kind="stable")[:k]][:, missing]
+        med = np.median(best, axis=0)
+        values.extend(med)
+        upper.extend(np.percentile(best, percentiles[1], axis=0))
+        lower.extend(np.percentile(best, percentiles[0], axis=0))
+        cur[missing] = med
+    return {
+        "values": np.array(values),
+        "upper": np.array(upper),
+        "lower": np.array(lower),
+    }
+
+
+# --------------------------------------------------------------------- #
+# near neighbors
+# --------------------------------------------------------------------- #
+def near_neighbors(
+    forest: RCFForest, x: np.ndarray, distance_threshold: float = np.inf
+) -> list[tuple[np.ndarray, float, int]]:
+    """Leaves reached across trees within L1 distance of x, deduped and
+    sorted by distance: [(point, distance, total_mass)]."""
+    x32 = np.asarray(x, np.float32)
+    found: dict[bytes, list] = {}
+    for t in range(forest.T):
+        node = int(forest.root[t])
+        if node == _NULL:
+            continue
+        cutdim, cutval = forest.cutdim[t], forest.cutval[t]
+        left, right = forest.left[t], forest.right[t]
+        while cutdim[node] >= 0:
+            node = (
+                int(left[node])
+                if x32[int(cutdim[node])] <= cutval[node]
+                else int(right[node])
+            )
+        pt = forest.bbmin[t, node]
+        dist = float(np.abs(pt.astype(np.float64) - x32).sum())
+        if dist <= distance_threshold:
+            key = pt.tobytes()
+            if key in found:
+                found[key][2] += int(forest.mass[t, node])
+            else:
+                found[key] = [pt.copy(), dist, int(forest.mass[t, node])]
+    return sorted(
+        ((p, d_, m) for p, d_, m in found.values()), key=lambda r: r[1]
+    )
+
+
+# --------------------------------------------------------------------- #
+# summarize (CURE-style clustering of the sampled points)
+# --------------------------------------------------------------------- #
+def summarize(
+    forest: RCFForest, max_clusters: int = 5, iterations: int = 10, seed: int = 0
+) -> dict:
+    """Cluster the forest's sampled points (≤ T·K, all local): weighted
+    farthest-point seeding + Lloyd with L1 distance, then merge centers
+    closer than ``separation 0.8 ×`` mean intra-distance
+    (Summarizer.java:40-91 semantics, simplified single-centroid-per-
+    cluster). Returns {centers, weights}."""
+    pts = []
+    wts = []
+    for t in range(forest.T):
+        for slot in range(int(forest.ssize[t])):
+            leaf = int(forest.sleaf[t, slot])
+            pts.append(forest.bbmin[t, leaf])
+            wts.append(1.0)
+    if not pts:
+        return {"centers": np.zeros((0, forest.d)), "weights": np.zeros(0)}
+    P = np.array(pts, np.float64)
+    W = np.array(wts)
+    rng = np.random.default_rng(np.random.SeedSequence([forest.seed, seed, 11]))
+    # farthest-point seeding
+    centers = [P[rng.integers(len(P))]]
+    for _ in range(max_clusters - 1):
+        dmin = np.min(
+            np.stack([np.abs(P - c).sum(1) for c in centers]), axis=0
+        )
+        if dmin.max() <= 0:
+            break
+        centers.append(P[int(np.argmax(dmin * W))])
+    C = np.array(centers)
+    for _ in range(iterations):  # Lloyd, L1 metric ⇒ weighted median
+        dist = np.stack([np.abs(P - c).sum(1) for c in C])
+        assign = dist.argmin(0)
+        for ci in range(len(C)):
+            sel = P[assign == ci]
+            if len(sel):
+                C[ci] = np.median(sel, axis=0)
+    # merge close centers (separation ratio 0.8)
+    dist = np.stack([np.abs(P - c).sum(1) for c in C])
+    assign = dist.argmin(0)
+    weights = np.array([W[assign == ci].sum() for ci in range(len(C))])
+    keep = []
+    for ci in np.argsort(-weights):
+        c = C[ci]
+        if all(np.abs(c - C[kj]).sum() > 0.8 * np.abs(C).sum(1).mean() * 0.1
+               for kj in keep):
+            keep.append(ci)
+    return {"centers": C[keep], "weights": weights[keep]}

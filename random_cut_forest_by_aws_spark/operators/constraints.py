@@ -58,7 +58,7 @@ def token_equality_violations(
             "n_tok_matches_size": t.isNotNull() & (F.size(t) == n),
             "n_tok_positive": n > 0,
             "token_values_in_range": t.isNotNull()
-            & (F.size(F.filter(t, lambda x: (x < 0) | x.isNull())) == 0),
+            & ~F.exists(t, lambda x: (x < 0) | x.isNull()),  # short-circuits
         },
         id_cols,
     )

@@ -42,12 +42,17 @@ def word_shingles(text_col: str = "text", k: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 32, seed: int = 42) -> Column:
-    """array<bigint> of per-permutation min-hashes (one xxhash64 stream per
-    permutation index — the standard 'k independent hash functions')."""
+def minhash_signature(shingle_hashes: Column, num_hashes: int = 32, seed: int = 42) -> Column:
+    """array<bigint> of per-permutation min-hashes over pre-hashed shingles
+    (one xxhash64 stream per permutation index — the standard 'k
+    independent hash functions'). Takes int64 shingle hashes, not strings:
+    hash the (expensive) shingle strings exactly once, then derive every
+    permutation by re-hashing the cheap integers."""
     return F.array(
         *[
-            F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(seed + j))))
+            F.array_min(
+                F.transform(shingle_hashes, lambda h: F.xxhash64(h, F.lit(seed + j)))
+            )
             for j in range(num_hashes)
         ]
     )
@@ -70,8 +75,17 @@ def minhash_candidates(
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sig = minhash_signature(word_shingles(text_col, shingle_k), num_hashes, seed)
-    banded = df.select(F.col(id_col).alias("_id"), sig.alias("_sig")).select(
+    # Hash each shingle string ONCE, then force an exchange so Catalyst's
+    # CollapseProject cannot inline the (expensive) shingle construction
+    # into all num_hashes array_min expressions downstream.
+    hashed = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(word_shingles(text_col, shingle_k), lambda s: F.xxhash64(s)).alias(
+            "_h"
+        ),
+    ).repartition(F.col("_id"))
+    sig = minhash_signature(F.col("_h"), num_hashes, seed)
+    banded = hashed.select(F.col("_id"), sig.alias("_sig")).select(
         "_id",
         F.explode(
             F.array(
@@ -115,8 +129,7 @@ def minhash_candidates(
     )
 
 
-@pandas_udf("long")
-def _simhash64(texts: pd.Series) -> pd.Series:
+def _simhash64_impl(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens, bit-parallel NumPy.
 
     Per doc: signed sum over token-hash bits, sign → fingerprint bit.
@@ -148,7 +161,8 @@ def _xx64_py(w: str) -> int:
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, simhash long). Near-dups = fingerprints within small Hamming
     distance; pair search via banding the 64 bits (4×16-bit keys)."""
-    return df.select(F.col(id_col), _simhash64(F.col(text_col)).alias("simhash"))
+    udf = pandas_udf(_simhash64_impl, "long")  # built lazily: needs a session
+    return df.select(F.col(id_col), udf(F.col(text_col)).alias("simhash"))
 
 
 def simhash_candidates(sims: DataFrame, id_col: str = "doc_id", bands: int = 4) -> DataFrame:

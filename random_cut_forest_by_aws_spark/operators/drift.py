@@ -66,7 +66,12 @@ class DriftConfig:
     # per-row anomalies: emit only confident grades as violation rows
     min_emit_grade: float = 0.5
     anomaly_rate_threshold: float = 0.01
-    buckets: int = 8
+    # skew handling: a group never exceeds ~rows_per_bucket rows; bucket
+    # count per group value adapts to its frequency, capped at max_buckets.
+    # buckets=N forces exactly N buckets for every group (tests/back-compat).
+    buckets: int | None = None
+    rows_per_bucket: int = 25_000
+    max_buckets: int = 4096
     checkpoint_dir: str | None = None
     feature_dim: int = 4
     extra: dict = field(default_factory=dict)
@@ -173,7 +178,12 @@ def _state_dict(
          extras.get("win_cnt", 0.0)]
     )
     state["baseline"] = np.array(extras["baseline"].to_state())
-    state["buf_X"] = np.asarray(buf_X, np.float64).reshape(len(buf_seqs), -1)
+    n_buf = len(buf_seqs)
+    state["buf_X"] = (
+        np.asarray(buf_X, np.float64).reshape(n_buf, -1)
+        if n_buf
+        else np.zeros((0, forest.d), np.float64)
+    )
     state["buf_seqs"] = np.asarray(buf_seqs, np.int64)
     return state
 
@@ -186,8 +196,8 @@ def _write_group_state(path: str, state: dict) -> None:
     os.replace(tmp, path)  # atomic: readers never see partial state
 
 
-def _load_group_state(path: str):
-    z = np.load(path, allow_pickle=False)
+def _load_group_state(path_or_file):
+    z = np.load(path_or_file, allow_pickle=False)
     state = {k: z[k] for k in z.files}
     n = len(state["rng_lo"])
     rng_state = []
@@ -399,16 +409,49 @@ def drift_scores(
     """
     cfg = cfg or DriftConfig()
     gcols = list(group_cols)
-    # salt the (skewed) group key into bounded buckets
+    # salt the (skewed) group key into bounded buckets. With buckets=None
+    # the bucket count adapts per group value (ceil(rows/rows_per_bucket),
+    # capped): the hot key (web ≈ 80%) splits into many bounded tasks while
+    # small keys keep one warm forest instead of many cold ones.
+    if cfg.buckets is not None:
+        n_buckets = F.lit(cfg.buckets)
+        total_groups = None
+    else:
+        counts = df.groupBy(*gcols).count().collect()  # tiny: one row per key
+        bmap = {}
+        for r in counts:
+            key = tuple(str(r[g]) for g in gcols)
+            bmap[key] = max(1, min(cfg.max_buckets, -(-r["count"] // cfg.rows_per_bucket)))
+        mapping = F.create_map(
+            *[
+                c
+                for key, b in sorted(bmap.items())
+                for c in (F.lit("\x1f".join(key)), F.lit(b))
+            ]
+        )
+        n_buckets = F.coalesce(
+            F.element_at(mapping, F.concat_ws("\x1f", *[F.col(g).cast("string") for g in gcols])),
+            F.lit(1),
+        )
+        total_groups = sum(bmap.values())
     bucketed = df.select(
         *gcols,
-        F.pmod(F.xxhash64(F.col(order_col), F.lit(cfg.seed)), F.lit(cfg.buckets))
+        F.pmod(F.xxhash64(F.col(order_col), F.lit(cfg.seed)), n_buckets)
         .cast("int")
         .alias("bucket"),
         F.col(order_col),
         F.col(feature_col),
     )
     key_cols = gcols + ["bucket"]
+    # Explicit user repartition on the group key: the UDF is CPU-bound, so
+    # we must NOT let AQE coalesce the (byte-wise tiny) shuffle into a few
+    # fat Python tasks. A user-specified numPartitions is exempt from AQE
+    # coalescing, and the grouped-map below reuses this exchange.
+    sc = df.sparkSession.sparkContext
+    n_part = cfg.extra.get("parallelism") or max(
+        sc.defaultParallelism * 2, 16, 2 * (total_groups or 0)
+    )
+    bucketed = bucketed.repartition(n_part, *key_cols)
     schema_prefix = ", ".join(
         f"{c} {t}" for c, t in bucketed.select(*key_cols).dtypes
     )

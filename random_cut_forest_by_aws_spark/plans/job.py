@@ -1,0 +1,65 @@
+"""spark-submit entry point (north_rule packaging).
+
+Usage (cluster):
+    zip -r engine.zip random_cut_forest_by_aws_spark
+    spark-submit --py-files engine.zip -m random_cut_forest_by_aws_spark.plans.job \
+        --input <parquet-or-iceberg-table> --output /path/out \
+        --checkpoint-dir /path/ckpt [--ref-dim <table>] [--cpus N]
+
+Local sandbox:
+    python -m random_cut_forest_by_aws_spark.plans.job --input ... --output ...
+
+Reads the tokenized-sequence table, runs the full validation suite
+(resumable via --checkpoint-dir), and writes verdicts / violations /
+metrics / stats as parquet (Iceberg `.format("iceberg")` on a cluster
+with a catalog — the writer is the only line that changes).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="RCF-Spark validation job")
+    ap.add_argument("--input", required=True, help="sequences table path (parquet)")
+    ap.add_argument("--output", required=True, help="output dir for result tables")
+    ap.add_argument("--ref-dim", default=None, help="sources dimension table path")
+    ap.add_argument("--checkpoint-dir", default=None, help="resume checkpoints")
+    ap.add_argument("--cpus", type=int, default=None, help="local[N] override")
+    ap.add_argument("--trees", type=int, default=30)
+    ap.add_argument("--sample-size", type=int, default=256)
+    ap.add_argument("--rows-per-bucket", type=int, default=100_000)
+    args = ap.parse_args(argv)
+
+    from random_cut_forest_by_aws_spark import get_spark
+    from random_cut_forest_by_aws_spark.operators.drift import DriftConfig
+    from random_cut_forest_by_aws_spark.plans import SuiteConfig, ValidationSuite
+
+    master = f"local[{args.cpus}]" if args.cpus else None
+    spark = get_spark(app_name="rcf-validate", master=master)
+    t0 = time.time()
+    df = spark.read.parquet(args.input)
+    ref_dim = spark.read.parquet(args.ref_dim) if args.ref_dim else None
+    cfg = SuiteConfig(
+        drift=DriftConfig(
+            num_trees=args.trees,
+            sample_size=args.sample_size,
+            rows_per_bucket=args.rows_per_bucket,
+            checkpoint_dir=args.checkpoint_dir,
+        )
+    )
+    res = ValidationSuite(spark, cfg).run(df, ref_dim=ref_dim)
+    res.verdicts.write.mode("overwrite").parquet(f"{args.output}/verdicts")
+    res.violations.write.mode("overwrite").parquet(f"{args.output}/violations")
+    res.metrics.write.mode("overwrite").parquet(f"{args.output}/metrics")
+    res.stats.write.mode("overwrite").parquet(f"{args.output}/stats")
+    n_fail = res.verdicts.filter("passed = false").count()
+    print(f"validation finished in {time.time()-t0:.1f}s; failing checks: {n_fail}")
+    return 0 if n_fail == 0 else 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

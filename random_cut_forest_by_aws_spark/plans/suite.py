@@ -10,14 +10,20 @@ reference's ``AnomalyDescriptor`` stream, re-shaped for batch validation):
 * ``metrics``   — per-scope lineage: rows, tokens, per-check durations.
 
 Plan shape (what Catalyst sees): the stats/uniqueness/invariant checks are
-independent aggregations over one cached scan; referential is a broadcast
-anti-join; drift is a single groupBy→applyInPandas. Nothing here collects
-raw data to the driver — every output is itself a (small) DataFrame.
+independent aggregations over the scan (column-pruned per check);
+referential reuses the stats aggregation (anti-join over #distinct-keys
+rows, never the fact table); drift is a single groupBy→applyInPandas.
+The independent checks are *materialized concurrently* from driver
+threads — per-job scheduling latency overlaps, and the JVM-bound scans
+share the cluster with the Python-bound drift stage instead of
+serializing behind it. Nothing here collects raw data to the driver —
+every output is itself a (small) DataFrame.
 """
 
 from __future__ import annotations
 
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -26,7 +32,6 @@ from pyspark.sql import functions as F
 from ..functions.features import token_features
 from ..operators.constraints import token_equality_violations
 from ..operators.drift import DriftConfig, drift_anomalies, drift_scores, drift_verdicts
-from ..operators.referential import referential_violations
 from ..operators.stats import column_stats
 from ..operators.uniqueness import uniqueness_violations
 
@@ -65,23 +70,77 @@ class ValidationSuite:
     def run(self, df: DataFrame, ref_dim: DataFrame | None = None) -> ValidationResult:
         cfg = self.cfg
         t0 = time.time()
-        timings: list[tuple[str, float, int]] = []
+        timings: dict[str, tuple[float, int]] = {}
 
-        # ---- stage 1: per-column stats (pure agg, one pass) ------------
-        t = time.time()
+        def timed(name: str, fn) -> int:
+            t = time.time()
+            n = int(fn())
+            timings[name] = (time.time() - t, n)
+            return n
+
+        # ---- lazy plans --------------------------------------------------
         stats = column_stats(
             df,
             numeric_cols=[cfg.n_tok_col],
             key_cols=list(cfg.key_cols),
             group_by=[cfg.group_col],
         ).cache()
-        n_stats = stats.count()
-        timings.append(("column_stats", time.time() - t, n_stats))
+        dup = uniqueness_violations(df, list(cfg.key_cols)).cache()
+        inv = token_equality_violations(
+            df,
+            tokens_col=cfg.tokens_col,
+            n_tok_col=cfg.n_tok_col,
+            id_cols=(list(cfg.key_cols) + [cfg.group_col, cfg.order_col]),
+        ).cache()
+        feat = df.withColumn(
+            "features", token_features(cfg.tokens_col, cfg.n_tok_col, cfg.vocab)
+        ).select(cfg.group_col, cfg.order_col, "features")
 
+        holder: dict[str, DataFrame] = {}
+
+        def run_drift() -> int:
+            raw = drift_scores(
+                feat, "features", (cfg.group_col,), cfg.order_col, cfg.drift
+            ).cache()
+            dv = drift_verdicts(raw, (cfg.group_col,), cfg.drift).cache()
+            holder["raw"], holder["dv"] = raw, dv
+            return dv.filter(~F.col("passed")).count()
+
+        # ---- materialize independent checks concurrently -----------------
+        with ThreadPoolExecutor(max_workers=5) as ex:
+            f_drift = ex.submit(timed, "drift", run_drift)
+            f_stats = ex.submit(timed, "column_stats", stats.count)
+            f_dup = ex.submit(timed, "uniqueness", dup.count)
+            f_inv = ex.submit(timed, "token_invariants", inv.count)
+            f_stats.result()
+            refv = None
+            f_ref = None
+            if ref_dim is not None:
+                # plan reuse: the FK is the grouping key, so the stats table
+                # already holds the distinct FK values + row counts — anti-
+                # join those few rows instead of rescanning the fact table.
+                refv = (
+                    stats.select(
+                        F.col(cfg.group_col), F.col("n_rows").alias("fact_rows")
+                    )
+                    .join(
+                        F.broadcast(ref_dim.select(cfg.group_col).distinct()),
+                        on=cfg.group_col,
+                        how="left_anti",
+                    )
+                    .cache()
+                )
+                f_ref = ex.submit(timed, "referential", refv.count)
+            n_dup = f_dup.result()
+            n_inv = f_inv.result()
+            n_drifted = f_drift.result()
+            n_ref = f_ref.result() if f_ref is not None else 0
+        raw, dv = holder["raw"], holder["dv"]
+
+        # ---- verdict + violation tables -----------------------------------
         verdict_dfs: list[DataFrame] = []
         violation_dfs: list[DataFrame] = []
 
-        # null-rate / range verdicts straight from the stats table
         verdict_dfs.append(
             stats.select(
                 F.lit("n_tok_positive").alias("check"),
@@ -103,11 +162,6 @@ class ValidationSuite:
             )
         )
 
-        # ---- stage 2: uniqueness (salted two-phase agg) -----------------
-        t = time.time()
-        dup = uniqueness_violations(df, list(cfg.key_cols)).cache()
-        n_dup = dup.count()
-        timings.append(("uniqueness", time.time() - t, n_dup))
         key = F.concat_ws("|", *[F.col(k).cast("string") for k in cfg.key_cols])
         verdict_dfs.append(
             self.spark.createDataFrame(
@@ -126,12 +180,7 @@ class ValidationSuite:
             ).limit(cfg.max_violation_rows)
         )
 
-        # ---- stage 3: referential (broadcast anti-join) ------------------
-        if ref_dim is not None:
-            t = time.time()
-            refv = referential_violations(df, ref_dim, [cfg.group_col]).cache()
-            n_ref = refv.count()
-            timings.append(("referential", time.time() - t, n_ref))
+        if refv is not None:
             verdict_dfs.append(
                 self.spark.createDataFrame(
                     [("referential", "<table>", n_ref == 0, n_ref, f"fk={cfg.group_col}")],
@@ -149,16 +198,6 @@ class ValidationSuite:
                 ).limit(cfg.max_violation_rows)
             )
 
-        # ---- stage 4: per-row token invariants (narrow scan) -------------
-        t = time.time()
-        inv = token_equality_violations(
-            df,
-            tokens_col=cfg.tokens_col,
-            n_tok_col=cfg.n_tok_col,
-            id_cols=(list(cfg.key_cols) + [cfg.group_col, cfg.order_col]),
-        ).cache()
-        n_inv = inv.count()
-        timings.append(("token_invariants", time.time() - t, n_inv))
         verdict_dfs.append(
             self.spark.createDataFrame(
                 [
@@ -182,17 +221,6 @@ class ValidationSuite:
             ).limit(cfg.max_violation_rows)
         )
 
-        # ---- stage 5: distribution drift (RCF sketches) -------------------
-        t = time.time()
-        feat = df.withColumn(
-            "features", token_features(cfg.tokens_col, cfg.n_tok_col, cfg.vocab)
-        ).select(cfg.group_col, cfg.order_col, "features")
-        raw = drift_scores(
-            feat, "features", (cfg.group_col,), cfg.order_col, cfg.drift
-        ).cache()
-        dv = drift_verdicts(raw, (cfg.group_col,), cfg.drift).cache()
-        n_drifted = dv.filter(~F.col("passed")).count()
-        timings.append(("drift", time.time() - t, n_drifted))
         verdict_dfs.append(
             dv.select(
                 F.lit("distribution_drift").alias("check"),
@@ -232,12 +260,14 @@ class ValidationSuite:
         for v in violation_dfs[1:]:
             violations = violations.unionByName(v)
 
-        # ---- lineage / metrics table -------------------------------------
+        # ---- lineage / metrics table --------------------------------------
         wall = time.time() - t0
         metrics_rows = [
-            (check, float(dur), int(n), float(wall)) for check, dur, n in timings
+            (check, float(dur), int(n), float(wall))
+            for check, (dur, n) in sorted(timings.items())
         ]
         metrics = self.spark.createDataFrame(
             metrics_rows, "check string, duration_sec double, output_rows long, wall_sec double"
         )
+        _ = (n_dup, n_inv, n_drifted)  # counted above; verdicts carry them
         return ValidationResult(verdicts, violations, metrics, stats)

@@ -1,0 +1,158 @@
+"""Structured Streaming drift scoring — the reference's streaming TRCF
+``process()`` loop (``parkservices/ThresholdedRandomCutForest.java:
+234-277``: preprocess → score → threshold → update per record) as a
+stateful grouped-map over micro-batches.
+
+Each group key (source × bucket) carries its forest + thresholder +
+normalizer as GroupState (one binary blob, npz-serialized — the same
+format as the batch checkpoint). Watermarking/late data follow Spark
+semantics: within a micro-batch rows are processed in ``order_col``
+order; cross-batch ordering is the stream's responsibility (the
+reference likewise accepts caller-ordered sequence indexes,
+``RandomCutForest.java:604-614``).
+
+Emits one row per scored record with (score, threshold, grade) — the
+AnomalyDescriptor analogue — so downstream sinks can alert on grade > 0.
+"""
+
+from __future__ import annotations
+
+import io
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..core.forest import RCFForest
+from ..core.thresholder import BasicThresholder, Deviation
+from ..operators.drift import (
+    DriftConfig,
+    _group_seed,
+    _load_group_state,
+    _Normalizer,
+    _state_dict,
+)
+
+
+def _pack(forest: RCFForest, th: BasicThresholder, norm: _Normalizer) -> bytes:
+    state = _state_dict(
+        forest, th, norm,
+        {"baseline": Deviation(0.01)},
+        np.zeros((0, forest.d)), np.zeros(0, np.int64),
+    )
+    buf = io.BytesIO()
+    np.savez_compressed(buf, **state)
+    return buf.getvalue()
+
+
+def _unpack(blob: bytes):
+    forest, th, raw, _extras = _load_group_state(io.BytesIO(blob))
+    norm = _Normalizer(forest.d, 0.0, 100.0)
+    norm.load_state(raw)
+    return forest, th, norm
+
+
+def streaming_drift_scores(
+    df: DataFrame,
+    feature_col: str = "features",
+    group_cols: tuple[str, ...] = ("source",),
+    order_col: str = "seq",
+    cfg: DriftConfig | None = None,
+) -> DataFrame:
+    """Streaming DataFrame → per-record anomaly descriptors.
+
+    ``df`` must be a streaming DataFrame already carrying ``feature_col``
+    (see functions.token_features) and ``order_col``.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    cfg = cfg or DriftConfig()
+    gcols = list(group_cols)
+    buckets = cfg.buckets or 8
+    bucketed = df.select(
+        *gcols,
+        F.pmod(F.xxhash64(F.col(order_col), F.lit(cfg.seed)), F.lit(buckets))
+        .cast("int")
+        .alias("bucket"),
+        F.col(order_col),
+        F.col(feature_col),
+    )
+    key_cols = gcols + ["bucket"]
+    key_fields = [
+        StructField(c, t, True)
+        for c, t in zip(
+            key_cols,
+            [f.dataType for f in bucketed.select(*key_cols).schema.fields],
+        )
+    ]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField(order_col, LongType()),
+            StructField("score", DoubleType()),
+            StructField("threshold", DoubleType()),
+            StructField("grade", DoubleType()),
+        ]
+    )
+    state_schema = StructType([StructField("blob", BinaryType())])
+
+    def fn(key, pdf_iter, state):
+        if state.exists:
+            forest, th, norm = _unpack(bytes(state.get[0]))
+        else:
+            forest = None
+            th = norm = None
+        rows = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(order_col, kind="mergesort")
+            X = np.stack(pdf[feature_col].to_numpy()).astype(np.float64)
+            seqs = pdf[order_col].to_numpy(np.int64)
+            if forest is None:
+                forest = RCFForest(
+                    X.shape[1],
+                    num_trees=cfg.num_trees,
+                    sample_size=cfg.sample_size,
+                    time_decay=cfg.time_decay,
+                    seed=_group_seed(tuple(key), cfg.seed),
+                )
+                th = BasicThresholder(z_factor=cfg.z_factor)
+                norm = _Normalizer(
+                    X.shape[1], cfg.norm_discount if cfg.normalize else 0.0,
+                    cfg.clip_factor,
+                )
+            for lo in range(0, len(X), cfg.chunk_size):
+                chunk = X[lo : lo + cfg.chunk_size]
+                sq = seqs[lo : lo + cfg.chunk_size]
+                if cfg.normalize and norm.weight <= 0:
+                    norm.update(chunk)
+                    updated = True
+                else:
+                    updated = False
+                xn = norm.transform(chunk) if cfg.normalize else chunk.astype(np.float32)
+                if forest.is_output_ready:
+                    scores = forest.score(xn)
+                    for i, s in enumerate(scores):
+                        threshold, grade = th.process(float(s), normalized=cfg.normalize)
+                        rows.append(
+                            list(key) + [int(sq[i]), float(s), float(threshold), float(grade)]
+                        )
+                if cfg.normalize and not updated:
+                    norm.update(chunk)
+                forest.update_batch(xn, seqs=sq)
+        if forest is not None:
+            state.update((bytearray(_pack(forest, th, norm)),))
+        cols = key_cols + [order_col, "score", "threshold", "grade"]
+        yield pd.DataFrame(rows, columns=cols)
+
+    return bucketed.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

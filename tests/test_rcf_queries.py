@@ -1,0 +1,100 @@
+"""Extended RCF query operators (density / impute / extrapolate /
+near-neighbor / summarize) — statistical behavior mirroring the
+reference's functional tests (RandomCutForestFunctionalTest density /
+imputation / neighbor sections)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from random_cut_forest_by_aws_spark.core import RCFForest
+from random_cut_forest_by_aws_spark.core.queries import (
+    conditional_field,
+    density,
+    extrapolate,
+    impute,
+    near_neighbors,
+    summarize,
+)
+
+
+def _two_cluster_forest(n=2000, seed=3):
+    rng = np.random.default_rng(seed)
+    a = rng.normal(0, 0.2, size=(n // 2, 2)) + [5.0, 5.0]
+    b = rng.normal(0, 0.2, size=(n // 2, 2)) + [-5.0, -5.0]
+    X = np.vstack([a, b]).astype(np.float32)
+    rng.shuffle(X)
+    f = RCFForest(2, num_trees=30, sample_size=128, time_decay=0.0, seed=9)
+    f.update_batch(X)
+    return f, X
+
+
+def test_density_orders_points():
+    f, X = _two_cluster_forest()
+    res = density(f, np.array([[5.0, 5.0], [0.0, 0.0], [50.0, 50.0]], np.float32))
+    dens = res["density"]
+    assert dens[0] > dens[1] > dens[2] >= 0
+    assert dens[0] > 5 * dens[1]  # cluster center ≫ empty middle
+
+
+def test_density_components_nonnegative():
+    f, X = _two_cluster_forest()
+    res = density(f, X[:20])
+    for k in ("prob_high", "prob_low", "meas_high", "meas_low", "dist_high", "dist_low"):
+        assert (res[k] >= 0).all()
+
+
+def test_impute_uses_cluster_structure():
+    f, _ = _two_cluster_forest()
+    got = impute(f, np.array([5.0, 0.0], np.float32), missing=[1])
+    assert abs(got[1] - 5.0) < 1.0  # x0=5 ⇒ cluster at (5,5)
+    got2 = impute(f, np.array([-5.0, 0.0], np.float32), missing=[1])
+    assert abs(got2[1] + 5.0) < 1.0
+
+
+def test_conditional_field_returns_per_tree_candidates():
+    f, _ = _two_cluster_forest()
+    cands = conditional_field(f, np.array([5.0, 0.0], np.float32), [1])
+    assert cands.shape == (30, 2)
+    assert (cands[:, 0] == np.float32(5.0)).all()  # non-missing dims kept
+
+
+def test_extrapolate_continues_level():
+    """Constant-level series: forecast stays near the level."""
+    rng = np.random.default_rng(0)
+    level = 10.0
+    series = level + rng.normal(0, 0.1, 3000)
+    shingle_size = 4
+    shingles = np.lib.stride_tricks.sliding_window_view(series, shingle_size)
+    f = RCFForest(shingle_size, num_trees=30, sample_size=128, time_decay=0.0, seed=5)
+    f.update_batch(shingles.astype(np.float32))
+    last = shingles[-1].astype(np.float32)
+    fc = extrapolate(f, last, horizon=5)
+    assert fc["values"].shape == (5,)
+    assert np.all(np.abs(fc["values"] - level) < 1.0)
+    assert np.all(fc["upper"] >= fc["values"] - 1e-9)
+    assert np.all(fc["lower"] <= fc["values"] + 1e-9)
+
+
+def test_near_neighbors_exact_hit():
+    f, X = _two_cluster_forest()
+    # query an actually-sampled point: take any leaf from tree 0
+    leaf = int(f.sleaf[0, 0])
+    pt = f.bbmin[0, leaf].copy()
+    res = near_neighbors(f, pt, distance_threshold=np.inf)
+    assert len(res) >= 1
+    assert res[0][1] == 0.0  # nearest is the point itself
+    np.testing.assert_array_equal(res[0][0], pt)
+
+
+def test_summarize_finds_two_clusters():
+    f, _ = _two_cluster_forest()
+    s = summarize(f, max_clusters=4)
+    C = s["centers"]
+    assert len(C) >= 2
+    # the two dominant centers sit near (5,5) and (-5,-5)
+    top2 = C[np.argsort(-s["weights"])[:2]]
+    signs = sorted(np.sign(top2[:, 0]).tolist())
+    assert signs == [-1.0, 1.0]
+    for c in top2:
+        assert abs(abs(c[0]) - 5) < 1.0 and abs(abs(c[1]) - 5) < 1.0
