@@ -358,6 +358,13 @@ class RCFForest:
         self.initial_accept_fraction = initial_accept_fraction
         self.entries = 0  # total points offered
         self.seq0 = None  # first sequence index seen (weight rebase)
+        # dynamic time decay (AbstractStreamSampler.java:165-178): weights
+        # use -( (rel - decay_rel0)·λ + decay_acc ); changing λ folds the
+        # already-elapsed decay into decay_acc so stored weights stay valid
+        self.paused = False  # pauseSampling (RandomCutForest.java:1325-1333)
+        self._decay_acc = 0.0
+        self._decay_rel0 = 0.0
+        self._last_rel = 0.0
 
         T, K, d = num_trees, sample_size, dimensions
         N = 2 * K  # K leaves + (K-1) internal + spare
@@ -411,6 +418,23 @@ class RCFForest:
         ops.writeback(self)
 
     # ------------------------------------------------------------------ #
+    # dynamic configuration (reference parity)
+    # ------------------------------------------------------------------ #
+    def pause_sampling(self) -> None:
+        """Freeze the model while still scoring (RandomCutForest.java:1325)."""
+        self.paused = True
+
+    def resume_sampling(self) -> None:
+        self.paused = False
+
+    def set_time_decay(self, time_decay: float) -> None:
+        """Change λ on the fly; existing sampler weights remain comparable
+        (accumulated-decay offset, AbstractStreamSampler.java:165-178)."""
+        self._decay_acc += (self._last_rel - self._decay_rel0) * self.lam
+        self._decay_rel0 = self._last_rel
+        self.lam = float(time_decay)
+
+    # ------------------------------------------------------------------ #
     # streaming update
     # ------------------------------------------------------------------ #
     def update(self, x, seq: int | None = None) -> None:
@@ -424,6 +448,9 @@ class RCFForest:
         assert X.shape[1] == self.d
         if seqs is None:
             seqs = np.arange(self.entries, self.entries + B, dtype=np.int64)
+        if self.paused:
+            self.entries += B
+            return
         if self.seq0 is None:
             self.seq0 = int(seqs[0])
         rel = (seqs - self.seq0).astype(np.float64)
@@ -433,12 +460,16 @@ class RCFForest:
             self._update_tree(t, ops, xs, seqs, rel)
             ops.writeback(self)
         self.entries += B
+        self._last_rel = max(self._last_rel, float(rel[-1]))
 
     def _update_tree(self, t, ops: _TreeOps, xs, seqs, rel) -> None:
         K = self.K
         # counter-based weights: chunk-boundary invariant
         u = _u01(self._wkeys[t], seqs)
-        w = (-rel * self.lam + np.log(-np.log(u))).tolist()
+        w = (
+            -((rel - self._decay_rel0) * self.lam + self._decay_acc)
+            + np.log(-np.log(u))
+        ).tolist()
         sw, sleaf, sseq = self.sweight[t], self.sleaf[t], self.sseq[t]
         size = int(self.ssize[t])
         i = 0
@@ -496,12 +527,26 @@ class RCFForest:
             self.mass.reshape(T * N),
         )
 
-    def score(self, X: np.ndarray) -> np.ndarray:
+    def score(
+        self,
+        X: np.ndarray,
+        score_seen=None,
+        score_unseen=None,
+        damp=None,
+        normalizer=None,
+    ) -> np.ndarray:
         """Anomaly score per query point (mean over trees).
 
         Lane model: one lane per (query, tree); flat gathers over
         tree-offset node addresses; lanes are compacted out as they
         finish, so work is proportional to actual path lengths.
+
+        Optional kernels re-express ``getDynamicScore``
+        (RandomCutForest.java:1532-1560): vectorized callables
+        ``score_seen(depth, mass)``, ``score_unseen(depth, mass)``,
+        ``damp(leaf_mass, tree_mass)``, ``normalizer(score, tree_mass)``
+        over NumPy arrays; defaults are the standard formulas
+        (CommonUtils.java:148-181).
         """
         X32 = np.ascontiguousarray(np.atleast_2d(X), np.float32)
         Q, T, N = X32.shape[0], self.T, self.N
@@ -539,6 +584,15 @@ class RCFForest:
                 depth[stepping] += 1
             active = stepping
 
+        if score_seen is None:
+            score_seen = lambda dep, m: 1.0 / (dep + np.log2(m + 1.0))  # noqa: E731
+        if score_unseen is None:
+            score_unseen = lambda dep, m: 1.0 / (dep + 1.0)  # noqa: E731
+        if damp is None:
+            damp = lambda lm_, tm_: 1.0 - lm_ / (2.0 * np.maximum(tm_, 1.0))  # noqa: E731
+        if normalizer is None:
+            normalizer = lambda s, tm_: s * np.log2(tm_ + 1.0)  # noqa: E731
+
         # --- leaf scores --------------------------------------------------
         a = addr
         leafpt = bbmin[a]
@@ -546,8 +600,8 @@ class RCFForest:
         lm = mass[a].astype(np.float64)
         d64 = depth.astype(np.float64)
         tmv = tm_all[ts]
-        seen = (1.0 - lm / (2.0 * np.maximum(tmv, 1.0))) / (d64 + np.log2(lm + 1.0))
-        score = np.where(eq, seen, 1.0 / (d64 + 1.0))
+        seen = damp(lm, tmv) * score_seen(d64, lm)
+        score = np.where(eq, seen, score_unseen(d64, lm))
         frozen = eq
 
         # --- leaf-to-root walk -------------------------------------------
@@ -568,17 +622,28 @@ class RCFForest:
             p = np.where(newr > 0, dlt / np.maximum(newr, _F32_TINY), 0.0)
             pos = p > 0
             sa = score[active]
-            score[active] = np.where(
-                pos, p / (d64[active] + 1.0) + (1.0 - p) * sa, sa
-            )
+            unseen_here = score_unseen(d64[active], mass[a].astype(np.float64))
+            score[active] = np.where(pos, p * unseen_here + (1.0 - p) * sa, sa)
             nxt = parent[a].astype(np.int64)
             keep = pos & (nxt >= 0)
             cur[active] = np.where(nxt >= 0, ts[active] * N + nxt, -1)
             d64[active] -= 1.0
             active = active[keep]
 
-        np.add.at(out, qs, score * log_tm[ts])
+        np.add.at(out, qs, normalizer(score, tm_all[ts]))
         return out / T
+
+    def displacement_score(self, X: np.ndarray) -> np.ndarray:
+        """Density-displacement scoring (the reference's dynamic-score
+        example kernel, RandomCutForest.java:1532): contributions are node
+        masses instead of inverse depths, normalized by tree mass."""
+        return self.score(
+            X,
+            score_seen=lambda dep, m: m,
+            score_unseen=lambda dep, m: m,
+            damp=lambda lm, tm: np.ones_like(lm),
+            normalizer=lambda s, tm: s / np.maximum(tm, 1.0),
+        )
 
     def attribution(self, X: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """DiVector (high[Q,d], low[Q,d]); high+low sums to score(X)."""
@@ -684,7 +749,15 @@ class RCFForest:
             dtype=np.int64,
         )
         state["meta_f"] = np.array(
-            [self.lam, self.initial_accept_fraction, -1 if self.seq0 is None else self.seq0],
+            [
+                self.lam,
+                self.initial_accept_fraction,
+                -1 if self.seq0 is None else self.seq0,
+                1.0 if self.paused else 0.0,
+                self._decay_acc,
+                self._decay_rel0,
+                self._last_rel,
+            ],
             dtype=np.float64,
         )
         return state
@@ -692,7 +765,8 @@ class RCFForest:
     @classmethod
     def from_state(cls, state: dict) -> "RCFForest":
         d, T, K, entries, seed, output_after = (int(v) for v in state["meta"])
-        lam, iaf, seq0 = (float(v) for v in state["meta_f"])
+        mf = [float(v) for v in state["meta_f"]]
+        lam, iaf, seq0 = mf[0], mf[1], mf[2]
         f = cls(
             d,
             num_trees=T,
@@ -704,6 +778,9 @@ class RCFForest:
         )
         f.entries = entries
         f.seq0 = None if seq0 < 0 else int(seq0)
+        if len(mf) > 3:  # dynamic-decay fields (older states: defaults)
+            f.paused = mf[3] > 0
+            f._decay_acc, f._decay_rel0, f._last_rel = mf[4], mf[5], mf[6]
         for name in cls._ARRAY_FIELDS:
             getattr(f, name)[...] = state[name]
         for g, (s, inc) in zip(f._rngs, state["rng_state"]):
