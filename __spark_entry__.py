@@ -242,6 +242,22 @@ def _q_lang_quality(spark, sf_dir):
     return text_profile(_docs(spark, sf_dir))
 
 
+def _q_rcf_scores_embeddings(spark, sf_dir):
+    from random_cut_forest_by_aws_spark.operators.rcf_batch import rcf_group_scores
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return rcf_group_scores(
+        emb, "embedding", ("label",), "vec_id", with_density=True
+    )
+
+
+def _q_rcf_forecast_events(spark, sf_dir):
+    from random_cut_forest_by_aws_spark.operators.rcf_batch import rcf_group_forecast
+
+    ev = _t(spark, sf_dir, "events")
+    return rcf_group_forecast(ev, "value", ("event_type",), "ts")
+
+
 def _q_drift_sequences(spark, sf_dir):
     from random_cut_forest_by_aws_spark.functions import token_features
     from random_cut_forest_by_aws_spark.operators.drift import (
@@ -290,6 +306,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": _q_simhash,
         "lsh_cosine_topk": _q_lsh_cosine,
         "lang_quality_docs": _q_lang_quality,
+        "rcf_scores_embeddings": _q_rcf_scores_embeddings,
+        "rcf_forecast_events": _q_rcf_forecast_events,
         "drift_verdicts_sequences": _q_drift_sequences,
         "validation_suite_verdicts": _q_suite_verdicts,
     }

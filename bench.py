@@ -82,8 +82,9 @@ def main() -> None:
 
     # rows_per_bucket is intentionally independent of cpus: the scaling
     # comparison (bench_scaling.py) must run the IDENTICAL job at both
-    # parallelism levels.
-    drift_cfg = DriftConfig(num_trees=30, sample_size=256, rows_per_bucket=50_000)
+    # parallelism levels. ~160 groups at 2M rows ⇒ tasks ≫ cores at both
+    # levels (no wave quantization).
+    drift_cfg = DriftConfig(num_trees=30, sample_size=256, rows_per_bucket=12_500)
 
     # warm the Python worker pool + JIT before timing anything
     spark.range(100_000).repartition(cpus).groupBy(

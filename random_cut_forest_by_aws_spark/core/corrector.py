@@ -1,0 +1,105 @@
+"""PredictorCorrector (simplified core) and RCFCaster-style calibration.
+
+Re-expressed from the reference parkservices layer:
+
+* ``PredictorCorrector`` (``parkservices/PredictorCorrector.java:49-61,
+  719-1050``): after the thresholder grades a point anomalous, attribute
+  the score to dimensions, impute the top-contributing dimensions from
+  the forest (the "expected point"), re-score the corrected point, and
+  suppress the anomaly when the corrected score falls back under the
+  threshold or the point is within the ignore-near-expected band — the
+  cascade/noise suppressor. (The reference's multi-mode machinery —
+  shingle-aware time-slot analysis, run-length discounting — is out of
+  scope; this is the correct-by-expected + re-score core.)
+* ``ErrorCalibrator`` (``parkservices/calibration/ErrorHandler.java:
+  51-80``, ``RCFCaster.java:43-109``): rolling per-horizon forecast-error
+  percentiles applied additively to interval bounds
+  (Calibration.SIMPLE).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .forest import RCFForest
+from .queries import impute
+
+
+class PredictorCorrector:
+    """Suppress anomaly cascades by checking the 'expected point'."""
+
+    def __init__(
+        self,
+        max_attributed_dims: int = 2,
+        ignore_near_expected_ratio: float = 0.1,
+        suppression_factor: float = 1.0,
+    ):
+        self.max_attributed_dims = max_attributed_dims
+        self.ignore_near_expected_ratio = ignore_near_expected_ratio
+        self.suppression_factor = suppression_factor
+
+    def expected_point(self, forest: RCFForest, x: np.ndarray) -> tuple[np.ndarray, list[int]]:
+        """Impute the top score-contributing dimensions (attribution-led,
+        AbstractAttributionVisitor + ImputeVisitor composition)."""
+        hi, lo = forest.attribution(np.asarray(x, np.float32)[None, :])
+        contrib = (hi + lo)[0]
+        k = min(self.max_attributed_dims, forest.d)
+        dims = np.argsort(-contrib, kind="stable")[:k].tolist()
+        return impute(forest, x, missing=dims), dims
+
+    def should_suppress(
+        self, forest: RCFForest, x: np.ndarray, score: float, threshold: float
+    ) -> tuple[bool, np.ndarray]:
+        """True if the anomaly is explained away by the expected point:
+        the corrected score drops under the threshold, or x is within the
+        near-expected band of the expected point."""
+        expected, dims = self.expected_point(forest, x)
+        x32 = np.asarray(x, np.float32)
+        scale = np.maximum(np.abs(expected), 1e-6)
+        near = np.all(
+            np.abs(x32[dims] - expected[dims])
+            <= self.ignore_near_expected_ratio * scale[dims]
+        )
+        if near:
+            return True, expected
+        corrected = forest.score(expected[None, :])[0]
+        return corrected < self.suppression_factor * threshold, expected
+
+
+class ErrorCalibrator:
+    """Rolling forecast-error calibration (Calibration.SIMPLE).
+
+    Track per-(horizon, dim) errors in a ring buffer; calibrated bounds
+    add the error percentiles to the raw forecast (additive conformal
+    intervals), plus RMSE for reporting.
+    """
+
+    def __init__(self, horizon: int, dims: int = 1, window: int = 256,
+                 percentile: float = 10.0):
+        self.window = window
+        self.percentile = percentile
+        self.errors = np.full((horizon, dims, window), np.nan)
+        self.pos = np.zeros((horizon, dims), np.int64)
+        self.count = np.zeros((horizon, dims), np.int64)
+
+    def observe(self, h: int, dim: int, error: float) -> None:
+        p = self.pos[h, dim] % self.window
+        self.errors[h, dim, p] = error
+        self.pos[h, dim] += 1
+        self.count[h, dim] += 1
+
+    def calibrate(self, h: int, dim: int, value: float,
+                  upper: float, lower: float) -> tuple[float, float, float]:
+        e = self.errors[h, dim]
+        e = e[~np.isnan(e)]
+        if len(e) < 8:
+            return value, upper, lower
+        lo_q = float(np.percentile(e, self.percentile))
+        hi_q = float(np.percentile(e, 100 - self.percentile))
+        med = float(np.median(e))
+        return value + med, max(upper, value + hi_q), min(lower, value + lo_q)
+
+    def rmse(self, h: int, dim: int) -> float:
+        e = self.errors[h, dim]
+        e = e[~np.isnan(e)]
+        return float(np.sqrt(np.mean(e * e))) if len(e) else float("nan")

@@ -65,6 +65,9 @@ class DriftConfig:
     dev_floor_frac: float = 0.02
     # per-row anomalies: emit only confident grades as violation rows
     min_emit_grade: float = 0.5
+    # PredictorCorrector (parkservices parity): suppress anomalies whose
+    # expected point (attribution-led imputation) explains the score away
+    use_corrector: bool = True
     anomaly_rate_threshold: float = 0.01
     # skew handling: a group never exceeds ~rows_per_bucket rows; bucket
     # count per group value adapts to its frequency, capped at max_buckets.
@@ -275,6 +278,11 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
         baseline = extras["baseline"]
         anomalies: list[tuple] = []  # confident per-row violations
         windows: list[tuple] = []  # drifted windows (the verdict signal)
+        corrector = None
+        if cfg.use_corrector:
+            from ..core.corrector import PredictorCorrector
+
+            corrector = PredictorCorrector()
 
         def close_window(end_seq: int) -> None:
             win_mean = extras["win_sum"] / extras["win_cnt"]
@@ -330,6 +338,12 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
                     if extras["win_cnt"] >= cfg.window:
                         close_window(int(seqs[lo + i]))
                     if grade >= cfg.min_emit_grade:
+                        if cfg.use_corrector and corrector is not None:
+                            suppress, _exp = corrector.should_suppress(
+                                forest, xn[i], float(s), float(threshold)
+                            )
+                            if suppress:
+                                continue
                         extras["n_anomalous"] += 1
                         if seqs[lo + i] > emit_wm:  # suppress replayed rows
                             anomalies.append(

@@ -1,0 +1,112 @@
+"""Grouped-map wrappers exposing the extended RCF query operators
+(score / density / forecast / neighbors) as DataFrame transforms.
+
+Each group (bounded by the caller's grouping) trains one forest inside an
+Arrow ``applyInPandas`` task and runs the requested query — the Spark
+surface for ``core/queries.py``. For the drift/validation pipeline see
+``operators/drift.py``; these wrappers serve ad-hoc analytics
+(per-cohort outlier ranking, per-series forecasting) over the same
+engine core.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..core.forest import RCFForest
+from ..core.queries import density as _density
+from ..core.queries import extrapolate as _extrapolate
+from .drift import _group_seed
+
+
+def rcf_group_scores(
+    df: DataFrame,
+    vec_col: str,
+    group_cols: tuple[str, ...],
+    id_col: str,
+    num_trees: int = 30,
+    sample_size: int = 128,
+    seed: int = 42,
+    with_density: bool = False,
+) -> DataFrame:
+    """Train one forest per group on its vectors; emit per-row anomaly
+    score (and optionally density) — per-cohort outlier ranking."""
+    gcols = list(group_cols)
+    schema_prefix = ", ".join(f"{c} {t}" for c, t in df.select(*gcols, id_col).dtypes)
+    out_schema = f"{schema_prefix}, score double" + (
+        ", density double" if with_density else ""
+    )
+
+    def fn(key, pdf):
+        import pandas as pd
+
+        X = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
+        forest = RCFForest(
+            X.shape[1], num_trees=num_trees, sample_size=sample_size,
+            time_decay=0.0, seed=_group_seed(tuple(key), seed),
+        )
+        forest.update_batch(X)
+        out = pdf[gcols + [id_col]].copy()
+        out["score"] = forest.score(X)
+        if with_density:
+            out["density"] = _density(forest, X)["density"]
+        return pd.DataFrame(out)
+
+    sc = df.sparkSession.sparkContext
+    grouped = df.select(*gcols, id_col, vec_col).repartition(
+        max(sc.defaultParallelism * 2, 16), *gcols
+    )
+    return grouped.groupBy(*gcols).applyInPandas(fn, out_schema)
+
+
+def rcf_group_forecast(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...],
+    order_col: str,
+    shingle_size: int = 8,
+    horizon: int = 4,
+    num_trees: int = 30,
+    sample_size: int = 128,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-series calibrated-range forecasting: shingle each group's
+    ordered values, train a forest, extrapolate ``horizon`` steps
+    (extrapolateWithRanges analogue)."""
+    gcols = list(group_cols)
+    schema_prefix = ", ".join(f"{c} {t}" for c, t in df.select(*gcols).dtypes)
+    out_schema = (
+        f"{schema_prefix}, step int, forecast double, upper double, lower double"
+    )
+
+    def fn(key, pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        v = pdf[value_col].to_numpy(np.float64)
+        rows = []
+        if len(v) > shingle_size * 4:
+            sh = np.lib.stride_tricks.sliding_window_view(v, shingle_size)
+            forest = RCFForest(
+                shingle_size, num_trees=num_trees, sample_size=sample_size,
+                time_decay=0.0, seed=_group_seed(tuple(key), seed),
+            )
+            forest.update_batch(sh.astype(np.float32))
+            fc = _extrapolate(forest, sh[-1].astype(np.float32), horizon)
+            for h in range(horizon):
+                rows.append(
+                    list(key)
+                    + [h + 1, float(fc["values"][h]), float(fc["upper"][h]),
+                       float(fc["lower"][h])]
+                )
+        return pd.DataFrame(
+            rows, columns=gcols + ["step", "forecast", "upper", "lower"]
+        )
+
+    sc = df.sparkSession.sparkContext
+    grouped = df.select(*gcols, order_col, value_col).repartition(
+        max(sc.defaultParallelism * 2, 16), *gcols
+    )
+    return grouped.groupBy(*gcols).applyInPandas(fn, out_schema)
