@@ -56,6 +56,10 @@ class DriftConfig:
     normalize: bool = True
     norm_discount: float = 0.0  # cumulative stats ⇒ stable baseline coords
     clip_factor: float = 100.0
+    # TransformMethod parity (config/TransformMethod.java): 'none',
+    # 'normalize', 'difference', 'normalize_difference'. ``normalize``
+    # above is kept for back-compat and means 'normalize' when True.
+    transform: str | None = None
     # windowed drift verdict: flag a window when its mean score exceeds the
     # baseline of window means by drift_z deviations (with a relative floor)
     window: int = 256
@@ -181,6 +185,9 @@ def _state_dict(
          extras.get("win_cnt", 0.0)]
     )
     state["baseline"] = np.array(extras["baseline"].to_state())
+    state["tlast"] = np.asarray(
+        extras.get("tlast", np.full(forest.d, np.nan)), np.float64
+    )
     n_buf = len(buf_seqs)
     state["buf_X"] = (
         np.asarray(buf_X, np.float64).reshape(n_buf, -1)
@@ -232,6 +239,8 @@ def _load_group_state(path_or_file):
         "win_cnt": float(state["extras_f"][2]),
         "baseline": Deviation.from_state(state["baseline"]),
     }
+    if "tlast" in state:
+        extras["tlast"] = np.asarray(state["tlast"], np.float64)
     return forest, th, state, extras
 
 
@@ -274,6 +283,12 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
                 seed=_group_seed(tuple(key), cfg.seed),
             )
             th = BasicThresholder(z_factor=cfg.z_factor)
+
+        method = cfg.transform or ("normalize" if cfg.normalize else "none")
+        do_norm = "normalize" in method
+        do_diff = "difference" in method
+        if "tlast" not in extras:
+            extras["tlast"] = np.full(d, np.nan)
 
         baseline = extras["baseline"]
         anomalies: list[tuple] = []  # confident per-row violations
@@ -320,17 +335,24 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
             if hi <= lo:
                 return
             chunk = X[lo:hi]
+            if do_diff:  # DifferenceTransformer: x_t − x_{t−1}
+                tl = extras["tlast"]
+                prev_first = chunk[0] if np.isnan(tl).any() else tl
+                base = chunk - np.vstack([prev_first[None, :], chunk[:-1]])
+                extras["tlast"] = chunk[-1].copy()
+            else:
+                base = chunk
             updated = False
-            if cfg.normalize and norm.weight <= 0:
+            if do_norm and norm.weight <= 0:
                 # bootstrap from the first chunk (reference Preprocessor's
                 # startNormalization analogue) — never feed all-zero points
-                norm.update(chunk)
+                norm.update(base)
                 updated = True
-            xn = norm.transform(chunk) if cfg.normalize else chunk.astype(np.float32)
+            xn = norm.transform(base) if do_norm else base.astype(np.float32)
             if forest.is_output_ready:
                 scores = forest.score(xn)
                 for i, s in enumerate(scores):
-                    threshold, grade = th.process(float(s), normalized=cfg.normalize)
+                    threshold, grade = th.process(float(s), normalized=do_norm)
                     extras["n_scored"] += 1
                     extras["score_sum"] += float(s)
                     extras["win_sum"] += float(s)
@@ -349,8 +371,8 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
                             anomalies.append(
                                 (int(seqs[lo + i]), float(s), float(threshold), float(grade))
                             )
-            if cfg.normalize and not updated:
-                norm.update(chunk)
+            if do_norm and not updated:
+                norm.update(base)
             forest.update_batch(xn, seqs=seqs[lo:hi])
             extras["n_rows"] += hi - lo
 
