@@ -46,6 +46,12 @@ class SuiteConfig:
     max_violation_rows: int = 1000  # evidence cap per check
     drift: DriftConfig = field(default_factory=DriftConfig)
     vocab: int = 50_000
+    # Materialize independent checks from concurrent driver threads. On a
+    # real multi-executor cluster this overlaps scheduling latency and
+    # lets JVM-bound scans share the cluster with the Python-bound drift
+    # stage. In local[N] (single machine) every stage contends for the
+    # same cores, so sequential is faster — hence default False.
+    concurrent: bool = False
 
 
 @dataclass
@@ -106,8 +112,8 @@ class ValidationSuite:
             holder["raw"], holder["dv"] = raw, dv
             return dv.filter(~F.col("passed")).count()
 
-        # ---- materialize independent checks concurrently -----------------
-        with ThreadPoolExecutor(max_workers=5) as ex:
+        # ---- materialize checks (concurrently on clusters) ---------------
+        with ThreadPoolExecutor(max_workers=5 if cfg.concurrent else 1) as ex:
             f_drift = ex.submit(timed, "drift", run_drift)
             f_stats = ex.submit(timed, "column_stats", stats.count)
             f_dup = ex.submit(timed, "uniqueness", dup.count)
