@@ -199,6 +199,12 @@ def _q_text_profile(spark, sf_dir):
     )
 
 
+def _q_token_counts(spark, sf_dir):
+    from random_cut_forest_by_aws_spark.operators.textqc import token_counts
+
+    return _docs(spark, sf_dir).select("doc_id", *token_counts("text"))
+
+
 def _q_ann_cosine(spark, sf_dir):
     from random_cut_forest_by_aws_spark.operators.similarity import cosine_topk
 
@@ -224,6 +230,21 @@ def _q_simhash(spark, sf_dir):
     from random_cut_forest_by_aws_spark.operators.dedup import simhash
 
     return simhash(_docs(spark, sf_dir))
+
+
+def _q_ivf_cosine_full(spark, sf_dir):
+    """IVF ANN with full probing == exact brute force (oracle-checkable)."""
+    from random_cut_forest_by_aws_spark.operators.similarity import ivf_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_cosine_topk(emb, queries, dim=64, k=10, n_lists=8, n_probe=8)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 5).alias("cosine"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
 
 
 def _q_lsh_cosine(spark, sf_dir):
@@ -256,6 +277,40 @@ def _q_rcf_forecast_events(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return rcf_group_forecast(ev, "value", ("event_type",), "ts")
+
+
+def _q_sessionize_events(spark, sf_dir):
+    """Window/lag sessionization: new session when a user's gap > 30 min."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))  # ts is TIMESTAMP_NTZ; session TZ=UTC
+    gap = ms - F.lag(ms).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800_000), F.lit(1)).otherwise(F.lit(0))
+    return (
+        e.withColumn("_n", new_sess)
+        .withColumn("session_id", F.sum("_n").over(
+            w.rowsBetween(W.unboundedPreceding, 0)).cast("bigint"))
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("session_value"))
+    )
+
+
+def _q_media_features(spark, sf_dir):
+    from random_cut_forest_by_aws_spark.operators.multimodal import (
+        decode_features, synth_media,
+    )
+
+    return decode_features(synth_media(spark, 300, seed=42))
+
+
+def _q_media_metadata_check(spark, sf_dir):
+    from random_cut_forest_by_aws_spark.operators.multimodal import (
+        media_metadata_violations, synth_media,
+    )
+
+    v = media_metadata_violations(synth_media(spark, 300, seed=42))
+    return v.select("doc_id", "mime", F.concat_ws(",", "failed_constraints").alias("failed"))
 
 
 def _q_drift_sequences(spark, sf_dir):
@@ -301,13 +356,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_by_type": _q_events_by_type,
         "exact_dup_docs": _q_exact_dup_docs,
         "text_profile_docs": _q_text_profile,
+        "token_counts_docs": _q_token_counts,
         "ann_cosine_topk": _q_ann_cosine,
         "minhash_candidates_docs": _q_minhash_candidates,
         "simhash_docs": _q_simhash,
         "lsh_cosine_topk": _q_lsh_cosine,
+        "ivf_cosine_full_probe": _q_ivf_cosine_full,
         "lang_quality_docs": _q_lang_quality,
         "rcf_scores_embeddings": _q_rcf_scores_embeddings,
         "rcf_forecast_events": _q_rcf_forecast_events,
+        "sessionize_events": _q_sessionize_events,
+        "media_decode_features": _q_media_features,
+        "media_metadata_check": _q_media_metadata_check,
         "drift_verdicts_sequences": _q_drift_sequences,
         "validation_suite_verdicts": _q_suite_verdicts,
     }
@@ -397,6 +457,49 @@ def oracle_sql() -> dict[str, str]:
                                          w -> list_contains({_STOP_EN}, lower(w))))
                          / greatest(len(string_split(text, ' ')), 1), 6) AS stopword_frac
             FROM documents
+        """,
+        "token_counts_docs": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                        AS BIGINT) AS n_bpe_tokens
+            FROM documents
+        """,
+        "sessionize_events": """
+            SELECT user_id, session_id, count(*) AS n_events,
+                   round(sum(value), 2) AS session_value
+            FROM (
+              SELECT user_id, value,
+                     CAST(sum(new_sess) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS BIGINT) AS session_id
+              FROM (
+                SELECT user_id, ts, event_id, value,
+                       CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+                              PARTITION BY user_id ORDER BY ts, event_id
+                            ) IS NULL THEN 1
+                            WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+                              PARTITION BY user_id ORDER BY ts, event_id
+                            ) > 1800000 THEN 1 ELSE 0 END AS new_sess
+                FROM events))
+            GROUP BY user_id, session_id
+        """,
+        "ivf_cosine_full_probe": """
+            SELECT query_id, vec_id, round(cosine, 5) AS cosine, rank FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                     list_dot_product(q.embedding, c.embedding)
+                       / greatest(sqrt(list_dot_product(q.embedding, q.embedding))
+                                  * sqrt(list_dot_product(c.embedding, c.embedding)),
+                                  1e-12) AS cosine,
+                     row_number() OVER (
+                        PARTITION BY q.vec_id
+                        ORDER BY list_dot_product(q.embedding, c.embedding)
+                                   / greatest(sqrt(list_dot_product(q.embedding, q.embedding))
+                                              * sqrt(list_dot_product(c.embedding, c.embedding)),
+                                              1e-12) DESC, c.vec_id) AS rank
+              FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+            ) WHERE rank <= 10
         """,
         "ann_cosine_topk": """
             SELECT query_id, vec_id, round(cosine, 5) AS cosine, rank FROM (

@@ -91,6 +91,8 @@ def main() -> None:
         (F.col("id") % cpus).alias("g")
     ).applyInPandas(lambda k, p: p[["id"]].head(1), "id long").count()
 
+    suite_only = os.environ.get("SPARK_GRAFT_SUITE_ONLY", "0") == "1"
+
     timings: dict[str, float] = {}
 
     def timed(name, fn):
@@ -102,21 +104,23 @@ def main() -> None:
         return out
 
     # --- individual operators over the token table ----------------------
-    timed("column_stats", lambda: column_stats(
-        seqs, ["n_tok"], key_cols=["doc_id", "source"], group_by=["source"]
-    ).collect())
-    timed("uniqueness", lambda: uniqueness_violations(seqs, ["doc_id"]).count())
-    timed("referential", lambda: referential_violations(seqs, dim, ["source"]).count())
-    timed("token_invariants", lambda: token_equality_violations(seqs).count())
+    if not suite_only:
+        timed("column_stats", lambda: column_stats(
+            seqs, ["n_tok"], key_cols=["doc_id", "source"], group_by=["source"]
+        ).collect())
+        timed("uniqueness", lambda: uniqueness_violations(seqs, ["doc_id"]).count())
+        timed("referential",
+              lambda: referential_violations(seqs, dim, ["source"]).count())
+        timed("token_invariants", lambda: token_equality_violations(seqs).count())
 
-    def run_drift():
-        feat = seqs.withColumn("features", token_features()).select(
-            "source", "seq", "features"
-        )
-        raw = drift_scores(feat, cfg=drift_cfg)
-        return drift_verdicts(raw, cfg=drift_cfg).collect()
+        def run_drift():
+            feat = seqs.withColumn("features", token_features()).select(
+                "source", "seq", "features"
+            )
+            raw = drift_scores(feat, cfg=drift_cfg)
+            return drift_verdicts(raw, cfg=drift_cfg).collect()
 
-    timed("drift", run_drift)
+        timed("drift", run_drift)
 
     # --- full validation suite (headline) --------------------------------
     suite_cfg = SuiteConfig(drift=drift_cfg)
@@ -128,30 +132,31 @@ def main() -> None:
     timings["suite_total"] = round(suite_sec, 3)
 
     # --- reference-table queries at sf_dir --------------------------------
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if not suite_only:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
-    timed("pricing_summary", lambda: li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum("l_quantity"), F.sum("l_extendedprice"), F.count(F.lit(1))
-    ).collect())
-    timed("uniqueness_lineitem", lambda: uniqueness_violations(li, ["l_orderkey"]).count())
+        timed("pricing_summary", lambda: li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum("l_quantity"), F.sum("l_extendedprice"), F.count(F.lit(1))
+        ).collect())
+        timed("uniqueness_lineitem",
+              lambda: uniqueness_violations(li, ["l_orderkey"]).count())
 
-    def run_ann():
-        q = emb.filter(F.col("vec_id") < 8).select(
-            F.col("vec_id").alias("query_id"), "embedding"
-        )
-        return cosine_topk(emb, q, k=10).count()
+        def run_ann():
+            q = emb.filter(F.col("vec_id") < 8).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            )
+            return cosine_topk(emb, q, k=10).count()
 
-    timed("ann_cosine_topk", run_ann)
+        timed("ann_cosine_topk", run_ann)
 
-    def run_minhash():
-        from random_cut_forest_by_aws_spark.operators.dedup import minhash_candidates
+        def run_minhash():
+            from random_cut_forest_by_aws_spark.operators.dedup import minhash_candidates
 
-        return minhash_candidates(docs).count()
+            return minhash_candidates(docs).count()
 
-    timed("minhash_dedup", run_minhash)
+        timed("minhash_dedup", run_minhash)
 
     rows_per_sec = n_rows / suite_sec
     result = {

@@ -199,9 +199,11 @@ class _TreeOps:
         saved_dim, saved_val = _NULL, 0.0
         saved_min, saved_max = bmin[:], bmax[:]
         rng_random = self.rng.random
+        los = [0.0] * d
+        gaps = [0.0] * d
         while True:
             factor = rng_random()
-            # --- random cut over box∪x (randomCut :153-240) -------------
+            # --- random cut over box∪x (randomCut :153-240), one pass ----
             total = 0.0
             for i in range(d):
                 lo, hi, xi = bmin[i], bmax[i], x[i]
@@ -209,31 +211,31 @@ class _TreeOps:
                     lo = xi
                 elif xi > hi:
                     hi = xi
-                total += hi - lo
+                g = hi - lo
+                los[i] = lo
+                gaps[i] = g
+                total += g
             bp = factor * total
             dim, value = _NULL, 0.0
             acc = 0.0
             for i in range(d):
-                lo, hi, xi = bmin[i], bmax[i], x[i]
-                if xi < lo:
-                    lo = xi
-                elif xi > hi:
-                    hi = xi
-                gap = hi - lo
-                if gap > 0.0 and bp <= acc + gap:
+                g = gaps[i]
+                if g > 0.0 and bp <= acc + g:
                     dim = i
+                    lo = los[i]
                     value = _f32(lo + (bp - acc))
-                    if value >= hi:
-                        value = float(np.nextafter(np.float32(hi), np.float32(lo)))
+                    if value >= lo + g:
+                        value = float(np.nextafter(np.float32(lo + g), np.float32(lo)))
                     break
-                acc += gap
+                acc += g
             if dim == _NULL:  # float fallback: first nonzero-gap dim
                 for i in range(d):
-                    lo = bmin[i] if bmin[i] <= x[i] else x[i]
-                    hi = bmax[i] if bmax[i] >= x[i] else x[i]
-                    if hi > lo:
+                    if gaps[i] > 0:
                         dim = i
-                        value = float(np.nextafter(np.float32(hi), np.float32(lo)))
+                        lo = los[i]
+                        value = float(
+                            np.nextafter(np.float32(lo + gaps[i]), np.float32(lo))
+                        )
                         break
             # --- separation / save deepest -------------------------------
             if (x[dim] <= value < bmin[dim]) or (x[dim] > value >= bmax[dim]):

@@ -310,9 +310,10 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
                 if z > cfg.drift_z:
                     extras["n_drifted_windows"] += 1
                     grade = min(1.0, (z - cfg.drift_z) / cfg.drift_z)
-                    windows.append(
-                        (end_seq, win_mean, baseline.mean + cfg.drift_z * dev, grade)
-                    )
+                    if end_seq > emit_wm:  # replayed windows: count, don't re-emit
+                        windows.append(
+                            (end_seq, win_mean, baseline.mean + cfg.drift_z * dev, grade)
+                        )
                     # drifted windows do not contaminate the baseline
                     extras["win_sum"] = extras["win_cnt"] = 0.0
                     return

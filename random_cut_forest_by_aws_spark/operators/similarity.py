@@ -81,6 +81,89 @@ def hyperplane_sketch(vec_col: str, dim: int, bits: int = 16, seed: int = 42) ->
     return out.cast("long")
 
 
+def _kmeans_centroids(
+    sample: np.ndarray, k: int, iters: int = 8, seed: int = 42
+) -> np.ndarray:
+    """Spherical k-means on a driver-side sample (deterministic)."""
+    rng = np.random.default_rng(seed)
+    X = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
+    for _ in range(iters):
+        sims = X @ C.T
+        assign = sims.argmax(1)
+        for ci in range(len(C)):
+            sel = X[assign == ci]
+            if len(sel):
+                m = sel.mean(0)
+                C[ci] = m / max(np.linalg.norm(m), 1e-12)
+    return C
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    sample_size: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: train centroids on a corpus sample
+    (driver-side spherical k-means, deterministic), assign corpus rows to
+    their nearest list via a vectorized Arrow stage, probe the top
+    ``n_probe`` lists per query, exact-rescore inside probed lists.
+
+    Scale shape: corpus assignment is a narrow map (one matmul per Arrow
+    batch); the probe join touches ~n_probe/n_lists of the corpus.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    sample = np.stack(
+        [np.asarray(r[0], np.float64) for r in corpus.select(vec_col).limit(sample_size).collect()]
+    )
+    C = _kmeans_centroids(sample, n_lists, seed=seed)
+    bC = corpus.sparkSession.sparkContext.broadcast(C)
+
+    def _assign_impl(vecs):
+        M = np.stack(vecs.to_numpy()).astype(np.float64)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.Series((M @ bC.value.T).argmax(1).astype(np.int32))
+
+    assign_udf = pandas_udf(_assign_impl, "int")
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"),
+        assign_udf(F.col(vec_col)).alias("_list"),
+    )
+
+    def _probe_impl(vecs):
+        M = np.stack(vecs.to_numpy()).astype(np.float64)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(M @ bC.value.T), axis=1)[:, :n_probe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    probe_udf = pandas_udf(_probe_impl, "array<int>")
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        F.explode(probe_udf(F.col(vec_col))).alias("_list"),
+    )
+    joined = c.join(F.broadcast(q), "_list")
+    scored = joined.select(
+        "query_id",
+        "vec_id",
+        (
+            _dot(F.col("_qv"), F.col("_cv"))
+            / F.greatest(_norm(F.col("_qv")) * _norm(F.col("_cv")), F.lit(1e-12))
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -65,6 +65,19 @@ def lang_id(text_col: str = "text") -> Column:
     return best_lang
 
 
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def token_counts(text_col: str = "text") -> list[Column]:
+    """Whitespace token count + BPE-ish regex token count (letters runs /
+    digit runs / single punctuation — the usual subword-ish upper bound)."""
+    ws = F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("n_ws_tokens")
+    bpe = F.regexp_count(F.col(text_col), F.lit(BPE_ISH_PATTERN)).cast("bigint").alias(
+        "n_bpe_tokens"
+    )
+    return [ws, bpe]
+
+
 def doc_fingerprint(text_col: str = "text", seed: int = 42) -> Column:
     """Order-sensitive rolling hash over words (polynomial accumulate) —
     deterministic 64-bit content fingerprint."""

@@ -115,3 +115,4 @@ def test_drift_rerun_after_completion_is_noop(spark, feat_df, tmp_path):
     s2 = second[second.row_kind == "summary"].sort_values(["source", "bucket"])
     np.testing.assert_array_equal(s1["n_rows"].values, s2["n_rows"].values)
     assert (second[second.row_kind == "anomaly"]).empty  # nothing new to flag
+    assert (second[second.row_kind == "window"]).empty  # replayed tail windows too

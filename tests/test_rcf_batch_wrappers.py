@@ -1,0 +1,53 @@
+"""Grouped-map RCF wrappers: per-cohort outlier scoring and per-series
+forecasting over Spark DataFrames."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from random_cut_forest_by_aws_spark.operators.rcf_batch import (
+    rcf_group_forecast,
+    rcf_group_scores,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+    df.count()
+    return df
+
+
+def test_rcf_group_scores_flags_planted_outlier(spark, emb):
+    # plant an obvious outlier into one label group
+    out_row = spark.createDataFrame(
+        [(99_999, [50.0] * 64, int(emb.first()["label"]))],
+        "vec_id long, embedding array<float>, label int",
+    )
+    df = emb.unionByName(out_row)
+    scored = rcf_group_scores(df, "embedding", ("label",), "vec_id").toPandas()
+    assert len(scored) == df.count()
+    planted = scored[scored.vec_id == 99_999]["score"].iloc[0]
+    grp = scored[scored.label == scored[scored.vec_id == 99_999]["label"].iloc[0]]
+    assert planted > np.percentile(grp["score"], 99)
+
+
+def test_rcf_group_scores_deterministic(spark, emb):
+    a = rcf_group_scores(emb, "embedding", ("label",), "vec_id").toPandas()
+    b = rcf_group_scores(emb, "embedding", ("label",), "vec_id").toPandas()
+    a = a.sort_values(["label", "vec_id"]).reset_index(drop=True)
+    b = b.sort_values(["label", "vec_id"]).reset_index(drop=True)
+    np.testing.assert_array_equal(a["score"].values, b["score"].values)
+
+
+def test_rcf_group_forecast_shapes(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    fc = rcf_group_forecast(ev, "value", ("event_type",), "ts",
+                            shingle_size=4, horizon=3).toPandas()
+    n_types = ev.select("event_type").distinct().count()
+    assert set(fc["step"]) <= {1, 2, 3}
+    assert len(fc) <= 3 * n_types
+    assert (fc["upper"] >= fc["forecast"] - 1e-9).all()
+    assert (fc["lower"] <= fc["forecast"] + 1e-9).all()
