@@ -65,6 +65,52 @@ class PredictorCorrector:
         corrected = forest.score(expected[None, :])[0]
         return corrected < self.suppression_factor * threshold, expected
 
+    def should_suppress_batch(
+        self,
+        forest: RCFForest,
+        X: np.ndarray,
+        thresholds: np.ndarray,
+    ) -> np.ndarray:
+        """Vectorized suppression verdicts for a batch of flagged points.
+
+        Batch analogue of ``should_suppress`` with one simplification for
+        throughput: the expected point replaces the top-attributed dims
+        with those of the forest's best exemplar (the reached leaf with
+        the smallest distance on the *healthy* dims), instead of a full
+        per-tree imputation — one vectorized descent over (rows × trees)
+        plus one batched attribution and one batched re-score.
+        """
+        A, d = X.shape
+        if A == 0:
+            return np.zeros(0, bool)
+        X32 = np.ascontiguousarray(X, np.float32)
+        hi, lo = forest.attribution(X32)
+        contrib = hi + lo
+        k = min(self.max_attributed_dims, d)
+        top_dims = np.argsort(-contrib, axis=1, kind="stable")[:, :k]  # [A,k]
+        bad_mask = np.zeros((A, d), bool)
+        np.put_along_axis(bad_mask, top_dims, True, axis=1)
+
+        # one descent per (row, tree): leaf exemplars
+        leafpts, _ = forest.leaf_points(X32)  # [A, L, d]
+        if leafpts.shape[1] == 0:
+            return np.zeros(A, bool)
+        # distance on healthy dims only
+        healthy = ~bad_mask
+        diffs = np.abs(leafpts - X32[:, None, :]) * healthy[:, None, :]
+        dist = diffs.sum(-1)
+        best = dist.argmin(1)  # [A]
+        exemplar = leafpts[np.arange(A), best]  # [A, d]
+        expected = np.where(bad_mask, exemplar, X32.astype(np.float64))
+
+        scale = np.maximum(np.abs(expected), 1e-6)
+        near = np.all(
+            ~bad_mask | (np.abs(X32 - expected) <= self.ignore_near_expected_ratio * scale),
+            axis=1,
+        )
+        corrected = forest.score(expected.astype(np.float32))
+        return near | (corrected < self.suppression_factor * np.asarray(thresholds))
+
 
 class ErrorCalibrator:
     """Rolling forecast-error calibration (Calibration.SIMPLE).

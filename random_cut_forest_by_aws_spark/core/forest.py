@@ -529,6 +529,38 @@ class RCFForest:
             self.mass.reshape(T * N),
         )
 
+    def leaf_points(self, X: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized root-to-leaf descent for every (query, live tree):
+        returns (leaf points [Q, L, d], leaf masses [Q, L]) — the raw
+        material for nearest-exemplar lookups (near-neighbor style)."""
+        X32 = np.ascontiguousarray(np.atleast_2d(X), np.float32)
+        Q, T, N, d = X32.shape[0], self.T, self.N, self.d
+        live = np.nonzero(self.root >= 0)[0]
+        L = len(live)
+        if Q == 0 or L == 0:
+            return np.zeros((Q, 0, d), np.float32), np.zeros((Q, 0), np.int64)
+        cutdim, cutval, left, right, parent, bbmin, bbmax, mass = self._flat()
+        qs = np.repeat(np.arange(Q, dtype=np.int64), L)
+        ts = np.tile(live.astype(np.int64), Q)
+        addr = ts * N + self.root[ts].astype(np.int64)
+        active = np.arange(Q * L)
+        while len(active):
+            a = addr[active]
+            at_leaf = cutdim[a] < 0
+            stepping = active[~at_leaf]
+            if len(stepping):
+                a2 = addr[stepping]
+                cd2 = cutdim[a2].astype(np.int64)
+                xv = X32[qs[stepping], cd2]
+                goleft = xv <= cutval[a2]
+                child = np.where(goleft, left[a2], right[a2]).astype(np.int64)
+                addr[stepping] = ts[stepping] * N + child
+            active = stepping
+        return (
+            bbmin[addr].reshape(Q, L, d),
+            mass[addr].reshape(Q, L).astype(np.int64),
+        )
+
     def score(
         self,
         X: np.ndarray,

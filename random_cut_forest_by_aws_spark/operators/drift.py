@@ -352,6 +352,7 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
             xn = norm.transform(base) if do_norm else base.astype(np.float32)
             if forest.is_output_ready:
                 scores = forest.score(xn)
+                flagged: list[tuple] = []
                 for i, s in enumerate(scores):
                     threshold, grade = th.process(float(s), normalized=do_norm)
                     extras["n_scored"] += 1
@@ -361,16 +362,23 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
                     if extras["win_cnt"] >= cfg.window:
                         close_window(int(seqs[lo + i]))
                     if grade >= cfg.min_emit_grade:
-                        if cfg.use_corrector and corrector is not None:
-                            suppress, _exp = corrector.should_suppress(
-                                forest, xn[i], float(s), float(threshold)
-                            )
-                            if suppress:
-                                continue
+                        flagged.append((i, float(s), float(threshold), float(grade)))
+                if flagged:
+                    if corrector is not None:
+                        idx = np.fromiter((f[0] for f in flagged), np.int64)
+                        thr = np.fromiter((f[2] for f in flagged), np.float64)
+                        sup = corrector.should_suppress_batch(
+                            forest, xn[idx].astype(np.float64), thr
+                        )
+                    else:
+                        sup = np.zeros(len(flagged), bool)
+                    for (i, s, threshold, grade), s_flag in zip(flagged, sup):
+                        if s_flag:
+                            continue
                         extras["n_anomalous"] += 1
                         if seqs[lo + i] > emit_wm:  # suppress replayed rows
                             anomalies.append(
-                                (int(seqs[lo + i]), float(s), float(threshold), float(grade))
+                                (int(seqs[lo + i]), s, threshold, grade)
                             )
             if do_norm and not updated:
                 norm.update(base)
