@@ -321,12 +321,16 @@ class _TreeOps:
         self._free(p)
         d = self.d
         a = g
-        while a != _NULL:  # shrink ancestor boxes bottom-up
-            mass[a] -= 1
+        while a != _NULL:  # shrink ancestor boxes bottom-up (in place:
+            mass[a] -= 1  # internal-node box lists are never aliased)
             ln, rn = left[a], right[a]
             lmin, rmin, lmax, rmax = bbmin[ln], bbmin[rn], bbmax[ln], bbmax[rn]
-            bbmin[a] = [lmin[i] if lmin[i] <= rmin[i] else rmin[i] for i in range(d)]
-            bbmax[a] = [lmax[i] if lmax[i] >= rmax[i] else rmax[i] for i in range(d)]
+            ba, bxa = bbmin[a], bbmax[a]
+            for i in range(d):
+                lv, rv = lmin[i], rmin[i]
+                ba[i] = lv if lv <= rv else rv
+                lv, rv = lmax[i], rmax[i]
+                bxa[i] = lv if lv >= rv else rv
             a = parent[a]
 
 
