@@ -258,9 +258,19 @@ def _q_lsh_cosine(spark, sf_dir):
 
 
 def _q_lang_quality(spark, sf_dir):
+    """Quality score + language ID from the full text_profile operator.
+    The fingerprint column is hash-chained (not SQL-expressible in DuckDB)
+    so the gate projects the SQL-checkable columns; fingerprint itself is
+    pytest-covered (ANSI-safe xxhash64 chain)."""
     from random_cut_forest_by_aws_spark.operators.textqc import text_profile
 
-    return text_profile(_docs(spark, sf_dir))
+    p = text_profile(_docs(spark, sf_dir))
+    return p.select(
+        "doc_id",
+        "n_words",
+        F.round("quality", 6).alias("quality"),
+        "lang_guess",
+    )
 
 
 def _q_rcf_scores_embeddings(spark, sf_dir):
@@ -297,11 +307,22 @@ def _q_sessionize_events(spark, sf_dir):
 
 
 def _q_media_features(spark, sf_dir):
+    """Media decode plumbing over the documents table (payload = utf-8
+    bytes of text): posexploded scalar features, DuckDB-oracle-checkable
+    since the stub decode is deterministic byte math."""
     from random_cut_forest_by_aws_spark.operators.multimodal import (
-        decode_features, synth_media,
+        decode_features, docs_as_media,
     )
 
-    return decode_features(synth_media(spark, 300, seed=42))
+    feats = decode_features(docs_as_media(_docs(spark, sf_dir)), precise=True)
+    return feats.select(
+        "doc_id", "mime", F.posexplode("features").alias("pos", "val")
+    ).select(
+        "doc_id",
+        "mime",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.round("val", 6).alias("val"),
+    )
 
 
 def _q_media_metadata_check(spark, sf_dir):
@@ -374,6 +395,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _STOP_EN = "['the','a','and','of','to','in','is','it','that','for']"
+_STOP_DE = "['der','die','das','und','ist','von','zu','mit','den','nicht']"
+_STOP_FR = "['le','la','et','de','un','une','est','que','pour','dans']"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -406,12 +429,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "referential_orders_customer": """
             SELECT o_custkey, count(*) AS fact_rows FROM orders o
-            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+            WHERE o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
             GROUP BY o_custkey
         """,
         "referential_events_customer": """
             SELECT user_id, count(*) AS fact_rows FROM events e
-            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+            WHERE user_id IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
             GROUP BY user_id
         """,
         "token_invariant_violations": """
@@ -516,5 +541,47 @@ def oracle_sql() -> dict[str, str]:
                                               1e-12) DESC, c.vec_id) AS rank
               FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
             ) WHERE rank <= 10
+        """,
+        "lang_quality_docs": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     len(string_split(text, ' ')) AS nw,
+                     length(text) AS nc,
+                     len(list_filter(string_split(text, ' '),
+                                     w -> list_contains({_STOP_EN}, lower(w))))
+                       / greatest(len(string_split(text, ' ')), 1) AS s_en,
+                     len(list_filter(string_split(text, ' '),
+                                     w -> list_contains({_STOP_DE}, lower(w))))
+                       / greatest(len(string_split(text, ' ')), 1) AS s_de,
+                     len(list_filter(string_split(text, ' '),
+                                     w -> list_contains({_STOP_FR}, lower(w))))
+                       / greatest(len(string_split(text, ' ')), 1) AS s_fr
+              FROM documents)
+            SELECT doc_id,
+                   CAST(nw AS BIGINT) AS n_words,
+                   round(((CASE WHEN nw >= 5 AND nw <= 5000 THEN 1.0 ELSE 0.0 END)
+                        + (CASE WHEN (nc - (nw - 1)) / greatest(nw, 1) >= 2.0
+                                 AND (nc - (nw - 1)) / greatest(nw, 1) <= 12.0
+                                THEN 1.0 ELSE 0.0 END)
+                        + (CASE WHEN s_en >= 0.02 THEN 1.0 ELSE 0.0 END)) / 3.0,
+                         6) AS quality,
+                   CASE WHEN s_fr > greatest(s_en, s_de, 0.0) THEN 'fr'
+                        WHEN s_de > greatest(s_en, 0.0) THEN 'de'
+                        WHEN s_en > 0.0 THEN 'en'
+                        ELSE 'und' END AS lang_guess
+            FROM t
+        """,
+        "media_decode_features": """
+            SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+                   CASE length(d.text) % 3 WHEN 0 THEN 'image/png'
+                                           WHEN 1 THEN 'audio/wav'
+                                           ELSE 'video/mp4' END AS mime,
+                   j.pos AS pos,
+                   round(len(list_filter(range(1, length(d.text) + 1),
+                                         i -> ascii(substr(d.text, CAST(i AS INT), 1))
+                                              % 16 = j.pos))
+                         / length(d.text), 6) AS val
+            FROM documents d
+            CROSS JOIN (SELECT unnest(range(16)) AS pos) j
         """,
     }

@@ -49,8 +49,11 @@ class RCFCaster:
     def process(self, value: float) -> dict | None:
         """Consume one value; return the calibrated forecast (or None
         while the shingle window is still filling)."""
-        # settle errors for forecasts that predicted this tick
-        for h, pred in self._pending.pop(self._tick, []):
+        # settle errors for forecasts that predicted this tick. This value
+        # is the (_tick+1)-th: a horizon-h forecast issued at tick T was
+        # keyed T+h+1 with _tick already incremented, so it realizes when
+        # the pre-increment _tick reads T+h — i.e. key _tick+1 here.
+        for h, pred in self._pending.pop(self._tick + 1, []):
             self.calib.observe(h, 0, value - pred)
         self._window.append(float(value))
         if len(self._window) > self.shingle_size:

@@ -339,14 +339,32 @@ def summarize(
             sel = P[assign == ci]
             if len(sel):
                 C[ci] = np.median(sel, axis=0)
-    # merge close centers (separation ratio 0.8)
+    # merge insufficiently-separated centers (Summarizer.java separation-
+    # ratio semantics): two clusters merge when the distance between their
+    # centers is below 0.8 × the sum of their intra-cluster radii — a
+    # separation criterion, invariant to where the clusters sit in space.
     dist = np.stack([np.abs(P - c).sum(1) for c in C])
     assign = dist.argmin(0)
-    weights = np.array([W[assign == ci].sum() for ci in range(len(C))])
-    keep = []
+    weights = np.array([W[assign == ci].sum() for ci in range(len(C))], np.float64)
+    radii = np.array(
+        [
+            np.abs(P[assign == ci] - C[ci]).sum(1).mean() if (assign == ci).any() else 0.0
+            for ci in range(len(C))
+        ]
+    )
+    keep: list[int] = []
+    merged_w = weights.copy()
     for ci in np.argsort(-weights):
-        c = C[ci]
-        if all(np.abs(c - C[kj]).sum() > 0.8 * np.abs(C).sum(1).mean() * 0.1
-               for kj in keep):
+        target = next(
+            (
+                kj
+                for kj in keep
+                if np.abs(C[ci] - C[kj]).sum() <= 0.8 * (radii[ci] + radii[kj])
+            ),
+            None,
+        )
+        if target is None:
             keep.append(ci)
-    return {"centers": C[keep], "weights": weights[keep]}
+        else:
+            merged_w[target] += merged_w[ci]
+    return {"centers": C[keep], "weights": merged_w[keep]}

@@ -91,28 +91,51 @@ def media_metadata_violations(df: DataFrame) -> DataFrame:
 _FEAT_DIM = 16
 
 
-def _decode_stub(payload: bytes, mime: str) -> np.ndarray:
-    """STUB decoder: deterministic 16-d byte-histogram 'embedding'.
+def docs_as_media(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Adapter: a text table as a media table (payload = utf-8 bytes of
+    the text, mime label derived from the text length). Deterministic and
+    SQL-reproducible byte content — this is what lets the media decode
+    plumbing be oracle-checked against DuckDB byte math over the same
+    parquet table instead of staying a rows-only sketch check."""
+    mime = F.element_at(
+        F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("video/mp4")),
+        (F.pmod(F.length(F.col(text_col)), F.lit(3)) + 1).cast("int"),
+    )
+    return docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        mime.alias("mime"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+    )
 
-    Replace with a real decoder (PIL / torchaudio / pyav) in production —
-    NotImplementedError semantics are intentionally NOT raised here so the
-    Spark plumbing stays exercisable end-to-end in this container.
+
+def _decode_stub(payload: bytes, mime: str) -> np.ndarray:
+    """STUB decoder: deterministic 16-d byte-histogram 'embedding'
+    (float64; callers cast). Replace with a real decoder (PIL /
+    torchaudio / pyav) in production — NotImplementedError semantics are
+    intentionally NOT raised here so the Spark plumbing stays exercisable
+    end-to-end in this container.
     """
     arr = np.frombuffer(payload or b"\x00", np.uint8)
     hist = np.bincount(arr % _FEAT_DIM, minlength=_FEAT_DIM).astype(np.float64)
-    return (hist / max(arr.size, 1)).astype(np.float32)
+    return hist / max(arr.size, 1)
 
 
-def decode_features(df: DataFrame, batch_size: int = 1024) -> DataFrame:
+def decode_features(df: DataFrame, batch_size: int = 1024, precise: bool = False) -> DataFrame:
     """binary payload → float feature vector via mapInPandas (Arrow
     batches; payloads never land in driver memory; executors stream
-    batches of ``batch_size`` rows)."""
-    out_schema = "doc_id string, mime string, features array<float>"
+    batches of ``batch_size`` rows). ``precise=True`` keeps float64
+    features (exact p/q rationals — oracle-comparable); default float32
+    matches production embedding width."""
+    ftype = "double" if precise else "float"
+    out_schema = f"doc_id string, mime string, features array<{ftype}>"
+    np_t = np.float64 if precise else np.float32
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _decode_stub(p, m).tolist()
+                _decode_stub(p, m).astype(np_t).tolist()
                 for p, m in zip(pdf["payload"], pdf["mime"])
             ]
             yield pd.DataFrame(
@@ -137,7 +160,9 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
                 step = max(1, len(b) // n_frames)
                 for k in range(n_frames):
                     seg = bytes(b[k * step : (k + 1) * step]) or b"\x00"
-                    rows.append((doc_id, k, _decode_stub(seg, "frame").tolist()))
+                    rows.append(
+                        (doc_id, k, _decode_stub(seg, "frame").astype(np.float32).tolist())
+                    )
             yield pd.DataFrame(rows, columns=["doc_id", "frame", "features"])
 
     return df.filter(F.col("mime") == "video/mp4").select("doc_id", "payload").mapInPandas(

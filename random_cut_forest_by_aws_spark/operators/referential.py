@@ -31,9 +31,12 @@ def referential_violations(
     """
     dim_keys = list(dim_keys or fact_keys)
     fact_keys = list(fact_keys)
+    not_null = F.lit(True)
+    for k in fact_keys:  # SQL FK semantics: null FKs are ignored, not violations
+        not_null = not_null & F.col(k).isNotNull()
     fk_counts = (
         fact.select(*fact_keys)
-        .filter(F.struct(*fact_keys).isNotNull())
+        .filter(not_null)
         .groupBy(*fact_keys)
         .agg(F.count(F.lit(1)).alias("fact_rows"))
     )

@@ -66,6 +66,9 @@ def column_stats(
             F.sum(c).alias(f"{col}_sum"),
         ]
     for col in key_cols:
+        # key-col null count: countDistinct ignores nulls, so a not-null
+        # verdict must come from its own aggregate
+        aggs.append((F.count(F.lit(1)) - F.count(F.col(col))).alias(f"{col}_nulls"))
         if exact_distinct:
             aggs.append(F.countDistinct(F.col(col)).alias(f"{col}_cardinality"))
         else:

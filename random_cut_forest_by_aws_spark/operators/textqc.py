@@ -79,13 +79,14 @@ def token_counts(text_col: str = "text") -> list[Column]:
 
 
 def doc_fingerprint(text_col: str = "text", seed: int = 42) -> Column:
-    """Order-sensitive rolling hash over words (polynomial accumulate) —
-    deterministic 64-bit content fingerprint."""
+    """Order-sensitive rolling hash over words — deterministic 64-bit
+    content fingerprint. Chains ``xxhash64(acc, word)`` instead of doing
+    polynomial arithmetic so it is ANSI-safe (no long overflow)."""
     words = F.split(F.col(text_col), " ")
     return F.aggregate(
         words,
         F.lit(seed).cast("long"),
-        lambda acc, w: acc * F.lit(31) + F.xxhash64(w),
+        lambda acc, w: F.xxhash64(acc, w),
     )
 
 

@@ -158,9 +158,23 @@ class ValidationSuite:
                 ).alias("detail"),
             )
         )
+        # key-column not-null: based on the key columns' own null counts
+        # (n_tok_nulls tests a different column and was a false negative)
+        key_nulls = sum(
+            (F.col(f"{k}_nulls") for k in cfg.key_cols), F.lit(0)
+        ).cast("long")
         verdict_dfs.append(
             stats.select(
                 F.lit("doc_id_not_null").alias("check"),
+                F.col(cfg.group_col).cast("string").alias("scope"),
+                (key_nulls == 0).alias("passed"),
+                key_nulls.alias("violation_count"),
+                F.lit(f"null count over keys {list(cfg.key_cols)}").alias("detail"),
+            )
+        )
+        verdict_dfs.append(
+            stats.select(
+                F.lit("n_tok_not_null").alias("check"),
                 F.col(cfg.group_col).cast("string").alias("scope"),
                 (F.col(f"{cfg.n_tok_col}_nulls") == 0).alias("passed"),
                 F.col(f"{cfg.n_tok_col}_nulls").cast("long").alias("violation_count"),

@@ -56,3 +56,23 @@ def test_caster_forecasts_level_with_calibration():
     assert np.all(out["lower"] <= out["values"])
     assert all(np.isfinite(r) for r in out["rmse"])
     assert out["rmse"][0] < 0.5
+
+
+def test_caster_settles_forecast_at_issue_tick_plus_horizon():
+    """A horizon-h forecast issued at tick T predicts value #(T+h+1) and
+    must be scored against exactly that value when it arrives (the
+    pre-fix code popped one tick late, scoring against value #(T+h+2))."""
+    caster = RCFCaster(shingle_size=2, horizon=2, num_trees=5,
+                       sample_size=32, time_decay=0.0, seed=1, calibrate=False)
+    for v in range(120):  # deterministic ramp so forecasts exist
+        caster.process(float(v))
+    T = caster._tick
+    assert T + 1 in caster._pending  # next value realizes these forecasts
+    expected = [(h, 999.0 - pred) for h, pred in caster._pending[T + 1]]
+    seen: list[tuple[int, float]] = []
+    caster.calib.observe = lambda h, d, e: seen.append((h, e))
+    caster.process(999.0)
+    assert len(seen) == len(expected) > 0
+    for (h_got, e_got), (h_exp, e_exp) in zip(seen, expected):
+        assert h_got == h_exp
+        assert abs(e_got - e_exp) < 1e-9

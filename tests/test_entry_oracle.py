@@ -70,3 +70,20 @@ def test_entry_smoke(spark):
     pdf = df.toPandas()
     assert len(pdf) > 0
     assert {"check", "scope", "passed"} <= set(pdf.columns)
+
+
+def test_doc_fingerprint_ansi_safe(spark):
+    """fingerprint must evaluate under ANSI mode (xxhash64 chain, no
+    arithmetic overflow) and discriminate distinct documents."""
+    from random_cut_forest_by_aws_spark.operators.textqc import text_profile
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    with_ansi = spark.conf.get("spark.sql.ansi.enabled", None)
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        pdf = text_profile(docs).select("doc_id", "fingerprint").toPandas()
+    finally:
+        if with_ansi is not None:
+            spark.conf.set("spark.sql.ansi.enabled", with_ansi)
+    assert pdf["fingerprint"].notna().all()
+    assert pdf["fingerprint"].nunique() > 400

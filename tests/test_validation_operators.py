@@ -56,6 +56,46 @@ def test_column_stats_cardinality(seqs):
         assert row["n_tok_sum"] == grp["n_tok"].sum()
 
 
+def test_column_stats_key_nulls(seqs):
+    """Key-column null counts must reflect planted NULL doc_ids (the
+    doc_id_not_null verdict is based on these, not on n_tok_nulls)."""
+    got = column_stats(
+        seqs, ["n_tok"], key_cols=["doc_id"], group_by=["source"]
+    ).toPandas()
+    pdf = seqs.toPandas()
+    assert got["doc_id_nulls"].sum() == pdf["doc_id"].isna().sum() > 0
+    for _, row in got.iterrows():
+        grp = pdf[pdf["source"] == row["source"]]
+        assert row["doc_id_nulls"] == grp["doc_id"].isna().sum()
+
+
+def test_suite_flags_planted_null_doc_ids(spark, seqs):
+    """End-to-end: the suite's doc_id_not_null check must FAIL on the
+    fixture's planted nulls (was a false negative: it tested n_tok)."""
+    from random_cut_forest_by_aws_spark.operators.drift import DriftConfig
+    from random_cut_forest_by_aws_spark.plans import SuiteConfig, ValidationSuite
+
+    cfg = SuiteConfig(
+        drift=DriftConfig(num_trees=5, sample_size=16, window=8,
+                          min_baseline_windows=2, buckets=1, chunk_size=256)
+    )
+    verdicts = ValidationSuite(spark, cfg).run(seqs).verdicts.toPandas()
+    nn = verdicts[verdicts["check"] == "doc_id_not_null"]
+    assert len(nn) > 0
+    assert not nn["passed"].all()
+    assert nn["violation_count"].sum() > 0
+
+
+def test_referential_ignores_null_fks(spark, seqs):
+    """SQL FK semantics: a NULL FK is not a violation."""
+    dim = sources_dim(spark, missing="__none__")
+    with_nulls = seqs.withColumn(
+        "source", F.when(F.col("seq") % 100 == 0, F.lit(None)).otherwise(F.col("source"))
+    )
+    viol = referential_violations(with_nulls, dim, ["source"]).toPandas()
+    assert len(viol) == 0
+
+
 def test_uniqueness_oracle(seqs):
     got = uniqueness_violations(seqs, ["doc_id"]).toPandas()
     pdf = seqs.toPandas()
