@@ -219,13 +219,25 @@ def _q_ann_cosine(spark, sf_dir):
     )
 
 
-# ---- sketch-based ops: rows-only checks (no SQL equivalent) ----------- #
 def _q_minhash_candidates(spark, sf_dir):
-    from random_cut_forest_by_aws_spark.operators.dedup import minhash_candidates
+    """MinHash LSH candidates verified with exact n-gram Jaccard. Emitting
+    the (id_a, id_b, jaccard ≥ 0.5) pairs makes the sketch oracle-checkable:
+    DuckDB computes ALL pairs with jaccard ≥ 0.5, so a hash-match proves the
+    banded candidate generation achieved full recall at that similarity
+    (the S-curve with 32 hashes / 8 bands centers at s ≈ 0.56)."""
+    from random_cut_forest_by_aws_spark.operators.dedup import (
+        minhash_candidates, ngram_jaccard,
+    )
 
-    return minhash_candidates(_docs(spark, sf_dir))
+    docs = _docs(spark, sf_dir)
+    cand = minhash_candidates(docs).select("id_a", "id_b")
+    j = ngram_jaccard(docs, cand, shingle_k=3)
+    return j.filter(F.col("jaccard") >= 0.5).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
 
 
+# ---- sketch-based ops: rows-only checks (no SQL equivalent) ----------- #
 def _q_simhash(spark, sf_dir):
     from random_cut_forest_by_aws_spark.operators.dedup import simhash
 
@@ -248,13 +260,21 @@ def _q_ivf_cosine_full(spark, sf_dir):
 
 
 def _q_lsh_cosine(spark, sf_dir):
+    """Multi-probe LSH ANN (rows-only: the retrieved set depends on the
+    hyperplane hashes, not SQL-reproducible). Recall is asserted in
+    tests/test_similarity.py on clustered fixtures; this fixture's
+    embeddings are isotropic, where bucketing cannot retain recall."""
     from random_cut_forest_by_aws_spark.operators.similarity import lsh_cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_cosine_topk(emb, queries, dim=64, k=10, bits=8)
+    out = lsh_cosine_topk(emb, queries, dim=64, k=10, bits=8)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 5).alias("cosine"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
 
 
 def _q_lang_quality(spark, sf_dir):
@@ -541,6 +561,23 @@ def oracle_sql() -> dict[str, str]:
                                               1e-12) DESC, c.vec_id) AS rank
               FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
             ) WHERE rank <= 10
+        """,
+        "minhash_candidates_docs": """
+            WITH s AS (
+              SELECT doc_id,
+                     list_distinct(
+                       CASE WHEN len(string_split(text, ' ')) < 3
+                            THEN [text]
+                            ELSE [array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                                  FOR i IN range(1, len(string_split(text, ' ')) - 1)]
+                       END) AS sh
+              FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.sh, b.sh))
+                         / greatest(len(list_distinct(a.sh || b.sh)), 1), 6) AS jaccard
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh))
+                  / greatest(len(list_distinct(a.sh || b.sh)), 1) >= 0.5
         """,
         "lang_quality_docs": f"""
             WITH t AS (

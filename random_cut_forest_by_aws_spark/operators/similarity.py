@@ -19,6 +19,35 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Exact top-k per query without a single-partition-per-query window.
+
+    Phase 1 (narrow map, zero shuffle): per Arrow batch, keep each query's
+    top-k by the total order (cosine desc, vec_id asc) — the top-k of a
+    union is the top-k of per-batch top-ks, so this is lossless.
+    Phase 2: rank the surviving ≤ k·batches·queries rows with the window.
+    At 100× scale the window input stays bounded instead of pulling every
+    scored corpus row for a query into one task."""
+    import pandas as pd  # noqa: F401  (executor-side)
+
+    cols = scored.columns
+
+    def partial(batches):
+        for pdf in batches:
+            if len(pdf):
+                pdf = pdf.sort_values(
+                    ["query_id", "cosine", "vec_id"],
+                    ascending=[True, False, True],
+                    kind="mergesort",
+                )
+                pdf = pdf.groupby("query_id", sort=False).head(k)
+            yield pdf[cols]
+
+    pruned = scored.mapInPandas(partial, scored.schema)
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return pruned.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -54,11 +83,7 @@ def cosine_topk(
             / F.greatest(_norm(F.col("_qv")) * _norm(F.col("_cv")), F.lit(1e-12))
         ).alias("cosine"),
     )
-    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _rank_topk(scored, k)
 
 
 def hyperplane_sketch(vec_col: str, dim: int, bits: int = 16, seed: int = 42) -> Column:
@@ -160,8 +185,7 @@ def ivf_cosine_topk(
             / F.greatest(_norm(F.col("_qv")) * _norm(F.col("_cv")), F.lit(1e-12))
         ).alias("cosine"),
     )
-    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _rank_topk(scored, k)
 
 
 def lsh_cosine_topk(
@@ -169,8 +193,8 @@ def lsh_cosine_topk(
     queries: DataFrame,
     dim: int,
     k: int = 10,
-    bits: int = 12,
-    probes: int = 1,
+    bits: int = 8,
+    probes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -178,7 +202,16 @@ def lsh_cosine_topk(
 ) -> DataFrame:
     """Approximate top-k: join on hyperplane-sketch bucket, exact re-score
     inside buckets. ``probes`` > 1 additionally probes buckets at Hamming
-    distance 1 from the query's bucket (multi-probe LSH)."""
+    distance 1 from the query's bucket (multi-probe LSH); the default
+    (``bits + 1``, i.e. the bucket plus every Hamming-1 neighbor) measures
+    recall@10 ≈ 0.9 on clustered data (tests/test_similarity.py) while
+    scanning ~(bits+1)/2^bits of the corpus per query.
+
+    Sign-sketch LSH presumes near neighbors are *angularly* close: on
+    isotropic vectors (no cluster structure) no bucketing scheme can prune
+    and keep recall — use ``ivf_cosine_topk`` or the exact path there."""
+    if probes is None:
+        probes = bits + 1
     sk = hyperplane_sketch(vec_col, dim, bits, seed)
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"), sk.alias("_b"))
     qsk = queries.select(
@@ -201,6 +234,5 @@ def lsh_cosine_topk(
             _dot(F.col("_qv"), F.col("_cv"))
             / F.greatest(_norm(F.col("_qv")) * _norm(F.col("_cv")), F.lit(1e-12))
         ).alias("cosine"),
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    )  # probed buckets are distinct, so each (query, vec) joins at most once
+    return _rank_topk(scored, k)

@@ -1,0 +1,115 @@
+"""Dedup operators: exact, MinHash+LSH candidates, SimHash, Jaccard.
+
+The near-dup fixture plants perturbed copies of base documents so both
+sketches have ground truth: planted pairs must surface as candidates /
+small Hamming distances, random pairs must not.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from random_cut_forest_by_aws_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_candidates,
+    ngram_jaccard,
+    simhash,
+    simhash_candidates,
+    word_shingles,
+)
+
+# 500-word vocabulary: random docs share little vocabulary (so their
+# SimHash sign-sums decorrelate) while planted pairs stay near-identical
+WORDS = [f"w{i:03d}" for i in range(500)]
+
+
+@pytest.fixture(scope="module")
+def neardup_docs(spark):
+    """200 random docs + 10 planted near-dup pairs (one word swapped in a
+    40-word doc → Jaccard ≈ 0.93) + 2 exact dup pairs."""
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(200):
+        n = rng.integers(20, 60)
+        rows.append((i, " ".join(rng.choice(WORDS, n))))
+    base_id = 1000
+    for p in range(10):  # near-dups: ids 1000+2p ~ 1000+2p+1
+        words = list(rng.choice(WORDS, 40))
+        rows.append((base_id + 2 * p, " ".join(words)))
+        mutated = list(words)
+        mutated[rng.integers(40)] = "zulu"
+        rows.append((base_id + 2 * p + 1, " ".join(mutated)))
+    rows.append((2000, rows[0][1]))  # exact dups of doc 0 and doc 1
+    rows.append((2001, rows[1][1]))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string").cache()
+    df.count()
+    return df
+
+
+PLANTED = {(1000 + 2 * p, 1000 + 2 * p + 1) for p in range(10)}
+
+
+def test_exact_duplicates(neardup_docs):
+    got = exact_duplicates(neardup_docs, ["text"]).toPandas()
+    assert len(got) == 2
+    assert (got["dup_count"] == 2).all()
+
+
+def test_minhash_finds_planted_neardups(neardup_docs):
+    cand = minhash_candidates(neardup_docs).toPandas()
+    pairs = {(int(a), int(b)) for a, b in zip(cand["id_a"], cand["id_b"])}
+    assert PLANTED <= pairs  # full recall on planted pairs (jaccard ≈ .93)
+    # exact dups collide in every band
+    assert (0, 2000) in pairs and (1, 2001) in pairs
+
+
+def test_ngram_jaccard_values(spark, neardup_docs):
+    pairs = spark.createDataFrame(
+        sorted(PLANTED) + [(0, 1000)], "id_a bigint, id_b bigint"
+    )
+    j = ngram_jaccard(neardup_docs, pairs).toPandas().set_index(["id_a", "id_b"])
+    for p in PLANTED:
+        assert j.loc[p, "jaccard"] > 0.8  # one word swapped in 40
+    assert j.loc[(0, 1000), "jaccard"] < 0.3  # unrelated docs
+
+
+def test_simhash_hamming_self_oracle(neardup_docs):
+    """Near-dup pairs must sit at small Hamming distance; random pairs
+    around 32/64 bits (the SimHash contract)."""
+    fp = simhash(neardup_docs).toPandas().set_index("doc_id")["simhash"]
+
+    def ham(a, b):
+        return bin((int(a) ^ int(b)) & ((1 << 64) - 1)).count("1")
+
+    planted_d = [ham(fp[a], fp[b]) for a, b in PLANTED]
+    rng = np.random.default_rng(3)
+    rand_d = [
+        ham(fp[int(a)], fp[int(b)])
+        for a, b in zip(rng.integers(0, 200, 50), rng.integers(0, 200, 50))
+        if a != b
+    ]
+    assert max(planted_d) <= 12
+    assert np.mean(rand_d) > 20
+    assert np.mean(planted_d) < np.mean(rand_d) / 2
+
+
+def test_simhash_exact_dup_identical(neardup_docs):
+    fp = simhash(neardup_docs).toPandas().set_index("doc_id")["simhash"]
+    assert fp[0] == fp[2000]
+    assert fp[1] == fp[2001]
+
+
+def test_simhash_candidates_banding(neardup_docs):
+    sims = simhash(neardup_docs)
+    cand = simhash_candidates(sims).toPandas()
+    pairs = {(int(a), int(b)) for a, b in zip(cand["id_a"], cand["id_b"])}
+    assert (0, 2000) in pairs and (1, 2001) in pairs  # identical fingerprints
+
+
+def test_word_shingles_short_docs(spark):
+    df = spark.createDataFrame([("a b",), ("a b c d",)], "text string")
+    got = df.select(word_shingles("text", 3).alias("sh")).toPandas()["sh"]
+    assert list(got[0]) == ["a b"]
+    assert list(got[1]) == ["a b c", "b c d"]
