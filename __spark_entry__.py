@@ -368,6 +368,34 @@ def _q_drift_sequences(spark, sf_dir):
     return drift_verdicts(drift_scores(feat, cfg=cfg), cfg=cfg)
 
 
+def _q_drift_impute_events(spark, sf_dir):
+    """STREAMING_IMPUTE mode over a gapped per-type event stream: every
+    third event dropped, gaps grid-filled (linear) before the forest
+    update; imputed rows maintain state but never emit anomalies.
+    Rows-only (RCF-sketch output)."""
+    from random_cut_forest_by_aws_spark.operators.drift import (
+        DriftConfig, drift_scores,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    seqd = e.withColumn("seq", F.row_number().over(w).cast("long"))
+    gapped = seqd.filter(F.pmod(F.col("seq"), F.lit(3)) != 0).select(
+        "event_type", "seq", F.array(F.col("value").cast("double")).alias("features")
+    )
+    cfg = DriftConfig(num_trees=10, sample_size=64, chunk_size=512,
+                      window=64, min_baseline_windows=3,
+                      mode="streaming_impute", impute_method="linear")
+    raw = drift_scores(gapped, "features", ("event_type",), "seq", cfg)
+    return raw.filter(F.col("row_kind") == "summary").select(
+        "event_type",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_scored").cast("bigint").alias("n_scored"),
+        F.col("n_imputed").cast("bigint").alias("n_imputed"),
+        F.round("mean_score", 4).alias("mean_score"),
+    )
+
+
 def _q_suite_verdicts(spark, sf_dir):
     from random_cut_forest_by_aws_spark.operators.drift import DriftConfig
     from random_cut_forest_by_aws_spark.plans import SuiteConfig, ValidationSuite
@@ -410,6 +438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_features": _q_media_features,
         "media_metadata_check": _q_media_metadata_check,
         "drift_verdicts_sequences": _q_drift_sequences,
+        "drift_impute_events": _q_drift_impute_events,
         "validation_suite_verdicts": _q_suite_verdicts,
     }
 

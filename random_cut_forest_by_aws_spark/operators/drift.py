@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import hashlib
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 import numpy as np
 from pyspark.sql import DataFrame
@@ -57,9 +57,28 @@ class DriftConfig:
     norm_discount: float = 0.0  # cumulative stats ⇒ stable baseline coords
     clip_factor: float = 100.0
     # TransformMethod parity (config/TransformMethod.java): 'none',
-    # 'normalize', 'difference', 'normalize_difference'. ``normalize``
-    # above is kept for back-compat and means 'normalize' when True.
+    # 'normalize', 'difference', 'normalize_difference', 'weighted'
+    # (WeightedTransformer.java:44,174), 'subtract_ma'
+    # (SubtractMATransformer.java — discounted moving average removed).
+    # ``normalize`` above is kept for back-compat and means 'normalize'
+    # when True.
     transform: str | None = None
+    transform_weights: tuple | None = None  # WEIGHTED: per-dim multipliers
+    # ForestMode parity (config/ForestMode.java): 'standard',
+    # 'time_augmented' (the order_col gap appended as an extra feature
+    # dimension, Preprocessor.java:53-90 — catches cadence shifts in
+    # irregular streams), 'streaming_impute' (grid gaps filled before
+    # update, ImputePreprocessor.java:39).
+    mode: str = "standard"
+    expected_step: int = 1  # expected order_col cadence between rows
+    # ImputationMethod parity (config/ImputationMethod.java):
+    # zero | fixed | previous | next | linear | rcf
+    impute_method: str = "previous"
+    impute_fixed: tuple | None = None  # FIXED fill values
+    max_gap_fill: int = 64  # cap imputed points per gap (memory guard)
+    # useImputedFraction gate (Preprocessor.java:84): stop updating the
+    # forest while the discounted imputed fraction exceeds this.
+    max_imputed_frac: float = 0.5
     # windowed drift verdict: flag a window when its mean score exceeds the
     # baseline of window means by drift_z deviations (with a relative floor)
     window: int = 256
@@ -98,9 +117,10 @@ class _Normalizer:
     weight' = weight·f^B + (1−f^B)/(1−f), sum' = sum·f^B + Σ x_i·f^{B−1−i}.
     """
 
-    def __init__(self, dim: int, discount: float, clip: float):
+    def __init__(self, dim: int, discount: float, clip: float, mean_only: bool = False):
         self.discount = discount
         self.clip = clip
+        self.mean_only = mean_only  # SUBTRACT_MA: y = x − discounted mean
         self.weight = 0.0
         self.sum = np.zeros(dim)
         self.sumsq = np.zeros(dim)
@@ -109,6 +129,8 @@ class _Normalizer:
         if self.weight <= 0:
             return np.zeros_like(X, np.float32)
         m = self.sum / self.weight
+        if self.mean_only:
+            return (X - m).astype(np.float32)
         v = np.maximum(self.sumsq / self.weight - m * m, 0.0)
         dev = np.sqrt(v)
         y = (X - m) / (2.0 * (dev + 1e-9))
@@ -141,6 +163,68 @@ class _Normalizer:
         self.sumsq = s["nsumsq"].copy()
 
 
+def _gap_fill(
+    X: np.ndarray,
+    seqs: np.ndarray,
+    imputed: np.ndarray,
+    anchor_seq: int | None,
+    anchor_x: np.ndarray | None,
+    fill_from: int,
+    cfg: "DriftConfig",
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """STREAMING_IMPUTE gap filling (ImputePreprocessor.java:39): insert
+    imputed rows on the expected ``order_col`` grid wherever consecutive
+    rows (from index ``fill_from`` on; earlier rows are a replayed
+    checkpoint tail that was already filled) are more than ``expected_step``
+    apart. ``anchor_seq/anchor_x`` extend the grid across a resume
+    boundary. Values per cfg.impute_method; 'rcf' rows are marked for
+    lazy forest-conditional resolution at chunk time."""
+    step = cfg.expected_step
+    prev_seq = anchor_seq
+    prev_x = anchor_x
+    out_X: list[np.ndarray] = []
+    out_seq: list[int] = []
+    out_imp: list[bool] = []
+    fixed = (
+        np.asarray(cfg.impute_fixed, np.float64)
+        if cfg.impute_fixed is not None
+        else np.zeros(X.shape[1])
+    )
+    for i in range(len(X)):
+        if i >= fill_from and prev_seq is not None:
+            n_missing = int((seqs[i] - prev_seq) // step) - 1
+            n_fill = min(max(n_missing, 0), cfg.max_gap_fill)
+            for g in range(n_fill):
+                gseq = int(prev_seq + (g + 1) * step)
+                frac = (g + 1) / (n_missing + 1)
+                m = cfg.impute_method
+                if m == "zero":
+                    val = np.zeros(X.shape[1])
+                elif m == "fixed":
+                    val = fixed
+                elif m == "next":
+                    val = X[i]
+                elif m == "linear":
+                    base = prev_x if prev_x is not None else X[i]
+                    val = base + frac * (X[i] - base)
+                else:  # previous | rcf (rcf resolved lazily at chunk time)
+                    val = prev_x if prev_x is not None else X[i]
+                out_X.append(np.asarray(val, np.float64))
+                out_seq.append(gseq)
+                out_imp.append(True)
+        out_X.append(X[i])
+        out_seq.append(int(seqs[i]))
+        out_imp.append(bool(imputed[i]))
+        prev_seq, prev_x = int(seqs[i]), X[i]
+    if not out_X:
+        return X, seqs, imputed
+    return (
+        np.stack(out_X),
+        np.asarray(out_seq, np.int64),
+        np.asarray(out_imp, bool),
+    )
+
+
 def _checkpoint_path(ckpt_dir: str, key: tuple) -> str:
     tag = hashlib.blake2b("\x1f".join(str(k) for k in key).encode(), digest_size=12).hexdigest()
     return os.path.join(ckpt_dir, f"group-{tag}.npz")
@@ -153,6 +237,7 @@ def _state_dict(
     extras: dict,
     buf_X: np.ndarray,
     buf_seqs: np.ndarray,
+    buf_imp: np.ndarray | None = None,
 ) -> dict:
     """Serialize (forest, thresholder, normalizer, counters) as of a chunk
     boundary, plus the replay buffer of post-boundary rows. The buffer is
@@ -177,12 +262,12 @@ def _state_dict(
     state["extras"] = np.array(
         [extras.get("last_seq", -1), extras.get("n_rows", 0), extras.get("n_scored", 0),
          extras.get("n_anomalous", 0), extras.get("n_windows", 0),
-         extras.get("n_drifted_windows", 0)],
+         extras.get("n_drifted_windows", 0), extras.get("n_imputed", 0)],
         np.int64,
     )
     state["extras_f"] = np.array(
         [extras.get("score_sum", 0.0), extras.get("win_sum", 0.0),
-         extras.get("win_cnt", 0.0)]
+         extras.get("win_cnt", 0.0), extras.get("imp_ema", 0.0)]
     )
     state["baseline"] = np.array(extras["baseline"].to_state())
     state["tlast"] = np.asarray(
@@ -195,6 +280,11 @@ def _state_dict(
         else np.zeros((0, forest.d), np.float64)
     )
     state["buf_seqs"] = np.asarray(buf_seqs, np.int64)
+    state["buf_imp"] = (
+        np.asarray(buf_imp, np.int8)
+        if buf_imp is not None
+        else np.zeros(n_buf, np.int8)
+    )
     return state
 
 
@@ -234,9 +324,11 @@ def _load_group_state(path_or_file):
         "n_anomalous": int(state["extras"][3]),
         "n_windows": int(state["extras"][4]),
         "n_drifted_windows": int(state["extras"][5]),
+        "n_imputed": int(state["extras"][6]) if len(state["extras"]) > 6 else 0,
         "score_sum": float(state["extras_f"][0]),
         "win_sum": float(state["extras_f"][1]),
         "win_cnt": float(state["extras_f"][2]),
+        "imp_ema": float(state["extras_f"][3]) if len(state["extras_f"]) > 3 else 0.0,
         "baseline": Deviation.from_state(state["baseline"]),
     }
     if "tlast" in state:
@@ -253,27 +345,58 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
         pdf = pdf.sort_values(order_col, kind="mergesort")
         X = np.stack(pdf[feature_col].to_numpy()).astype(np.float64)
         seqs = pdf[order_col].to_numpy(np.int64)
+        if cfg.mode == "time_augmented" and len(X):
+            # ForestMode.TIME_AUGMENTED: the order_col gap becomes an extra
+            # feature dimension (Preprocessor.java:53-90) — cadence shifts
+            # in irregular streams then register as anomalies/drift.
+            dt = np.diff(seqs, prepend=seqs[0] - cfg.expected_step).astype(np.float64)
+            X = np.column_stack([X, dt])
         d = X.shape[1]
+        imputed = np.zeros(len(X), bool)
+
+        method = cfg.transform or ("normalize" if cfg.normalize else "none")
+        do_norm = method in ("normalize", "normalize_difference")
+        do_diff = method in ("difference", "normalize_difference")
+        do_sub = method == "subtract_ma"
+        do_weight = method == "weighted"
+        do_stat = do_norm or do_sub  # transforms backed by running stats
+        weights = (
+            np.asarray(cfg.transform_weights, np.float64)
+            if cfg.transform_weights is not None
+            else np.ones(d)
+        )
 
         ckpt = (
             _checkpoint_path(cfg.checkpoint_dir, tuple(key)) if cfg.checkpoint_dir else None
         )
         extras = {
             "last_seq": -1, "n_rows": 0, "n_scored": 0, "n_anomalous": 0,
-            "n_windows": 0, "n_drifted_windows": 0, "score_sum": 0.0,
-            "win_sum": 0.0, "win_cnt": 0.0, "baseline": Deviation(cfg.baseline_discount),
+            "n_windows": 0, "n_drifted_windows": 0, "n_imputed": 0,
+            "score_sum": 0.0, "win_sum": 0.0, "win_cnt": 0.0, "imp_ema": 0.0,
+            "baseline": Deviation(cfg.baseline_discount),
         }
-        norm = _Normalizer(d, cfg.norm_discount if cfg.normalize else 0.0, cfg.clip_factor)
+        norm = _Normalizer(
+            d, cfg.norm_discount if do_stat else 0.0, cfg.clip_factor, mean_only=do_sub
+        )
         emit_wm = -1  # emit only rows with seq > emit_wm
+        n_buf = 0
         if ckpt and os.path.exists(ckpt):
             forest, th, raw, extras = _load_group_state(ckpt)
             norm.load_state(raw)
             emit_wm = extras["last_seq"]
             keep = seqs > emit_wm  # resume: drop rows already processed…
             X, seqs = X[keep], seqs[keep]
+            imputed = np.zeros(len(X), bool)
             if len(raw["buf_seqs"]):  # …but replay the post-boundary tail
+                n_buf = len(raw["buf_seqs"])
                 X = np.vstack([raw["buf_X"], X]) if len(X) else raw["buf_X"]
                 seqs = np.concatenate([raw["buf_seqs"], seqs])
+                buf_imp = (
+                    raw["buf_imp"].astype(bool)
+                    if "buf_imp" in raw
+                    else np.zeros(n_buf, bool)
+                )
+                imputed = np.concatenate([buf_imp, np.zeros(len(X) - n_buf, bool)])
         else:
             forest = RCFForest(
                 d,
@@ -284,11 +407,21 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
             )
             th = BasicThresholder(z_factor=cfg.z_factor)
 
-        method = cfg.transform or ("normalize" if cfg.normalize else "none")
-        do_norm = "normalize" in method
-        do_diff = "difference" in method
         if "tlast" not in extras:
             extras["tlast"] = np.full(d, np.nan)
+
+        if cfg.mode == "streaming_impute" and len(X):
+            # fill grid gaps from the buffer's end onward (earlier rows are
+            # a replayed tail whose gaps the previous run already filled);
+            # across an empty-buffer resume the anchor is the last processed
+            # (seq, value) so the leading gap fills exactly as an
+            # uninterrupted run would.
+            tl = extras["tlast"]
+            anchor_x = None if np.isnan(tl).any() else np.asarray(tl, np.float64)
+            anchor_seq = emit_wm if (emit_wm >= 0 and n_buf == 0) else None
+            X, seqs, imputed = _gap_fill(
+                X, seqs, imputed, anchor_seq, anchor_x, n_buf, cfg
+            )
 
         baseline = extras["baseline"]
         anomalies: list[tuple] = []  # confident per-row violations
@@ -336,24 +469,48 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
             if hi <= lo:
                 return
             chunk = X[lo:hi]
-            if do_diff:  # DifferenceTransformer: x_t − x_{t−1}
+            imp = imputed[lo:hi]
+            if (
+                cfg.mode == "streaming_impute"
+                and cfg.impute_method == "rcf"
+                and imp.any()
+                and forest.is_output_ready
+            ):
+                # lazy RCF imputation with the forest state at chunk start
+                # (chunk-granular analogue of ImputeVisitor-at-gap-time);
+                # deterministic per seq, so resume replays identically.
+                from ..core.queries import impute as rcf_impute
+
+                all_dims = list(range(chunk.shape[1]))
+                for j in np.flatnonzero(imp):
+                    chunk[j] = rcf_impute(
+                        forest, chunk[j], all_dims, seed=int(seqs[lo + j])
+                    )
+            raw_last = chunk[-1].copy()
+            if do_weight:  # WeightedTransformer: per-dim scaling
+                base = chunk * weights[None, :]
+            elif do_diff:  # DifferenceTransformer: x_t − x_{t−1}
                 tl = extras["tlast"]
                 prev_first = chunk[0] if np.isnan(tl).any() else tl
                 base = chunk - np.vstack([prev_first[None, :], chunk[:-1]])
-                extras["tlast"] = chunk[-1].copy()
             else:
                 base = chunk
             updated = False
-            if do_norm and norm.weight <= 0:
+            real = base[~imp] if imp.any() else base
+            if do_stat and norm.weight <= 0:
                 # bootstrap from the first chunk (reference Preprocessor's
-                # startNormalization analogue) — never feed all-zero points
-                norm.update(base)
-                updated = True
-            xn = norm.transform(base) if do_norm else base.astype(np.float32)
+                # startNormalization analogue) — never feed all-zero points;
+                # statistics learn from actual input only, never imputed
+                if len(real):
+                    norm.update(real)
+                    updated = True
+            xn = norm.transform(base) if do_stat else base.astype(np.float32)
             if forest.is_output_ready:
                 scores = forest.score(xn)
                 flagged: list[tuple] = []
                 for i, s in enumerate(scores):
+                    if imp[i]:
+                        continue  # imputed rows maintain state, not signal
                     threshold, grade = th.process(float(s), normalized=do_norm)
                     extras["n_scored"] += 1
                     extras["score_sum"] += float(s)
@@ -380,10 +537,31 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
                             anomalies.append(
                                 (int(seqs[lo + i]), s, threshold, grade)
                             )
-            if do_norm and not updated:
-                norm.update(base)
-            forest.update_batch(xn, seqs=seqs[lo:hi])
+            if do_stat and not updated and len(real):
+                norm.update(real)
+            if imp.any():
+                # useImputedFraction gate (Preprocessor.java:84): the forest
+                # stops learning from imputed rows while the discounted
+                # imputed fraction exceeds the cap — a long outage cannot
+                # collapse the sketch onto its own imputations.
+                f = 1.0 - 1.0 / max(cfg.sample_size, 2)
+                ema = extras["imp_ema"]
+                allowed = np.ones(len(chunk), bool)
+                for i in range(len(chunk)):
+                    if imp[i]:
+                        allowed[i] = ema <= cfg.max_imputed_frac
+                        ema = f * ema + (1.0 - f)
+                    else:
+                        ema = f * ema
+                extras["imp_ema"] = ema
+                extras["n_imputed"] += int(imp.sum())
+                if allowed.any():
+                    forest.update_batch(xn[allowed], seqs=seqs[lo:hi][allowed])
+            else:
+                extras["imp_ema"] *= (1.0 - 1.0 / max(cfg.sample_size, 2)) ** len(chunk)
+                forest.update_batch(xn, seqs=seqs[lo:hi])
             extras["n_rows"] += hi - lo
+            extras["tlast"] = raw_last
 
         chunks = []
         pos = 0
@@ -398,7 +576,9 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
             process(lo, hi)
 
         if ckpt:
-            state = _state_dict(forest, th, norm, extras, X[tail_lo:], seqs[tail_lo:])
+            state = _state_dict(
+                forest, th, norm, extras, X[tail_lo:], seqs[tail_lo:], imputed[tail_lo:]
+            )
             process(tail_lo, B)  # tail: emitted now, replayed next run
             state["extras"][0] = extras["last_seq"] = (
                 int(seqs[-1]) if B else extras["last_seq"]
@@ -412,12 +592,12 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
         keyvals = list(key)
         rows = [
             keyvals + [seq, score, threshold, grade, "anomaly",
-                       0, 0, 0, 0, 0, 0.0]
+                       0, 0, 0, 0, 0, 0, 0.0]
             for seq, score, threshold, grade in anomalies
         ]
         rows += [
             keyvals + [seq, score, threshold, grade, "window",
-                       0, 0, 0, 0, 0, 0.0]
+                       0, 0, 0, 0, 0, 0, 0.0]
             for seq, score, threshold, grade in windows
         ]
         mean_score = (
@@ -427,12 +607,12 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
             keyvals
             + [SUMMARY_SEQ, 0.0, 0.0, 0.0, "summary", extras["n_rows"],
                extras["n_scored"], extras["n_anomalous"], extras["n_windows"],
-               extras["n_drifted_windows"], mean_score]
+               extras["n_drifted_windows"], extras["n_imputed"], mean_score]
         )
         cols = group_cols + [
             order_col, "score", "threshold", "grade", "row_kind",
             "n_rows", "n_scored", "n_anomalous", "n_windows",
-            "n_drifted_windows", "mean_score",
+            "n_drifted_windows", "n_imputed", "mean_score",
         ]
         return pd.DataFrame(rows, columns=cols)
 
@@ -453,7 +633,19 @@ def drift_scores(
     boundary (tokens etc. are pruned before the shuffle).
     """
     cfg = cfg or DriftConfig()
+    if cfg.mode not in ("standard", "time_augmented", "streaming_impute"):
+        raise ValueError(f"unknown ForestMode {cfg.mode!r}")
+    if cfg.impute_method not in ("zero", "fixed", "previous", "next", "linear", "rcf"):
+        raise ValueError(f"unknown ImputationMethod {cfg.impute_method!r}")
+    _METHODS = ("none", "normalize", "difference", "normalize_difference",
+                "weighted", "subtract_ma")
+    if cfg.transform is not None and cfg.transform not in _METHODS:
+        raise ValueError(f"unknown TransformMethod {cfg.transform!r}")
     gcols = list(group_cols)
+    if cfg.mode == "streaming_impute":
+        # gap detection needs the unsalted per-group stream: hashing seqs
+        # into buckets would itself create artificial grid gaps
+        cfg = replace(cfg, buckets=1)
     # salt the (skewed) group key into bounded buckets. With buckets=None
     # the bucket count adapts per group value (ceil(rows/rows_per_bucket),
     # capped): the hot key (web ≈ 80%) splits into many bounded tasks while
@@ -504,7 +696,7 @@ def drift_scores(
         f"{schema_prefix}, {order_col} long, score double, threshold double, "
         "grade double, row_kind string, n_rows long, n_scored long, "
         "n_anomalous long, n_windows long, n_drifted_windows long, "
-        "mean_score double"
+        "n_imputed long, mean_score double"
     )
     fn = _make_drift_fn(key_cols, order_col, feature_col, cfg)
     return bucketed.groupBy(*key_cols).applyInPandas(fn, schema=out_schema)
@@ -520,6 +712,7 @@ def drift_verdicts(raw: DataFrame, group_cols=("source",), cfg: DriftConfig | No
         F.sum("n_anomalous").alias("n_anomalous"),
         F.sum("n_windows").alias("n_windows"),
         F.sum("n_drifted_windows").alias("n_drifted_windows"),
+        F.sum("n_imputed").alias("n_imputed"),
         (F.sum(F.col("mean_score") * F.col("n_scored")) / F.sum("n_scored")).alias(
             "mean_score"
         ),
@@ -535,5 +728,5 @@ def drift_verdicts(raw: DataFrame, group_cols=("source",), cfg: DriftConfig | No
 
 def drift_anomalies(raw: DataFrame) -> DataFrame:
     return raw.filter(F.col("row_kind") == "anomaly").drop(
-        "row_kind", "n_rows", "n_scored", "n_anomalous", "mean_score"
+        "row_kind", "n_rows", "n_scored", "n_anomalous", "n_imputed", "mean_score"
     )

@@ -1,0 +1,169 @@
+"""ForestMode parity (config/ForestMode.java): TIME_AUGMENTED and
+STREAMING_IMPUTE + ImputationMethod, plus the WEIGHTED / SUBTRACT_MA
+transforms (TransformMethod parity). UDF-level tests — fast, no Spark."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from random_cut_forest_by_aws_spark.operators.drift import (
+    DriftConfig,
+    _make_drift_fn,
+)
+
+
+def _run(cfg, X, seqs=None, key=("s", 0)):
+    seqs = np.arange(len(X)) if seqs is None else np.asarray(seqs)
+    pdf = pd.DataFrame(
+        {"source": key[0], "bucket": key[1], "seq": seqs,
+         "features": [np.asarray(r, np.float64) for r in X]}
+    )
+    fn = _make_drift_fn(["source", "bucket"], "seq", "features", cfg)
+    return fn(key, pdf)
+
+
+BASE_KW = dict(num_trees=10, sample_size=32, chunk_size=256, buckets=1,
+               window=32, min_baseline_windows=3, use_corrector=False)
+
+
+# --------------------------------------------------------------------- #
+# transforms
+# --------------------------------------------------------------------- #
+def test_weighted_transform_equals_prescaled_input():
+    """WEIGHTED == running NONE on x*w: same forest seed ⇒ identical
+    scores, anomalies and summary (WeightedTransformer.java:44,174)."""
+    rng = np.random.default_rng(5)
+    X = rng.normal(0, 1, size=(2000, 3))
+    w = (2.0, 0.5, 1.0)
+    out_w = _run(DriftConfig(**BASE_KW, transform="weighted", transform_weights=w,
+                             normalize=False), X)
+    out_pre = _run(DriftConfig(**BASE_KW, transform="none", normalize=False),
+                   X * np.asarray(w))
+    sw = out_w[out_w.row_kind == "summary"].iloc[0]
+    sp = out_pre[out_pre.row_kind == "summary"].iloc[0]
+    assert sw.n_scored == sp.n_scored
+    assert sw.n_anomalous == sp.n_anomalous
+    assert abs(sw.mean_score - sp.mean_score) < 1e-12
+    aw = out_w[out_w.row_kind == "anomaly"].sort_values("seq")
+    ap = out_pre[out_pre.row_kind == "anomaly"].sort_values("seq")
+    np.testing.assert_array_equal(aw["seq"].values, ap["seq"].values)
+    np.testing.assert_allclose(aw["score"].values, ap["score"].values, rtol=0, atol=0)
+
+
+def test_subtract_ma_absorbs_level_shift():
+    """SUBTRACT_MA with a discounted MA adapts to a level shift, where
+    NORMALIZE with cumulative stats keeps flagging it
+    (SubtractMATransformer.java)."""
+    rng = np.random.default_rng(0)
+    X = rng.normal(0, 1, size=(8000, 3))
+    X[4000:] += 5.0
+    kw = dict(num_trees=20, sample_size=64, chunk_size=512, buckets=1,
+              window=64, min_baseline_windows=5, use_corrector=False)
+    out_norm = _run(DriftConfig(**kw, transform="normalize"), X)
+    out_sub = _run(DriftConfig(**kw, transform="subtract_ma", norm_discount=0.05), X)
+    w_norm = out_norm[out_norm.row_kind == "summary"]["n_drifted_windows"].iloc[0]
+    w_sub = out_sub[out_sub.row_kind == "summary"]["n_drifted_windows"].iloc[0]
+    assert w_norm >= 2
+    assert w_sub < w_norm
+
+
+# --------------------------------------------------------------------- #
+# STREAMING_IMPUTE
+# --------------------------------------------------------------------- #
+def _gapped(n=2000, gaps=((800, 10), (1500, 21)), seed=1):
+    """Stationary series with seq-grid gaps of known sizes."""
+    rng = np.random.default_rng(seed)
+    X = rng.normal(0, 1, size=(n, 3))
+    seqs = np.arange(n)
+    drop = np.zeros(n, bool)
+    for start, width in gaps:
+        drop[start:start + width] = True
+    return X[~drop], seqs[~drop], int(drop.sum()), set(seqs[drop].tolist())
+
+
+def test_streaming_impute_counts_and_no_imputed_anomalies():
+    X, seqs, n_gap, gap_seqs = _gapped()
+    for method in ["zero", "previous", "next", "linear"]:
+        cfg = DriftConfig(**BASE_KW, mode="streaming_impute",
+                          impute_method=method)
+        out = _run(cfg, X, seqs=seqs)
+        s = out[out.row_kind == "summary"].iloc[0]
+        assert s.n_imputed == n_gap, method
+        assert s.n_rows == len(X) + n_gap, method
+        # imputed grid positions never emit anomaly rows
+        emitted = set(out[out.row_kind == "anomaly"]["seq"].tolist())
+        assert not (emitted & gap_seqs), method
+
+
+def test_streaming_impute_linear_on_ramp_is_seamless():
+    """On a deterministic ramp, LINEAR reconstructs the gap exactly, so
+    post-gap scores look like the uninterrupted stream's."""
+    n = 3000
+    t = np.arange(n, dtype=np.float64)
+    X = np.stack([np.sin(t / 50), np.cos(t / 50), t / n], axis=1)
+    keep = np.ones(n, bool)
+    keep[1200:1240] = False
+    cfg = DriftConfig(**BASE_KW, mode="streaming_impute", impute_method="linear")
+    out = _run(cfg, X[keep], seqs=np.arange(n)[keep])
+    s = out[out.row_kind == "summary"].iloc[0]
+    assert s.n_imputed == 40
+    # no anomaly burst at the gap edge
+    an = out[out.row_kind == "anomaly"]["seq"]
+    assert not ((an >= 1190) & (an <= 1260)).any()
+
+
+def test_streaming_impute_gap_cap_and_fraction_gate():
+    X, seqs, _, _ = _gapped(n=2000, gaps=((1000, 500),))
+    cfg = DriftConfig(**BASE_KW, mode="streaming_impute",
+                      impute_method="previous", max_gap_fill=64)
+    out = _run(cfg, X, seqs=seqs)
+    s = out[out.row_kind == "summary"].iloc[0]
+    assert s.n_imputed == 64  # capped, not 500
+
+
+def test_streaming_impute_rcf_method_runs():
+    X, seqs, n_gap, _ = _gapped()
+    cfg = DriftConfig(**BASE_KW, mode="streaming_impute", impute_method="rcf")
+    out = _run(cfg, X, seqs=seqs)
+    s = out[out.row_kind == "summary"].iloc[0]
+    assert s.n_imputed == n_gap
+    assert s.n_scored > 1500
+
+
+def test_streaming_impute_checkpoint_resume_bit_exact(tmp_path):
+    """Gaps crossing the resume boundary must fill exactly as an
+    uninterrupted run (anchor = last processed seq/value)."""
+    X, seqs, n_gap, _ = _gapped(n=4000, gaps=((900, 15), (2100, 30)), seed=3)
+    kw = dict(**BASE_KW, mode="streaming_impute", impute_method="linear")
+    full = _run(DriftConfig(**kw), X, seqs=seqs)
+    cfg_ck = DriftConfig(**kw, checkpoint_dir=str(tmp_path))
+    cut = np.searchsorted(seqs, 2110)  # mid-gap region
+    _run(cfg_ck, X[:cut], seqs=seqs[:cut])
+    resumed = _run(cfg_ck, X, seqs=seqs)
+    f_sum = full[full.row_kind == "summary"].iloc[0]
+    r_sum = resumed[resumed.row_kind == "summary"].iloc[0]
+    assert f_sum.n_rows == r_sum.n_rows
+    assert f_sum.n_imputed == r_sum.n_imputed
+    assert f_sum.n_scored == r_sum.n_scored
+    assert f_sum.n_anomalous == r_sum.n_anomalous
+    assert abs(f_sum.mean_score - r_sum.mean_score) < 1e-12
+
+
+# --------------------------------------------------------------------- #
+# TIME_AUGMENTED
+# --------------------------------------------------------------------- #
+def test_time_augmented_flags_cadence_shift():
+    """Constant features, cadence 10 → 1 at midpoint: STANDARD sees
+    nothing; TIME_AUGMENTED (gap appended as a dimension) must flag it."""
+    n = 4000
+    X = np.tile([1.0, 2.0], (n, 1))
+    seqs = np.concatenate([np.arange(0, 20000, 10), 20000 + np.arange(n - 2000)])
+    kw = dict(num_trees=10, sample_size=64, chunk_size=256, buckets=1,
+              window=64, min_baseline_windows=3, use_corrector=False)
+    std = _run(DriftConfig(**kw, mode="standard"), X, seqs=seqs)
+    aug = _run(DriftConfig(**kw, mode="time_augmented"), X, seqs=seqs)
+    w_std = std[std.row_kind == "summary"]["n_drifted_windows"].iloc[0]
+    w_aug = aug[aug.row_kind == "summary"]["n_drifted_windows"].iloc[0]
+    assert w_std == 0
+    assert w_aug >= 1
