@@ -70,7 +70,8 @@ class PredictorCorrector:
         forest: RCFForest,
         X: np.ndarray,
         thresholds: np.ndarray,
-    ) -> np.ndarray:
+        return_dims: bool = False,
+    ):
         """Vectorized suppression verdicts for a batch of flagged points.
 
         Batch analogue of ``should_suppress`` with one simplification for
@@ -82,7 +83,8 @@ class PredictorCorrector:
         """
         A, d = X.shape
         if A == 0:
-            return np.zeros(0, bool)
+            empty = np.zeros(0, bool)
+            return (empty, np.zeros((0, d))) if return_dims else empty
         X32 = np.ascontiguousarray(X, np.float32)
         hi, lo = forest.attribution(X32)
         contrib = hi + lo
@@ -94,7 +96,11 @@ class PredictorCorrector:
         # one descent per (row, tree): leaf exemplars
         leafpts, _ = forest.leaf_points(X32)  # [A, L, d]
         if leafpts.shape[1] == 0:
-            return np.zeros(A, bool)
+            none = np.zeros(A, bool)
+            if return_dims:
+                sig = contrib / np.maximum(contrib.sum(1, keepdims=True), 1e-12)
+                return none, sig
+            return none
         # distance on healthy dims only
         healthy = ~bad_mask
         diffs = np.abs(leafpts - X32[:, None, :]) * healthy[:, None, :]
@@ -109,7 +115,53 @@ class PredictorCorrector:
             axis=1,
         )
         corrected = forest.score(expected.astype(np.float32))
-        return near | (corrected < self.suppression_factor * np.asarray(thresholds))
+        sup = near | (corrected < self.suppression_factor * np.asarray(thresholds))
+        if return_dims:
+            # normalized attribution signature per row — the run-length
+            # filter's "is this the same anomaly continuing?" signal
+            sig = contrib / np.maximum(contrib.sum(1, keepdims=True), 1e-12)
+            return sup, sig
+        return sup
+
+    def run_length_filter(
+        self,
+        suppressed: np.ndarray,
+        seqs: np.ndarray,
+        attribs: np.ndarray,
+        state: dict,
+        run_gap: int = 2,
+        trigger: float = 0.5,
+    ) -> np.ndarray:
+        """Suppress continuing-run anomalies (run-length machinery,
+        ``parkservices/PredictorCorrector.java:288``): a flagged row within
+        ``run_gap`` of the previous anomaly whose normalized attribution
+        signature matches the run's onset (L1 difference ≤ ``trigger``) is
+        the SAME anomaly still in progress — report the onset once. The
+        attribution shifting to different dimensions is the ``trigger``
+        condition (:767-783) and re-alerts. ``state`` keys ``run_seq`` /
+        ``run_attrib`` persist across chunks (and drift checkpoints)."""
+        out = suppressed.copy()
+        run_seq = state.get("run_seq", -1)
+        run_vec = state.get("run_attrib")
+        if run_vec is not None and len(np.atleast_1d(run_vec)) != attribs.shape[1]:
+            run_vec = None
+        for i in range(len(seqs)):
+            if out[i]:
+                continue  # already explained away by the expected point
+            s = int(seqs[i])
+            a = attribs[i]
+            if (
+                run_seq >= 0
+                and s - run_seq <= run_gap
+                and run_vec is not None
+                and float(np.abs(a - run_vec).sum()) <= trigger
+            ):
+                out[i] = True  # continuing run: extend, do not re-emit
+                run_seq = s  # signature stays the run onset's
+            else:
+                run_seq, run_vec = s, a.copy()  # onset (or trigger): emit
+        state["run_seq"], state["run_attrib"] = run_seq, run_vec
+        return out
 
 
 class ErrorCalibrator:

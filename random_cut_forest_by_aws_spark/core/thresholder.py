@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+
 DEFAULT_SCORE_DIFFERENCING = 0.5
 DEFAULT_MINIMUM_SCORES = 10
 DEFAULT_FACTOR_ADJUSTMENT_THRESHOLD = 0.9
@@ -174,6 +176,173 @@ class BasicThresholder:
         out = self.threshold_and_grade(score, normalized)
         self.update(score)
         return out
+
+    # -- vectorized threshold-then-update over a score sequence -----------
+    def process_batch(
+        self, scores: np.ndarray, normalized: bool = True, block: int = 256
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Batch equivalent of calling ``process`` per score.
+
+        The three Deviation recurrences (``s' = s·f + x``) have closed-form
+        prefix expressions ``s_i = f^i s_0 + Σ x_j f^{i−1−j}``; computing
+        them blockwise (f^{-j} stays bounded within a block) replaces the
+        per-row Python loop with a handful of NumPy passes. Results match
+        sequential ``process`` up to floating-point reassociation (the
+        recurrence is evaluated in a different association order).
+        """
+        scores = np.asarray(scores, np.float64)
+        B = len(scores)
+        thresholds = np.empty(B)
+        grades = np.empty(B)
+        f1 = 1.0 - self.primary.discount
+        f2 = 1.0 - self.threshold_dev.discount
+        m = self.minimum_scores
+        sqrt2 = math.sqrt(2.0)
+
+        for lo in range(0, B, block):
+            s = scores[lo : lo + block]
+            n = len(s)
+            capped = np.minimum(s, 2.0)
+            j = np.arange(n, dtype=np.float64)
+
+            def prefix(x, s0, f):
+                """state BEFORE each row i (i=0..n−1) plus end state."""
+                if f == 1.0:
+                    c = np.concatenate([[0.0], np.cumsum(x)])
+                    return s0 + c[:-1], s0 + c[-1]
+                # s_i = f^i (s0 + Σ_{j<i} x_j f^{−1−j}·f^{... }) — blockwise
+                # stable: exponents bounded by the block length
+                inv = f ** (-j)  # f^{-j}, bounded within a block
+                c = np.concatenate([[0.0], np.cumsum(x * inv)])
+                fi = f ** np.arange(n + 1, dtype=np.float64)
+                pre = fi[:n] * s0 + (fi[:n] / f) * c[:-1]
+                end = fi[n] * s0 + (fi[n] / f) * c[-1]
+                return pre, end
+
+            # primary deviation (input: capped scores)
+            p_sum, p_sum_end = prefix(capped, self.primary.sum, f1)
+            p_ssq, p_ssq_end = prefix(capped * capped, self.primary.sum_squared, f1)
+            p_w, p_w_end = prefix(np.ones(n), self.primary.weight, f1)
+            p_mean = np.where(p_w > 0, p_sum / np.where(p_w > 0, p_w, 1.0), 0.0)
+            p_var = np.maximum(
+                np.where(p_w > 0, p_ssq / np.where(p_w > 0, p_w, 1.0), 0.0)
+                - p_mean * p_mean,
+                0.0,
+            )
+            p_dev = np.sqrt(p_var)
+
+            # secondary deviation (input: score differences)
+            prev = np.concatenate([[self.last_score], s[:-1]])
+            diffs = s - prev
+            s_sum, s_sum_end = prefix(diffs, self.secondary.sum, f1)
+            s_ssq, s_ssq_end = prefix(diffs * diffs, self.secondary.sum_squared, f1)
+            s_w, s_w_end = prefix(np.ones(n), self.secondary.weight, f1)
+
+            # threshold deviation: updated only on positive below-mean gaps
+            gaps = p_mean - capped
+            ev = gaps > 0
+            c_excl = np.concatenate([[0], np.cumsum(ev)])[:-1]  # events before row i
+            ev_vals = gaps[ev]
+            ne = len(ev_vals)
+            je = np.arange(ne, dtype=np.float64)
+            if f2 == 1.0:
+                tc = np.concatenate([[0.0], np.cumsum(ev_vals)])
+                t_sum_states = self.threshold_dev.sum + tc
+                tcq = np.concatenate([[0.0], np.cumsum(ev_vals * ev_vals)])
+                t_ssq_states = self.threshold_dev.sum_squared + tcq
+                t_w_states = self.threshold_dev.weight + np.arange(ne + 1, dtype=np.float64)
+            else:
+                inv2 = f2 ** (-je)
+                fe = f2 ** np.arange(ne + 1, dtype=np.float64)
+                tc = np.concatenate([[0.0], np.cumsum(ev_vals * inv2)])
+                t_sum_states = fe * self.threshold_dev.sum + (fe / f2) * tc
+                tcq = np.concatenate([[0.0], np.cumsum(ev_vals * ev_vals * inv2)])
+                t_ssq_states = fe * self.threshold_dev.sum_squared + (fe / f2) * tcq
+                t_w_states = fe * self.threshold_dev.weight + (
+                    (1.0 - fe) / (1.0 - f2)
+                )
+            t_sum = t_sum_states[c_excl]
+            t_ssq = t_ssq_states[c_excl]
+            t_w = t_w_states[c_excl]
+            t_mean = np.where(t_w > 0, t_sum / np.where(t_w > 0, t_w, 1.0), 0.0)
+            t_var = np.maximum(
+                np.where(t_w > 0, t_ssq / np.where(t_w > 0, t_w, 1.0), 0.0)
+                - t_mean * t_mean,
+                0.0,
+            )
+            t_dev = np.sqrt(t_var)
+
+            # per-row counts BEFORE each update
+            n_i = self.count + np.arange(n)
+            sc_i = self.secondary.count + np.arange(n)
+            ready = n_i >= m
+            if self.score_differencing != 0:
+                ready = ready & (sc_i >= m)
+            inter = np.clip((n_i - m) / m, 0.0, 1.0)
+            inter[n_i < m] = 0.0
+
+            factor = np.full(n, float(self.z_factor))
+            if normalized:
+                adj = p_mean < self.factor_adjustment_threshold
+                factor = np.where(
+                    adj, p_mean * self.z_factor / self.factor_adjustment_threshold,
+                    factor,
+                )
+            factor = np.maximum(factor, MINIMUM_Z_FACTOR)
+            ltd = np.minimum(sqrt2 * t_dev, p_dev)
+            scaled_dev = (factor - 1.0) * ltd + p_dev
+            absolute = np.full(n, self.absolute_threshold)
+            if self.auto_threshold:
+                adj_abs = (inter >= 1.0) & (p_mean < self.factor_adjustment_threshold)
+                absolute = np.where(
+                    adj_abs,
+                    p_mean * self.absolute_threshold / self.factor_adjustment_threshold,
+                    absolute,
+                )
+            thr = np.where(
+                ready,
+                np.maximum(
+                    absolute,
+                    inter * (p_mean + scaled_dev) + (1.0 - inter) * self.initial_threshold,
+                ),
+                np.maximum(self.initial_threshold, absolute),
+            )
+            # grade (surprise index, floored to the 1/16 grid)
+            over = (s >= thr) & (thr > 0)
+            dev_si = scaled_dev / factor
+            t_ready = np.where(
+                dev_si > 0,
+                np.minimum(factor, (s - thr) / np.where(dev_si > 0, dev_si, 1.0)),
+                2.0 * factor,
+            )
+            t_ready = np.maximum(0.0, t_ready / factor)
+            t_cold = np.clip(
+                (s - self.absolute_threshold) / self.absolute_threshold, 0.0, 1.0
+            )
+            t_val = np.where(ready, t_ready, t_cold)
+            g = np.minimum(np.floor(t_val * 20.0) / 16.0, 1.0)
+            g = np.where(over, g, 0.0)
+            thr = np.where(over & (g == 0), s, thr)  # grade floored to 0 ⇒ thr=score
+
+            thresholds[lo : lo + n] = thr
+            grades[lo : lo + n] = g
+
+            # commit end-of-block state
+            self.primary.sum = float(p_sum_end)
+            self.primary.sum_squared = float(p_ssq_end)
+            self.primary.weight = float(p_w_end)
+            self.primary.count += n
+            self.secondary.sum = float(s_sum_end)
+            self.secondary.sum_squared = float(s_ssq_end)
+            self.secondary.weight = float(s_w_end)
+            self.secondary.count += n
+            self.threshold_dev.sum = float(t_sum_states[ne])
+            self.threshold_dev.sum_squared = float(t_ssq_states[ne])
+            self.threshold_dev.weight = float(t_w_states[ne])
+            self.threshold_dev.count += ne
+            self.count += n
+            self.last_score = float(s[-1])
+        return thresholds, grades
 
     # -- checkpoint -------------------------------------------------------
     def to_state(self) -> dict:

@@ -91,6 +91,13 @@ class DriftConfig:
     # PredictorCorrector (parkservices parity): suppress anomalies whose
     # expected point (attribution-led imputation) explains the score away
     use_corrector: bool = True
+    # run-length machinery (PredictorCorrector.java:288,767-783): a
+    # continuing anomaly (flagged rows within run_gap, same dominant
+    # attributed dimension) reports its onset once; a different dimension
+    # taking over (the attribution trigger) re-alerts
+    run_length_suppression: bool = True
+    run_gap: int = 2
+    trigger_factor: float = 0.5  # L1 attribution shift that re-alerts
     anomaly_rate_threshold: float = 0.01
     # skew handling: a group never exceeds ~rows_per_bucket rows; bucket
     # count per group value adapts to its frequency, capped at max_buckets.
@@ -262,8 +269,13 @@ def _state_dict(
     state["extras"] = np.array(
         [extras.get("last_seq", -1), extras.get("n_rows", 0), extras.get("n_scored", 0),
          extras.get("n_anomalous", 0), extras.get("n_windows", 0),
-         extras.get("n_drifted_windows", 0), extras.get("n_imputed", 0)],
+         extras.get("n_drifted_windows", 0), extras.get("n_imputed", 0),
+         extras.get("run_seq", -1)],
         np.int64,
+    )
+    rv = extras.get("run_attrib")
+    state["run_attrib"] = (
+        np.asarray(rv, np.float64) if rv is not None else np.zeros(0)
     )
     state["extras_f"] = np.array(
         [extras.get("score_sum", 0.0), extras.get("win_sum", 0.0),
@@ -325,6 +337,12 @@ def _load_group_state(path_or_file):
         "n_windows": int(state["extras"][4]),
         "n_drifted_windows": int(state["extras"][5]),
         "n_imputed": int(state["extras"][6]) if len(state["extras"]) > 6 else 0,
+        "run_seq": int(state["extras"][7]) if len(state["extras"]) > 7 else -1,
+        "run_attrib": (
+            np.asarray(state["run_attrib"], np.float64)
+            if "run_attrib" in state and len(state["run_attrib"])
+            else None
+        ),
         "score_sum": float(state["extras_f"][0]),
         "win_sum": float(state["extras_f"][1]),
         "win_cnt": float(state["extras_f"][2]),
@@ -372,6 +390,7 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
         extras = {
             "last_seq": -1, "n_rows": 0, "n_scored": 0, "n_anomalous": 0,
             "n_windows": 0, "n_drifted_windows": 0, "n_imputed": 0,
+            "run_seq": -1, "run_attrib": None,
             "score_sum": 0.0, "win_sum": 0.0, "win_cnt": 0.0, "imp_ema": 0.0,
             "baseline": Deviation(cfg.baseline_discount),
         }
@@ -508,25 +527,43 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
             if forest.is_output_ready:
                 scores = forest.score(xn)
                 flagged: list[tuple] = []
-                for i, s in enumerate(scores):
-                    if imp[i]:
-                        continue  # imputed rows maintain state, not signal
-                    threshold, grade = th.process(float(s), normalized=do_norm)
-                    extras["n_scored"] += 1
-                    extras["score_sum"] += float(s)
-                    extras["win_sum"] += float(s)
-                    extras["win_cnt"] += 1.0
-                    if extras["win_cnt"] >= cfg.window:
-                        close_window(int(seqs[lo + i]))
-                    if grade >= cfg.min_emit_grade:
-                        flagged.append((i, float(s), float(threshold), float(grade)))
+                real_pos = np.flatnonzero(~imp)
+                rs = scores[real_pos]
+                if len(rs):
+                    # vectorized threshold-then-update over the chunk
+                    # (imputed rows maintain state, not signal)
+                    thr_arr, grade_arr = th.process_batch(rs, normalized=do_norm)
+                    extras["n_scored"] += len(rs)
+                    extras["score_sum"] += float(rs.sum())
+                    # window accounting: segment sums between closures
+                    start = 0
+                    while start < len(rs):
+                        take = min(
+                            int(cfg.window - extras["win_cnt"]), len(rs) - start
+                        )
+                        extras["win_sum"] += float(rs[start : start + take].sum())
+                        extras["win_cnt"] += take
+                        start += take
+                        if extras["win_cnt"] >= cfg.window:
+                            close_window(int(seqs[lo + real_pos[start - 1]]))
+                    for i in np.flatnonzero(grade_arr >= cfg.min_emit_grade):
+                        flagged.append(
+                            (int(real_pos[i]), float(rs[i]),
+                             float(thr_arr[i]), float(grade_arr[i]))
+                        )
                 if flagged:
                     if corrector is not None:
                         idx = np.fromiter((f[0] for f in flagged), np.int64)
                         thr = np.fromiter((f[2] for f in flagged), np.float64)
-                        sup = corrector.should_suppress_batch(
-                            forest, xn[idx].astype(np.float64), thr
+                        sup, fdims = corrector.should_suppress_batch(
+                            forest, xn[idx].astype(np.float64), thr,
+                            return_dims=True,
                         )
+                        if cfg.run_length_suppression:
+                            sup = corrector.run_length_filter(
+                                sup, seqs[lo + idx], fdims, extras,
+                                cfg.run_gap, cfg.trigger_factor,
+                            )
                     else:
                         sup = np.zeros(len(flagged), bool)
                     for (i, s, threshold, grade), s_flag in zip(flagged, sup):

@@ -76,3 +76,60 @@ def test_caster_settles_forecast_at_issue_tick_plus_horizon():
     for (h_got, e_got), (h_exp, e_exp) in zip(seen, expected):
         assert h_got == h_exp
         assert abs(e_got - e_exp) < 1e-9
+
+
+def test_run_length_filter_suppresses_continuing_anomaly():
+    """A sustained anomaly run (stable attribution signature) reports its
+    onset once; the attribution shifting to other dimensions (the trigger,
+    PredictorCorrector.java:288,767-783) re-alerts."""
+    pc = PredictorCorrector()
+    state = {}
+    seqs = np.arange(100, 110)
+    sig_dim1 = np.tile([0.1, 0.8, 0.1], (10, 1))  # run dominated by dim 1
+    sup = pc.run_length_filter(np.zeros(10, bool), seqs, sig_dim1, state)
+    assert not sup[0]          # onset emitted
+    assert sup[1:].all()       # continuation suppressed
+    # next anomaly 1 step later but attribution moved to dim 0: re-alert
+    sup2 = pc.run_length_filter(
+        np.zeros(1, bool), np.array([110]), np.array([[0.8, 0.1, 0.1]]), state
+    )
+    assert not sup2[0]
+    # a distant anomaly with the same signature is a fresh onset
+    sup3 = pc.run_length_filter(
+        np.zeros(1, bool), np.array([500]), np.array([[0.8, 0.1, 0.1]]), state
+    )
+    assert not sup3[0]
+    # state persists across calls (and serializes into drift checkpoints)
+    assert state["run_seq"] == 500
+
+
+def test_run_length_filter_in_drift_operator():
+    """End-to-end: a sustained all-dims level spike (no healthy anchor,
+    so the expected-point corrector cannot suppress it) emits far fewer
+    anomaly rows with run-length suppression than without."""
+    import pandas as pd
+
+    from random_cut_forest_by_aws_spark.operators.drift import (
+        DriftConfig, _make_drift_fn,
+    )
+
+    rng = np.random.default_rng(2)
+    X = rng.normal(0, 1, size=(4000, 3))
+    X[2000:2030] += 12.0  # all dims: a cascade the corrector cannot explain
+    pdf = pd.DataFrame({"source": "s", "bucket": 0, "seq": np.arange(4000),
+                        "features": [r for r in X]})
+    kw = dict(num_trees=15, sample_size=64, chunk_size=512, buckets=1,
+              window=4000, use_corrector=True, transform="none",
+              normalize=False)
+
+    def in_spike_anoms(run_sup):
+        fn = _make_drift_fn(["source", "bucket"], "seq", "features",
+                            DriftConfig(**kw, run_length_suppression=run_sup))
+        out = fn(("s", 0), pdf)
+        an = out[out.row_kind == "anomaly"]
+        return len(an[(an.seq >= 2000) & (an.seq < 2035)])
+
+    without = in_spike_anoms(False)
+    with_sup = in_spike_anoms(True)
+    assert without >= 10          # cascade without run-length logic
+    assert with_sup <= without // 3

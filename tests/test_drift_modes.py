@@ -167,3 +167,51 @@ def test_time_augmented_flags_cadence_shift():
     w_aug = aug[aug.row_kind == "summary"]["n_drifted_windows"].iloc[0]
     assert w_std == 0
     assert w_aug >= 1
+
+
+# --------------------------------------------------------------------- #
+# thresholder batching
+# --------------------------------------------------------------------- #
+def test_thresholder_batch_matches_sequential():
+    """process_batch must reproduce sequential process() thresholds,
+    grades and end state (up to fp reassociation)."""
+    from random_cut_forest_by_aws_spark.core.thresholder import BasicThresholder
+
+    rng = np.random.default_rng(11)
+    scores = np.abs(rng.normal(1.0, 0.3, 5000))
+    scores[rng.integers(0, 5000, 50)] += 2.5  # spikes exercise the grade path
+    seq_th = BasicThresholder()
+    bat_th = BasicThresholder()
+    exp = np.array([seq_th.process(float(s)) for s in scores])
+    got_t, got_g = bat_th.process_batch(scores)
+    np.testing.assert_allclose(got_t, exp[:, 0], rtol=1e-9, atol=1e-12)
+    # grades sit on a floor(t*20)/16 grid: fp reassociation can flip a
+    # knife-edge row — allow a tiny number of grid-step differences
+    diff = np.abs(got_g - exp[:, 1])
+    assert (diff > 1e-9).sum() <= 2, f"{(diff > 1e-9).sum()} grade mismatches"
+    for dev_s, dev_b in [(seq_th.primary, bat_th.primary),
+                         (seq_th.secondary, bat_th.secondary),
+                         (seq_th.threshold_dev, bat_th.threshold_dev)]:
+        assert dev_s.count == dev_b.count
+        np.testing.assert_allclose(
+            [dev_s.sum, dev_s.sum_squared, dev_s.weight],
+            [dev_b.sum, dev_b.sum_squared, dev_b.weight], rtol=1e-9)
+    assert seq_th.count == bat_th.count
+    assert seq_th.last_score == bat_th.last_score
+
+
+def test_thresholder_batch_chunk_invariance():
+    """Splitting a stream across multiple process_batch calls must give
+    the same results as one call (state carries across blocks)."""
+    from random_cut_forest_by_aws_spark.core.thresholder import BasicThresholder
+
+    rng = np.random.default_rng(3)
+    scores = np.abs(rng.normal(1.0, 0.4, 2000))
+    one = BasicThresholder()
+    t1, g1 = one.process_batch(scores)
+    many = BasicThresholder()
+    parts = [many.process_batch(scores[i:i + 333]) for i in range(0, 2000, 333)]
+    t2 = np.concatenate([p[0] for p in parts])
+    g2 = np.concatenate([p[1] for p in parts])
+    np.testing.assert_allclose(t1, t2, rtol=1e-9)
+    np.testing.assert_allclose(g1, g2, rtol=1e-9)

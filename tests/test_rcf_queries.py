@@ -98,3 +98,46 @@ def test_summarize_finds_two_clusters():
     assert signs == [-1.0, 1.0]
     for c in top2:
         assert abs(abs(c[0]) - 5) < 1.0 and abs(abs(c[1]) - 5) < 1.0
+
+
+def test_dynamic_attribution_matches_displacement_score():
+    """Kernel-driven attribution (getDynamicAttribution analogue) must
+    keep the sum invariant: high+low sums to the matching dynamic score."""
+    f, _ = _two_cluster_forest()
+    pts = np.array([[5.0, 5.0], [0.0, 0.0], [-7.0, -4.0]], np.float32)
+    disp = f.displacement_score(pts)
+    hi, lo = f.displacement_attribution(pts)
+    np.testing.assert_allclose((hi + lo).sum(1), disp, rtol=1e-9)
+    # default kernels unchanged: attribution still sums to score
+    hi0, lo0 = f.attribution(pts)
+    np.testing.assert_allclose((hi0 + lo0).sum(1), f.score(pts), rtol=1e-9)
+
+
+def test_near_neighbors_sequence_indexes():
+    """with_sequences returns the sampler's stored sequence indexes for
+    each neighbor (storeSequenceIndexesEnabled parity)."""
+    from random_cut_forest_by_aws_spark.core import RCFForest
+
+    rng = np.random.default_rng(4)
+    X = rng.normal(0, 1, size=(500, 2)).astype(np.float32)
+    f = RCFForest(2, num_trees=10, sample_size=64, time_decay=0.0, seed=9)
+    f.update_batch(X, seqs=np.arange(1000, 1500))
+    res = near_neighbors(f, X[100], with_sequences=True)
+    assert len(res) >= 1
+    pt, dist, mass, seqseen = res[0]
+    assert dist == 0.0
+    assert 1100 in seqseen  # the query point itself was seq 1100
+    assert all(1000 <= s < 1500 for s in seqseen)
+    # without the flag the legacy 3-tuple shape is preserved
+    legacy = near_neighbors(f, X[100])
+    assert len(legacy[0]) == 3
+
+
+def test_summarize_multicenter_representatives():
+    f, P = _two_cluster_forest()
+    s = summarize(f, max_clusters=4, representatives=4)
+    assert len(s["representatives"]) == len(s["centers"])
+    for center, reps in zip(s["centers"], s["representatives"]):
+        assert 1 <= len(reps) <= 4
+        # shrunk representatives stay on their cluster's side of space
+        assert (np.sign(reps[:, 0]) == np.sign(center[0])).all()
