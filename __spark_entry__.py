@@ -345,6 +345,24 @@ def _q_media_features(spark, sf_dir):
     )
 
 
+def _q_media_resize_plan(spark, sf_dir):
+    """Metadata-only aspect-preserving resize planning over the media
+    adapter (pure JVM, no decode); dims derive deterministically from the
+    text length so DuckDB reproduces the full plan."""
+    from random_cut_forest_by_aws_spark.operators.multimodal import (
+        docs_as_media, resize_plan,
+    )
+
+    out = resize_plan(docs_as_media(_docs(spark, sf_dir)))
+    return out.select(
+        "doc_id",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.col("target_width").cast("bigint").alias("target_width"),
+        F.col("target_height").cast("bigint").alias("target_height"),
+    )
+
+
 def _q_media_metadata_check(spark, sf_dir):
     from random_cut_forest_by_aws_spark.operators.multimodal import (
         media_metadata_violations, synth_media,
@@ -436,6 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rcf_forecast_events": _q_rcf_forecast_events,
         "sessionize_events": _q_sessionize_events,
         "media_decode_features": _q_media_features,
+        "media_resize_plan": _q_media_resize_plan,
         "media_metadata_check": _q_media_metadata_check,
         "drift_verdicts_sequences": _q_drift_sequences,
         "drift_impute_events": _q_drift_impute_events,
@@ -636,6 +655,18 @@ def oracle_sql() -> dict[str, str]:
                         WHEN s_en > 0.0 THEN 'en'
                         ELSE 'und' END AS lang_guess
             FROM t
+        """,
+        "media_resize_plan": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(w AS BIGINT) AS width,
+                   CAST(h AS BIGINT) AS height,
+                   CAST(round(w * (224.0 / least(w, h))) AS BIGINT) AS target_width,
+                   CAST(round(h * (224.0 / least(w, h))) AS BIGINT) AS target_height
+            FROM (
+              SELECT doc_id,
+                     length(text) % 64 + 32 AS w,
+                     (length(text) * 7) % 64 + 32 AS h
+              FROM documents WHERE length(text) % 3 = 0)
         """,
         "media_decode_features": """
             SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,

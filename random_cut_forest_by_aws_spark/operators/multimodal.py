@@ -103,10 +103,18 @@ def docs_as_media(
         F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("video/mp4")),
         (F.pmod(F.length(F.col(text_col)), F.lit(3)) + 1).cast("int"),
     )
+    n = F.length(F.col(text_col))
+    is_img = F.pmod(n, F.lit(3)) == 0
     return docs.select(
         F.col(id_col).cast("string").alias("doc_id"),
         mime.alias("mime"),
         F.encode(F.col(text_col), "utf-8").alias("payload"),
+        # deterministic typed metadata derived from the text length, so
+        # dims-based stages (resize planning, metadata checks) are also
+        # SQL-reproducible
+        F.when(is_img, (F.pmod(n, F.lit(64)) + 32).cast("int")).alias("width"),
+        F.when(is_img, (F.pmod(n * 7, F.lit(64)) + 32).cast("int")).alias("height"),
+        F.when(~is_img, (n * 100).cast("int")).alias("duration_ms"),
     )
 
 

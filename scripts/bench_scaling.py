@@ -54,6 +54,8 @@ def run_bench(cpus: int, bench_rows: int) -> dict:
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_BENCH_ROWS=str(bench_rows),
+        SPARK_GRAFT_SUITE_ONLY="1",  # the metric is the suite; standalone
+        # queries would only contaminate the session (see bench.py note)
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -76,6 +78,11 @@ def main() -> None:
         "--rows", type=int,
         default=int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "8000000")),
     )
+    ap.add_argument(
+        "--min-host-mops", type=float, default=0.0,
+        help="poll the 32-proc calibration and wait (up to 20 min) for at "
+             "least this much host capacity before starting each pair",
+    )
     args = ap.parse_args()
     ratio = args.high / args.low
 
@@ -89,17 +96,36 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    results: dict[int, dict] = {}
-    for cpus in (args.low, args.high):
-        best = None
-        for i in range(args.repeats):
-            r = run_bench(cpus, args.rows)
-            print(f"[scaling] cpus={cpus} run{i}: {r['value']} rows/sec", file=sys.stderr)
-            if best is None or r["value"] > best["value"]:
-                best = r
-        results[cpus] = best
+    # run the two levels as back-to-back PAIRS (not level-sequential):
+    # host capacity on this box can quadruple between windows minutes
+    # apart, which poisons any low-vs-high ratio measured in different
+    # windows. Each pair is as window-matched as this box allows; the
+    # pair whose two host calibrations agree best is the evidence.
+    pairs: list[tuple[dict, dict]] = []
+    for i in range(args.repeats):
+        if args.min_host_mops > 0:
+            for _ in range(20):
+                cal32 = calibrate_cpu(32, 6_000_000) / 1e6
+                print(f"[scaling] host probe: {cal32:.0f} Mops", file=sys.stderr)
+                if cal32 >= args.min_host_mops:
+                    break
+                time.sleep(60)
+        lo_r = run_bench(args.low, args.rows)
+        hi_r = run_bench(args.high, args.rows)
+        for tag, r in (("low", lo_r), ("high", hi_r)):
+            print(
+                f"[scaling] pair{i} {tag} cpus={r['cpus']}: {r['value']} rows/sec "
+                f"(host {r.get('host_cal_mops', '?')} Mops)",
+                file=sys.stderr,
+            )
+        pairs.append((lo_r, hi_r))
 
-    lo, hi = results[args.low], results[args.high]
+    def cal_mismatch(p):
+        a = p[0].get("host_cal_mops") or 1.0
+        b = p[1].get("host_cal_mops") or 1.0
+        return abs(a - b) / max(a, b)
+
+    lo, hi = min(pairs, key=cal_mismatch)
     eff = (hi["value"] / lo["value"]) / ratio
     eff_norm = eff / ceiling
     report = {
@@ -112,6 +138,17 @@ def main() -> None:
         "scaling_efficiency_raw": round(eff, 3),
         "hardware_ceiling": round(ceiling, 3),
         "scaling_efficiency_vs_ceiling": round(eff_norm, 3),
+        "low_host_cal_mops": lo.get("host_cal_mops"),
+        "high_host_cal_mops": hi.get("host_cal_mops"),
+        "all_pairs": [
+            {
+                "low": p[0]["value"], "high": p[1]["value"],
+                "low_cal": p[0].get("host_cal_mops"),
+                "high_cal": p[1].get("host_cal_mops"),
+                "eff_raw": round((p[1]["value"] / p[0]["value"]) / ratio, 3),
+            }
+            for p in pairs
+        ],
         "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
     print(json.dumps(report))
@@ -148,16 +185,29 @@ Column stats + salted uniqueness + broadcast-anti-join referential +
 token invariants + per-partition RCF drift sketches over the
 deterministic tokenized-sequence table
 ({lo["bench_rows"]:,} rows, {lo["bench_tokens"]:,} tokens, seed 42), bench.py,
-identical config at both levels (best of {args.repeats} runs per level).
+identical config at both levels. Levels run as back-to-back pairs
+({args.repeats} pairs); the pair below is the one whose two host
+calibrations agree best (all pairs: {json.dumps(report["all_pairs"])}).
 
-| parallelism | validated rows/sec | tokens/sec | suite wall (s) |
-|---|---|---|---|
-| local[{args.low}] (N) | {lo["value"]:,.0f} | {lo["tokens_per_sec"]:,.0f} | {lo["suite_sec"]} |
-| local[{args.high}] (4N) | {hi["value"]:,.0f} | {hi["tokens_per_sec"]:,.0f} | {hi["suite_sec"]} |
+| parallelism | validated rows/sec | tokens/sec | suite wall (s) | host Mops at 32p |
+|---|---|---|---|---|
+| local[{args.low}] (N) | {lo["value"]:,.0f} | {lo["tokens_per_sec"]:,.0f} | {lo["suite_sec"]} | {lo.get("host_cal_mops", "n/a")} |
+| local[{args.high}] (4N) | {hi["value"]:,.0f} | {hi["tokens_per_sec"]:,.0f} | {hi["suite_sec"]} | {hi.get("host_cal_mops", "n/a")} |
 
 * raw scaling efficiency: **{eff:.3f}**
 * hardware ceiling at 4x on this box: {ceiling:.3f}
 * **efficiency vs ceiling: {eff_norm:.3f}** (target >= 0.8)
+
+**Measurement methodology** (established round 2; encoded in bench.py):
+the suite runs FIRST in a clean session — heavy work earlier in a
+session leaves 32 dirty Python workers + a full JVM old-gen behind,
+measured as a ~2x slowdown on a later identical suite run. Between
+sessions the dominant variable is host capacity: clean-suite time
+tracks the pure-Python calibration almost exactly (63.9s at 827 Mops
+vs 133.8s at 397 Mops — ratio 2.09 vs 2.08), so every bench JSON
+carries `host_cal_mops`; compare `suite_sec x host_cal_mops` across
+runs, never raw seconds. The per-level host columns above show whether
+the two levels were measured in comparable capacity windows.
 
 Per-query seconds at local[{args.high}]:
 
