@@ -302,6 +302,24 @@ def _q_rcf_scores_embeddings(spark, sf_dir):
     )
 
 
+def _q_glad_scores_embeddings(spark, sf_dir):
+    """GLAD (clustering-based) per-label streaming anomaly scores over the
+    embeddings table. Rows-only (reservoir + clustering sketch)."""
+    from random_cut_forest_by_aws_spark.operators.rcf_batch import glad_group_scores
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # recluster_within sized for ~50-row groups at sf0.01 (the default,
+    # capacity/2, would never trigger a clustering on small cohorts)
+    out = glad_group_scores(
+        emb, "embedding", ("label",), "vec_id", order_col="vec_id",
+        capacity=64, max_clusters=6, recluster_within=16,
+    )
+    return out.select(
+        "label", "vec_id", F.round("score", 4).alias("score"),
+        F.round("grade", 4).alias("grade"),
+    )
+
+
 def _q_rcf_forecast_events(spark, sf_dir):
     from random_cut_forest_by_aws_spark.operators.rcf_batch import rcf_group_forecast
 
@@ -451,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cosine_full_probe": _q_ivf_cosine_full,
         "lang_quality_docs": _q_lang_quality,
         "rcf_scores_embeddings": _q_rcf_scores_embeddings,
+        "glad_scores_embeddings": _q_glad_scores_embeddings,
         "rcf_forecast_events": _q_rcf_forecast_events,
         "sessionize_events": _q_sessionize_events,
         "media_decode_features": _q_media_features,

@@ -338,9 +338,27 @@ def summarize(
             wts.append(1.0)
     if not pts:
         return {"centers": np.zeros((0, forest.d)), "weights": np.zeros(0)}
-    P = np.array(pts, np.float64)
-    W = np.array(wts)
     rng = np.random.default_rng(np.random.SeedSequence([forest.seed, seed, 11]))
+    return cluster_points(
+        np.array(pts, np.float64), np.array(wts), max_clusters, iterations,
+        representatives, shrink, rng,
+    )
+
+
+def cluster_points(
+    P: np.ndarray,
+    W: np.ndarray,
+    max_clusters: int = 5,
+    iterations: int = 10,
+    representatives: int = 3,
+    shrink: float = 0.3,
+    rng: np.random.Generator | None = None,
+) -> dict:
+    """Weighted multi-center clustering of a point set (the engine core
+    shared by ``summarize`` and the GLAD detector): farthest-point
+    seeding, L1 Lloyd, separation-ratio merge, CURE representatives.
+    Returns {centers, weights, representatives, radii}."""
+    rng = rng or np.random.default_rng(0)
     # farthest-point seeding
     centers = [P[rng.integers(len(P))]]
     for _ in range(max_clusters - 1):
@@ -405,4 +423,9 @@ def summarize(
                 break
             sel.append(nxt)
         reps.append(members[sel] + shrink * (C[ci] - members[sel]))
-    return {"centers": C[keep], "weights": merged_w[keep], "representatives": reps}
+    return {
+        "centers": C[keep],
+        "weights": merged_w[keep],
+        "representatives": reps,
+        "radii": radii[keep],
+    }

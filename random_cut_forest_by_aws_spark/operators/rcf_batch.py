@@ -110,3 +110,57 @@ def rcf_group_forecast(
         max(sc.defaultParallelism * 2, 16), *gcols
     )
     return grouped.groupBy(*gcols).applyInPandas(fn, out_schema)
+
+
+def glad_group_scores(
+    df: DataFrame,
+    vec_col: str,
+    group_cols: tuple[str, ...],
+    id_col: str,
+    order_col: str | None = None,
+    capacity: int = 256,
+    max_clusters: int = 10,
+    representatives: int = 5,
+    recluster_within: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """GLAD per group: stream each group's vectors (in ``order_col`` order
+    when given) through a GladDetector and emit per-row (score, threshold,
+    grade) — the clustering-based alternative to forest scoring for
+    multi-modal cohorts (``parkservices/GlobalLocalAnomalyDetector.java:
+    38-330`` re-expressed; one detector per group, state never leaves the
+    task)."""
+    from ..core.glad import GladDetector
+
+    gcols = list(group_cols)
+    schema_prefix = ", ".join(f"{c} {t}" for c, t in df.select(*gcols, id_col).dtypes)
+    out_schema = f"{schema_prefix}, score double, threshold double, grade double"
+
+    def fn(key, pdf):
+        import pandas as pd
+
+        if order_col is not None:
+            pdf = pdf.sort_values(order_col, kind="mergesort")
+        det = GladDetector(
+            capacity=capacity, max_clusters=max_clusters,
+            representatives=representatives, recluster_within=recluster_within,
+            seed=_group_seed(tuple(key), seed),
+        )
+        scores, thresholds, grades = [], [], []
+        for x in pdf[vec_col].to_numpy():
+            r = det.process(np.asarray(x, np.float64))
+            scores.append(r["score"])
+            thresholds.append(r["threshold"])
+            grades.append(r["grade"])
+        out = pdf[gcols + [id_col]].copy()
+        out["score"] = scores
+        out["threshold"] = thresholds
+        out["grade"] = grades
+        return pd.DataFrame(out)
+
+    cols = gcols + [id_col, vec_col]
+    if order_col and order_col not in cols:
+        cols.append(order_col)
+    sc = df.sparkSession.sparkContext
+    grouped = df.select(*cols).repartition(max(sc.defaultParallelism * 2, 16), *gcols)
+    return grouped.groupBy(*gcols).applyInPandas(fn, out_schema)

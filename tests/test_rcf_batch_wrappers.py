@@ -51,3 +51,31 @@ def test_rcf_group_forecast_shapes(spark):
     assert len(fc) <= 3 * n_types
     assert (fc["upper"] >= fc["forecast"] - 1e-9).all()
     assert (fc["lower"] <= fc["forecast"] + 1e-9).all()
+
+
+def test_glad_group_scores(spark):
+    """Per-group GLAD: planted outlier rows grade anomalous within their
+    cohort."""
+    import numpy as np
+
+    from random_cut_forest_by_aws_spark.operators.rcf_batch import glad_group_scores
+
+    rng = np.random.default_rng(0)
+    rows = []
+    rid = 0
+    for g in ("a", "b"):
+        base = rng.normal(5.0 if g == "a" else -5.0, 0.4, (1200, 3))
+        for v in base:
+            rows.append((g, rid, v.tolist())); rid += 1
+        rows.append((g, rid, [50.0, 50.0, 50.0])); rid += 1  # planted outlier
+    df = spark.createDataFrame(rows, "g string, rid long, vec array<double>")
+    out = glad_group_scores(
+        df, "vec", ("g",), "rid", order_col="rid", capacity=128, max_clusters=4
+    ).toPandas()
+    assert len(out) == len(rows)
+    planted = out[out["rid"].isin([1200, 2401])]
+    assert (planted["score"] > 3.0).all()
+    assert (planted["grade"] > 0).all()
+    normal = out[~out["rid"].isin([1200, 2401])]
+    # the overwhelming majority of in-distribution rows are not flagged
+    assert (normal["grade"] > 0).mean() < 0.05
