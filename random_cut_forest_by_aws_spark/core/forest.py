@@ -212,13 +212,17 @@ class _TreeOps:
         while True:
             factor = rng_random()
             # --- random cut over box∪x (randomCut :153-240), one pass ----
+            # (also derives the 'x inside box' test from the same scan)
             total = 0.0
+            inside = True
             for i in range(d):
                 lo, hi, xi = bmin[i], bmax[i], x[i]
                 if xi < lo:
                     lo = xi
+                    inside = False
                 elif xi > hi:
                     hi = xi
+                    inside = False
                 g = hi - lo
                 los[i] = lo
                 gaps[i] = g
@@ -250,11 +254,6 @@ class _TreeOps:
                 saved_dim, saved_val = dim, value
                 saved_node, saved_parent = cur, par
                 saved_min, saved_max = bmin[:], bmax[:]
-            inside = True
-            for i in range(d):
-                if not (bmin[i] <= x[i] <= bmax[i]):
-                    inside = False
-                    break
             if inside or par == _NULL:
                 break
             # grow to parent's subtree box by merging the sibling box
