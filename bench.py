@@ -175,22 +175,31 @@ def main() -> None:
         timed("minhash_dedup", run_minhash)
 
     # host calibration: pure-Python ops/s at full width, so recorded
-    # numbers can be normalized across this VM's noisy-neighbor windows
-    def _busy(q):
-        t0 = time.time()
-        n = 0
-        while time.time() - t0 < 1.5:
-            for _ in range(100_000):
-                n += 1
-        q.put(n)
+    # numbers can be normalized across this VM's noisy-neighbor windows.
+    # Runs in a CLEAN subprocess: forking the post-suite driver measured
+    # ~3x low (session memory state depresses forked busy loops), which
+    # made same-host windows look different across parallelism levels.
+    import subprocess as sp
 
-    import multiprocessing as mp
-
-    q = mp.Queue()
-    ps = [mp.Process(target=_busy, args=(q,)) for _ in range(cpus)]
-    [p.start() for p in ps]
-    cal = sum(q.get() for _ in ps) / 1.5 / 1e6
-    [p.join() for p in ps]
+    _CAL_SRC = (
+        "import multiprocessing as mp, time\n"
+        "def b(q):\n"
+        "    t0=time.time(); n=0\n"
+        "    while time.time()-t0<1.5:\n"
+        "        for _ in range(100000): n+=1\n"
+        "    q.put(n)\n"
+        "if __name__=='__main__':\n"
+        "    q=mp.Queue(); ps=[mp.Process(target=b,args=(q,)) for _ in range(32)]\n"
+        "    [p.start() for p in ps]; print(sum(q.get() for _ in ps)/1.5/1e6)\n"
+        "    [p.join() for p in ps]\n"
+    )
+    try:
+        cal = float(
+            sp.run([sys.executable, "-c", _CAL_SRC], capture_output=True,
+                   text=True, timeout=120).stdout.strip()
+        )
+    except Exception:
+        cal = -1.0
 
     rows_per_sec = n_rows / suite_sec
     result = {

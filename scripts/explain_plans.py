@@ -90,7 +90,7 @@ def main() -> None:
         "is the only Python stage in the whole suite.",
     )
     add(
-        "cosine top-k (broadcast + window)",
+        "cosine top-k (broadcast + two-phase top-k)",
         cosine_topk(
             emb,
             emb.filter(F.col("vec_id") < 5).select(
@@ -99,7 +99,30 @@ def main() -> None:
             k=10,
         ),
         "BroadcastNestedLoopJoin with the (small) query set broadcast; the\n"
-        "corpus streams through once; rank via window on the scored rows.",
+        "corpus streams through once. The ranking Window consumes a\n"
+        "MapInPandas per-batch top-k prune (lossless), so no query ever\n"
+        "pulls its full scored corpus into one window partition — the\n"
+        "round-1 straggler shape is gone.",
+    )
+    from random_cut_forest_by_aws_spark.operators.dedup import (
+        minhash_candidates, simhash,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    add(
+        "minhash candidates (banded bucket join)",
+        minhash_candidates(docs),
+        "One string-hash pass over shingles (repartition barrier defeats\n"
+        "CollapseProject), then the shuffle key is the band-bucket hash —\n"
+        "cost O(rows·bands), never all-pairs; mega-buckets capped at 64.",
+    )
+    add(
+        "simhash (JVM token hashing, Arrow sign-sum)",
+        simhash(docs),
+        "transform(split(text), xxhash64) runs JVM-side inside the scan\n"
+        "project; the ArrowEvalPython stage receives array<bigint> (no\n"
+        "strings, no per-token Python) and does only the bit-parallel\n"
+        "sign-sum. Narrow map, zero exchanges.",
     )
 
     md = os.path.join(REPO, "PLANS.md")
