@@ -337,7 +337,12 @@ def summarize(
             pts.append(forest.bbmin[t, leaf])
             wts.append(1.0)
     if not pts:
-        return {"centers": np.zeros((0, forest.d)), "weights": np.zeros(0)}
+        return {
+            "centers": np.zeros((0, forest.d)),
+            "weights": np.zeros(0),
+            "representatives": [],
+            "radii": np.zeros(0),
+        }
     rng = np.random.default_rng(np.random.SeedSequence([forest.seed, seed, 11]))
     return cluster_points(
         np.array(pts, np.float64), np.array(wts), max_clusters, iterations,
@@ -369,13 +374,24 @@ def cluster_points(
             break
         centers.append(P[int(np.argmax(dmin * W))])
     C = np.array(centers)
+
+    def _wmedian(pts_sel: np.ndarray, w_sel: np.ndarray) -> np.ndarray:
+        """Per-dim weighted median (L1 minimizer under point weights)."""
+        out = np.empty(pts_sel.shape[1])
+        half = w_sel.sum() / 2.0
+        for dim in range(pts_sel.shape[1]):
+            order = np.argsort(pts_sel[:, dim], kind="stable")
+            cw = np.cumsum(w_sel[order])
+            out[dim] = pts_sel[order[np.searchsorted(cw, half)], dim]
+        return out
+
     for _ in range(iterations):  # Lloyd, L1 metric ⇒ weighted median
         dist = np.stack([np.abs(P - c).sum(1) for c in C])
         assign = dist.argmin(0)
         for ci in range(len(C)):
-            sel = P[assign == ci]
-            if len(sel):
-                C[ci] = np.median(sel, axis=0)
+            sel = assign == ci
+            if sel.any():
+                C[ci] = _wmedian(P[sel], W[sel])
     # merge insufficiently-separated centers (Summarizer.java separation-
     # ratio semantics): two clusters merge when the distance between their
     # centers is below 0.8 × the sum of their intra-cluster radii — a

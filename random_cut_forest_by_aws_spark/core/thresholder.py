@@ -198,6 +198,11 @@ class BasicThresholder:
         f2 = 1.0 - self.threshold_dev.discount
         m = self.minimum_scores
         sqrt2 = math.sqrt(2.0)
+        # bound the f^{-j} prefix factors at 1e12 — with a large discount a
+        # fixed 256 block would overflow/cancel (f=0.8 ⇒ f^-255 ≈ 6e24)
+        fmin = min(f1, f2)
+        if fmin < 1.0:
+            block = max(1, min(block, int(27.6 / -math.log(fmin))))
 
         for lo in range(0, B, block):
             s = scores[lo : lo + block]

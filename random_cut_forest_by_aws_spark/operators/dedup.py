@@ -135,7 +135,7 @@ def _simhash_from_hashes(harrs: pd.Series) -> pd.Series:
     Token hashing happens JVM-side (xxhash64) — the only Python work here
     is the segment-summed bit matrix: O(total_tokens) vectorized NumPy,
     no per-token Python. Memory is bounded by slicing the batch so each
-    slice holds ≤ ~1M token hashes (64 MB of bit matrix)."""
+    slice holds ≤ 4M token hashes (256 MB of unpacked bit matrix)."""
     n = len(harrs)
     if n == 0:
         return pd.Series(np.zeros(0, np.int64))

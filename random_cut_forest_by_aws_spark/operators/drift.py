@@ -429,6 +429,15 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
         if "tlast" not in extras:
             extras["tlast"] = np.full(d, np.nan)
 
+        if cfg.mode == "time_augmented" and emit_wm >= 0 and len(X) > n_buf:
+            # boundary dt across a resume: the first kept row's predecessor
+            # is the last buffered row, or — when the caller feeds only new
+            # rows — the last processed seq (emit_wm). With a full-history
+            # re-feed this equals the dt already computed, so it is a no-op
+            # there and a fix only for incremental feeds.
+            prev = int(seqs[n_buf - 1]) if n_buf > 0 else emit_wm
+            X[n_buf, -1] = float(seqs[n_buf] - prev)
+
         if cfg.mode == "streaming_impute" and len(X):
             # fill grid gaps from the buffer's end onward (earlier rows are
             # a replayed tail whose gaps the previous run already filled);
@@ -489,22 +498,6 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
                 return
             chunk = X[lo:hi]
             imp = imputed[lo:hi]
-            if (
-                cfg.mode == "streaming_impute"
-                and cfg.impute_method == "rcf"
-                and imp.any()
-                and forest.is_output_ready
-            ):
-                # lazy RCF imputation with the forest state at chunk start
-                # (chunk-granular analogue of ImputeVisitor-at-gap-time);
-                # deterministic per seq, so resume replays identically.
-                from ..core.queries import impute as rcf_impute
-
-                all_dims = list(range(chunk.shape[1]))
-                for j in np.flatnonzero(imp):
-                    chunk[j] = rcf_impute(
-                        forest, chunk[j], all_dims, seed=int(seqs[lo + j])
-                    )
             raw_last = chunk[-1].copy()
             if do_weight:  # WeightedTransformer: per-dim scaling
                 base = chunk * weights[None, :]
@@ -524,6 +517,27 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
                     norm.update(real)
                     updated = True
             xn = norm.transform(base) if do_stat else base.astype(np.float32)
+            if (
+                cfg.mode == "streaming_impute"
+                and cfg.impute_method == "rcf"
+                and imp.any()
+                and forest.is_output_ready
+            ):
+                # lazy RCF imputation with the forest state at chunk start
+                # (chunk-granular analogue of ImputeVisitor-at-gap-time),
+                # in the FOREST'S space: the forest is trained on the
+                # transformed xn, so its leaf points are transformed values
+                # — imputing into the raw chunk would double-transform.
+                # The raw placeholder (previous value) still anchors
+                # gap-fill/difference state. Deterministic per seq, so a
+                # resume replays identically.
+                from ..core.queries import impute as rcf_impute
+
+                all_dims = list(range(xn.shape[1]))
+                for j in np.flatnonzero(imp):
+                    xn[j] = rcf_impute(
+                        forest, xn[j], all_dims, seed=int(seqs[lo + j])
+                    )
             if forest.is_output_ready:
                 scores = forest.score(xn)
                 flagged: list[tuple] = []

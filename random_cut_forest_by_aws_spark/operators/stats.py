@@ -67,8 +67,12 @@ def column_stats(
         ]
     for col in key_cols:
         # key-col null count: countDistinct ignores nulls, so a not-null
-        # verdict must come from its own aggregate
-        aggs.append((F.count(F.lit(1)) - F.count(F.col(col))).alias(f"{col}_nulls"))
+        # verdict must come from its own aggregate (skip when the numeric
+        # loop above already emitted the same alias)
+        if col not in numeric_cols:
+            aggs.append(
+                (F.count(F.lit(1)) - F.count(F.col(col))).alias(f"{col}_nulls")
+            )
         if exact_distinct:
             aggs.append(F.countDistinct(F.col(col)).alias(f"{col}_cardinality"))
         else:

@@ -121,8 +121,10 @@ def main() -> None:
         pairs.append((lo_r, hi_r))
 
     def cal_mismatch(p):
-        a = p[0].get("host_cal_mops") or 1.0
-        b = p[1].get("host_cal_mops") or 1.0
+        a = p[0].get("host_cal_mops") or -1.0
+        b = p[1].get("host_cal_mops") or -1.0
+        if a <= 0 or b <= 0:  # failed calibration: never "matched"
+            return float("inf")
         return abs(a - b) / max(a, b)
 
     # among window-matched pairs (≤20% calibration mismatch) take the

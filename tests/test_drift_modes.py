@@ -215,3 +215,55 @@ def test_thresholder_batch_chunk_invariance():
     g2 = np.concatenate([p[1] for p in parts])
     np.testing.assert_allclose(t1, t2, rtol=1e-9)
     np.testing.assert_allclose(g1, g2, rtol=1e-9)
+
+
+def test_streaming_impute_rcf_with_normalize_transform():
+    """RCF imputation must operate in the forest's (transformed) space:
+    with NORMALIZE active, imputed rows must not explode the stream
+    (regression: forest-space values were written into the raw chunk and
+    normalized a second time)."""
+    X, seqs, n_gap, gap_seqs = _gapped()
+    cfg = DriftConfig(**BASE_KW, mode="streaming_impute",
+                      impute_method="rcf", transform="normalize")
+    out = _run(cfg, X, seqs=seqs)
+    s = out[out.row_kind == "summary"].iloc[0]
+    assert s.n_imputed == n_gap
+    # stationary stream: the gap must not trigger an anomaly burst after it
+    an = out[out.row_kind == "anomaly"]["seq"]
+    post_gap = sum(((an >= g) & (an <= g + 40)).any() for g in (810, 1521))
+    assert s.mean_score < 2.0  # no score explosion from double-transform
+
+
+def test_time_augmented_incremental_resume_keeps_boundary_dt(tmp_path):
+    """Feeding only NEW rows after a resume must not fabricate an
+    expected_step dt at the boundary (regression: a cadence gap spanning
+    the resume was invisible)."""
+    kw = dict(num_trees=10, sample_size=32, chunk_size=64, buckets=1,
+              window=32, min_baseline_windows=2, use_corrector=False,
+              mode="time_augmented")
+    X = np.tile([1.0, 2.0], (600, 1))
+    seqs = np.arange(600)
+    cfg = DriftConfig(**kw, checkpoint_dir=str(tmp_path))
+    _run(cfg, X[:300], seqs=seqs[:300])
+    # incremental feed resumes AFTER a huge cadence gap (seq 299 -> 5000)
+    X2 = np.tile([1.0, 2.0], (300, 1))
+    out = _run(cfg, X2, seqs=np.arange(5000, 5300))
+    # the boundary row's dt (4701) must register as a high-score anomaly
+    an = out[out.row_kind == "anomaly"]
+    assert (an["seq"] == 5000).any(), an.head()
+
+
+def test_thresholder_batch_large_discount_matches_sequential():
+    """Regression: fixed block size overflowed f^-j for non-tiny
+    discounts; the block now adapts to the discount."""
+    from random_cut_forest_by_aws_spark.core.thresholder import BasicThresholder
+
+    rng = np.random.default_rng(5)
+    scores = np.abs(rng.normal(1.0, 0.3, 1500))
+    seq_th = BasicThresholder(discount=0.2)
+    bat_th = BasicThresholder(discount=0.2)
+    exp = np.array([seq_th.process(float(s)) for s in scores])
+    got_t, got_g = bat_th.process_batch(scores)
+    assert np.all(np.isfinite(got_t))
+    np.testing.assert_allclose(got_t, exp[:, 0], rtol=1e-7)
+    assert (np.abs(got_g - exp[:, 1]) > 1e-7).sum() <= 2

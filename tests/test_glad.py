@@ -85,3 +85,16 @@ def test_glad_occlusion_filters_far_cluster():
     plain = det.score(x, consider_occlusion=False)
     occl = det.score(x, consider_occlusion=True)
     assert len(occl) <= len(plain)
+
+
+def test_cluster_points_weighted_median_anchors_heavy_points():
+    """Lloyd centers must honor point weights (regression: W ignored in
+    the median step — GenericMultiCenter weighted semantics)."""
+    from random_cut_forest_by_aws_spark.core.queries import cluster_points
+
+    P = np.array([[0.0, 0.0]] * 5 + [[10.0, 10.0]] * 5)
+    W = np.array([100.0] * 5 + [0.01] * 5)
+    out = cluster_points(P, W, max_clusters=1, representatives=1,
+                         rng=np.random.default_rng(0))
+    # with one cluster, the weighted median sits on the heavy points
+    np.testing.assert_allclose(out["centers"][0], [0.0, 0.0])

@@ -135,3 +135,14 @@ def test_token_equality_invariant(seqs):
     assert len(viol) == len(expected_bad)
     assert set(viol["seq"]) == set(expected_bad["seq"])
     assert all("n_tok_matches_size" in list(f) for f in viol["failed_constraints"])
+
+
+def test_column_stats_key_col_overlapping_numeric(seqs):
+    """A column in both numeric_cols and key_cols must not produce a
+    duplicate '{col}_nulls' alias (regression: AMBIGUOUS_REFERENCE)."""
+    got = column_stats(
+        seqs, ["n_tok"], key_cols=["n_tok"], group_by=["source"]
+    )
+    assert got.columns.count("n_tok_nulls") == 1
+    pdf = got.select("source", F.col("n_tok_nulls")).toPandas()
+    assert (pdf["n_tok_nulls"] == 0).all()
