@@ -87,3 +87,54 @@ def test_doc_fingerprint_ansi_safe(spark):
             spark.conf.set("spark.sql.ansi.enabled", with_ansi)
     assert pdf["fingerprint"].notna().all()
     assert pdf["fingerprint"].nunique() > 400
+
+
+@pytest.fixture(scope="module")
+def hostile_sf(spark, tmp_path_factory):
+    """sf0.01 plus a multi-byte-character doc and an empty doc — the
+    standard fixture is accidentally pure-ASCII, which masked byte-vs-
+    codepoint divergences between Spark and DuckDB in round 1."""
+    import shutil
+
+    root = str(tmp_path_factory.mktemp("sfmod"))
+    for t in TABLES:
+        if t != "documents":
+            shutil.copyfile(f"{SF_DIR}/{t}.parquet", f"{root}/{t}.parquet")
+    src = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    extra = spark.createDataFrame(
+        [(9001, "héllo wörld multi ™ bytes and more words for shingles",
+          "xx", "srcX", 25),
+         (9002, "", "xx", "srcX", 0)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    src.unionByName(extra).coalesce(1).write.parquet(f"{root}/documents.parquet")
+    return root
+
+
+@pytest.mark.parametrize("name", [
+    "media_decode_features", "media_resize_plan",
+    "lang_quality_docs", "minhash_candidates_docs",
+    "text_profile_docs", "token_counts_docs",
+])
+def test_text_oracles_survive_hostile_docs(spark, hostile_sf, name):
+    """The text/media oracles must match DuckDB even with non-ASCII and
+    empty documents present (guards byte-vs-codepoint and div-by-zero
+    divergences)."""
+    con = duckdb.connect()
+    for t in TABLES:
+        if t == "documents":
+            con.execute(
+                f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{hostile_sf}/documents.parquet/*.parquet'"
+            )
+        else:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{hostile_sf}/{t}.parquet'")
+    got = _normalize(entrymod.queries()[name](spark, hostile_sf).toPandas())
+    exp = _normalize(con.execute(entrymod.oracle_sql()[name]).fetchdf())
+    assert list(got.columns) == list(exp.columns)
+    assert len(got) == len(exp), f"{name}: {len(got)} vs {len(exp)}"
+    for c in got.columns:
+        a, b = got[c].to_numpy(), exp[c].to_numpy()
+        ok = (np.allclose(a, b, rtol=0, atol=1e-9, equal_nan=True)
+              if a.dtype.kind == "f" else np.array_equal(a, b))
+        assert ok, f"{name}: column {c} differs"
