@@ -43,10 +43,15 @@ from ..operators.drift import (
 )
 
 
-def _pack(forest: RCFForest, th: BasicThresholder, norm: _Normalizer) -> bytes:
+def _pack(
+    forest: RCFForest,
+    th: BasicThresholder,
+    norm: _Normalizer,
+    tlast: np.ndarray,
+) -> bytes:
     state = _state_dict(
         forest, th, norm,
-        {"baseline": Deviation(0.01)},
+        {"baseline": Deviation(0.01), "tlast": tlast},
         np.zeros((0, forest.d)), np.zeros(0, np.int64),
     )
     buf = io.BytesIO()
@@ -54,11 +59,12 @@ def _pack(forest: RCFForest, th: BasicThresholder, norm: _Normalizer) -> bytes:
     return buf.getvalue()
 
 
-def _unpack(blob: bytes):
-    forest, th, raw, _extras = _load_group_state(io.BytesIO(blob))
-    norm = _Normalizer(forest.d, 0.0, 100.0)
+def _unpack(blob: bytes, mean_only: bool = False):
+    forest, th, raw, extras = _load_group_state(io.BytesIO(blob))
+    norm = _Normalizer(forest.d, 0.0, 100.0, mean_only=mean_only)
     norm.load_state(raw)
-    return forest, th, norm
+    tlast = extras.get("tlast", np.full(forest.d, np.nan))
+    return forest, th, norm, tlast
 
 
 def streaming_drift_scores(
@@ -105,12 +111,20 @@ def streaming_drift_scores(
     )
     state_schema = StructType([StructField("blob", BinaryType())])
 
+    # TransformMethod resolution (same semantics as the batch operator)
+    method = cfg.transform or ("normalize" if cfg.normalize else "none")
+    do_norm = method in ("normalize", "normalize_difference")
+    do_diff = method in ("difference", "normalize_difference")
+    do_sub = method == "subtract_ma"
+    do_weight = method == "weighted"
+    do_stat = do_norm or do_sub
+
     def fn(key, pdf_iter, state):
         if state.exists:
-            forest, th, norm = _unpack(bytes(state.get[0]))
+            forest, th, norm, tlast = _unpack(bytes(state.get[0]), mean_only=do_sub)
         else:
             forest = None
-            th = norm = None
+            th = norm = tlast = None
         rows = []
         for pdf in pdf_iter:
             pdf = pdf.sort_values(order_col, kind="mergesort")
@@ -126,30 +140,46 @@ def streaming_drift_scores(
                 )
                 th = BasicThresholder(z_factor=cfg.z_factor)
                 norm = _Normalizer(
-                    X.shape[1], cfg.norm_discount if cfg.normalize else 0.0,
-                    cfg.clip_factor,
+                    X.shape[1], cfg.norm_discount if do_stat else 0.0,
+                    cfg.clip_factor, mean_only=do_sub,
                 )
+                tlast = np.full(X.shape[1], np.nan)
+            weights = (
+                np.asarray(cfg.transform_weights, np.float64)
+                if cfg.transform_weights is not None
+                else np.ones(X.shape[1])
+            )
             for lo in range(0, len(X), cfg.chunk_size):
                 chunk = X[lo : lo + cfg.chunk_size]
                 sq = seqs[lo : lo + cfg.chunk_size]
-                if cfg.normalize and norm.weight <= 0:
-                    norm.update(chunk)
-                    updated = True
+                raw_last = chunk[-1].copy()
+                if do_weight:
+                    base = chunk * weights[None, :]
+                elif do_diff:
+                    prev_first = chunk[0] if np.isnan(tlast).any() else tlast
+                    base = chunk - np.vstack([prev_first[None, :], chunk[:-1]])
                 else:
-                    updated = False
-                xn = norm.transform(chunk) if cfg.normalize else chunk.astype(np.float32)
+                    base = chunk
+                updated = False
+                if do_stat and norm.weight <= 0:
+                    norm.update(base)
+                    updated = True
+                xn = norm.transform(base) if do_stat else base.astype(np.float32)
                 if forest.is_output_ready:
                     scores = forest.score(xn)
-                    for i, s in enumerate(scores):
-                        threshold, grade = th.process(float(s), normalized=cfg.normalize)
+                    thr_arr, grade_arr = th.process_batch(scores, normalized=do_norm)
+                    for i in range(len(scores)):
                         rows.append(
-                            list(key) + [int(sq[i]), float(s), float(threshold), float(grade)]
+                            list(key)
+                            + [int(sq[i]), float(scores[i]), float(thr_arr[i]),
+                               float(grade_arr[i])]
                         )
-                if cfg.normalize and not updated:
-                    norm.update(chunk)
+                if do_stat and not updated:
+                    norm.update(base)
                 forest.update_batch(xn, seqs=sq)
+                tlast = raw_last
         if forest is not None:
-            state.update((bytearray(_pack(forest, th, norm)),))
+            state.update((bytearray(_pack(forest, th, norm, tlast)),))
         cols = key_cols + [order_col, "score", "threshold", "grade"]
         yield pd.DataFrame(rows, columns=cols)
 

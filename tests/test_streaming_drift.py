@@ -41,3 +41,30 @@ def test_streaming_drift_scores(spark, tmp_path):
     web = res[res["source"] == "web"]
     assert len(web) > 1000
     assert np.isfinite(web["score"]).all()
+
+
+@pytest.mark.timeout(600)
+def test_streaming_drift_subtract_ma_transform(spark, tmp_path):
+    """Streaming supports the full TransformMethod set (parity with the
+    batch operator): SUBTRACT_MA carries its discounted mean (and the
+    difference transform's tlast) across micro-batches in GroupState."""
+    src_dir = str(tmp_path / "s2_src")
+    ckpt = str(tmp_path / "s2_ckpt")
+    df = sequences(spark, 4000, seed=7, violations=False, drift=False)
+    feat = df.withColumn("features", token_features()).select("source", "seq", "features")
+    feat.write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(feat.schema).option("maxFilesPerTrigger", "2").parquet(src_dir)
+    )
+    cfg = DriftConfig(num_trees=10, sample_size=32, chunk_size=512, buckets=1,
+                      transform="subtract_ma", norm_discount=0.02)
+    out = streaming_drift_scores(stream, cfg=cfg)
+    q = (
+        out.writeStream.format("memory").queryName("drift_stream_sub")
+        .option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    res = spark.sql("SELECT * FROM drift_stream_sub").toPandas()
+    assert len(res) > 1000
+    assert np.isfinite(res["score"]).all()
+    assert (res["score"] >= 0).all()
