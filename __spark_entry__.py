@@ -224,17 +224,17 @@ def _q_minhash_candidates(spark, sf_dir):
     the (id_a, id_b, jaccard ≥ 0.7) pairs makes the sketch oracle-checkable:
     DuckDB computes ALL pairs with jaccard ≥ 0.7, so a hash-match proves the
     banded candidate generation achieved full recall at that similarity.
-    0.7 sits above the 32-hash/8-band S-curve center (s ≈ 0.56), where
-    per-pair candidate probability is ≥ 0.89 and the fixture's qualifying
-    pairs (all j ≥ 0.75, realized full recall, deterministic hashes) are
-    comfortably inside the reliable zone; pairs in the marginal [0.5, 0.7)
-    band are deliberately excluded from the exactness claim."""
+    The gate runs banding at 16 bands of 2 rows (vs the production
+    default 8×4): P(candidate) = 1-(1-s²)^16 ≥ 0.99998 at j = 0.7, so
+    the exactness claim holds for any fixture, not just the rehearsed
+    one — per-pair misses at the claim boundary are ~2e-5 instead of
+    ~11%. Pairs below 0.7 are deliberately excluded from the claim."""
     from random_cut_forest_by_aws_spark.operators.dedup import (
         minhash_candidates, ngram_jaccard,
     )
 
     docs = _docs(spark, sf_dir)
-    cand = minhash_candidates(docs).select("id_a", "id_b")
+    cand = minhash_candidates(docs, num_hashes=32, bands=16).select("id_a", "id_b")
     j = ngram_jaccard(docs, cand, shingle_k=3)
     return j.filter(F.col("jaccard") >= 0.7).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")

@@ -110,6 +110,57 @@ class DriftConfig:
     extra: dict = field(default_factory=dict)
 
 
+def _resolve_transform(cfg: "DriftConfig", d: int) -> dict:
+    """TransformMethod resolution shared by the batch and streaming
+    operators (they previously diverged — normalize-only streaming)."""
+    method = cfg.transform or ("normalize" if cfg.normalize else "none")
+    do_norm = method in ("normalize", "normalize_difference")
+    do_sub = method == "subtract_ma"
+    return {
+        "do_norm": do_norm,
+        "do_diff": method in ("difference", "normalize_difference"),
+        "do_sub": do_sub,
+        "do_weight": method == "weighted",
+        "do_stat": do_norm or do_sub,
+        "weights": (
+            np.asarray(cfg.transform_weights, np.float64)
+            if cfg.transform_weights is not None
+            else np.ones(d)
+        ),
+    }
+
+
+def _transform_chunk(
+    tf: dict,
+    chunk: np.ndarray,
+    imp: np.ndarray | None,
+    norm: "_Normalizer",
+    tlast: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, bool]:
+    """Shared pre-score transform pipeline: returns (base, real, xn,
+    raw_last, bootstrap_updated). Callers must finish the chunk with
+    ``if tf['do_stat'] and not updated and len(real): norm.update(real)``
+    AFTER scoring (statistics learn score-then-update, and only from
+    actual — never imputed — input)."""
+    raw_last = chunk[-1].copy()
+    if tf["do_weight"]:  # WeightedTransformer: per-dim scaling
+        base = chunk * tf["weights"][None, :]
+    elif tf["do_diff"]:  # DifferenceTransformer: x_t − x_{t−1}
+        prev_first = chunk[0] if np.isnan(tlast).any() else tlast
+        base = chunk - np.vstack([prev_first[None, :], chunk[:-1]])
+    else:
+        base = chunk
+    real = base[~imp] if imp is not None and imp.any() else base
+    updated = False
+    if tf["do_stat"] and norm.weight <= 0 and len(real):
+        # bootstrap from the first chunk (reference Preprocessor's
+        # startNormalization analogue) — never feed all-zero points
+        norm.update(real)
+        updated = True
+    xn = norm.transform(base) if tf["do_stat"] else base.astype(np.float32)
+    return base, real, xn, raw_last, updated
+
+
 def _group_seed(key: tuple, seed: int) -> int:
     h = hashlib.blake2b("\x1f".join(str(k) for k in key).encode(), digest_size=8)
     return (int.from_bytes(h.digest(), "big") ^ seed) % (2**63 - 1)
@@ -372,17 +423,8 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
         d = X.shape[1]
         imputed = np.zeros(len(X), bool)
 
-        method = cfg.transform or ("normalize" if cfg.normalize else "none")
-        do_norm = method in ("normalize", "normalize_difference")
-        do_diff = method in ("difference", "normalize_difference")
-        do_sub = method == "subtract_ma"
-        do_weight = method == "weighted"
-        do_stat = do_norm or do_sub  # transforms backed by running stats
-        weights = (
-            np.asarray(cfg.transform_weights, np.float64)
-            if cfg.transform_weights is not None
-            else np.ones(d)
-        )
+        tf = _resolve_transform(cfg, d)
+        do_norm, do_stat, do_sub = tf["do_norm"], tf["do_stat"], tf["do_sub"]
 
         ckpt = (
             _checkpoint_path(cfg.checkpoint_dir, tuple(key)) if cfg.checkpoint_dir else None
@@ -498,25 +540,9 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
                 return
             chunk = X[lo:hi]
             imp = imputed[lo:hi]
-            raw_last = chunk[-1].copy()
-            if do_weight:  # WeightedTransformer: per-dim scaling
-                base = chunk * weights[None, :]
-            elif do_diff:  # DifferenceTransformer: x_t − x_{t−1}
-                tl = extras["tlast"]
-                prev_first = chunk[0] if np.isnan(tl).any() else tl
-                base = chunk - np.vstack([prev_first[None, :], chunk[:-1]])
-            else:
-                base = chunk
-            updated = False
-            real = base[~imp] if imp.any() else base
-            if do_stat and norm.weight <= 0:
-                # bootstrap from the first chunk (reference Preprocessor's
-                # startNormalization analogue) — never feed all-zero points;
-                # statistics learn from actual input only, never imputed
-                if len(real):
-                    norm.update(real)
-                    updated = True
-            xn = norm.transform(base) if do_stat else base.astype(np.float32)
+            base, real, xn, raw_last, updated = _transform_chunk(
+                tf, chunk, imp, norm, extras["tlast"]
+            )
             if (
                 cfg.mode == "streaming_impute"
                 and cfg.impute_method == "rcf"

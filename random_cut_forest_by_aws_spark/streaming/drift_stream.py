@@ -39,7 +39,9 @@ from ..operators.drift import (
     _group_seed,
     _load_group_state,
     _Normalizer,
+    _resolve_transform,
     _state_dict,
+    _transform_chunk,
 )
 
 
@@ -111,26 +113,24 @@ def streaming_drift_scores(
     )
     state_schema = StructType([StructField("blob", BinaryType())])
 
-    # TransformMethod resolution (same semantics as the batch operator)
-    method = cfg.transform or ("normalize" if cfg.normalize else "none")
-    do_norm = method in ("normalize", "normalize_difference")
-    do_diff = method in ("difference", "normalize_difference")
-    do_sub = method == "subtract_ma"
-    do_weight = method == "weighted"
-    do_stat = do_norm or do_sub
-
     def fn(key, pdf_iter, state):
+        tf = None
         if state.exists:
-            forest, th, norm, tlast = _unpack(bytes(state.get[0]), mean_only=do_sub)
+            forest, th, norm, tlast = _unpack(
+                bytes(state.get[0]),
+                mean_only=(cfg.transform == "subtract_ma"),
+            )
+            tf = _resolve_transform(cfg, forest.d)
         else:
             forest = None
             th = norm = tlast = None
-        rows = []
+        blocks: list[np.ndarray] = []
         for pdf in pdf_iter:
             pdf = pdf.sort_values(order_col, kind="mergesort")
             X = np.stack(pdf[feature_col].to_numpy()).astype(np.float64)
             seqs = pdf[order_col].to_numpy(np.int64)
             if forest is None:
+                tf = _resolve_transform(cfg, X.shape[1])
                 forest = RCFForest(
                     X.shape[1],
                     num_trees=cfg.num_trees,
@@ -140,48 +140,48 @@ def streaming_drift_scores(
                 )
                 th = BasicThresholder(z_factor=cfg.z_factor)
                 norm = _Normalizer(
-                    X.shape[1], cfg.norm_discount if do_stat else 0.0,
-                    cfg.clip_factor, mean_only=do_sub,
+                    X.shape[1], cfg.norm_discount if tf["do_stat"] else 0.0,
+                    cfg.clip_factor, mean_only=tf["do_sub"],
                 )
                 tlast = np.full(X.shape[1], np.nan)
-            weights = (
-                np.asarray(cfg.transform_weights, np.float64)
-                if cfg.transform_weights is not None
-                else np.ones(X.shape[1])
-            )
             for lo in range(0, len(X), cfg.chunk_size):
                 chunk = X[lo : lo + cfg.chunk_size]
                 sq = seqs[lo : lo + cfg.chunk_size]
-                raw_last = chunk[-1].copy()
-                if do_weight:
-                    base = chunk * weights[None, :]
-                elif do_diff:
-                    prev_first = chunk[0] if np.isnan(tlast).any() else tlast
-                    base = chunk - np.vstack([prev_first[None, :], chunk[:-1]])
-                else:
-                    base = chunk
-                updated = False
-                if do_stat and norm.weight <= 0:
-                    norm.update(base)
-                    updated = True
-                xn = norm.transform(base) if do_stat else base.astype(np.float32)
+                base, real, xn, raw_last, updated = _transform_chunk(
+                    tf, chunk, None, norm, tlast
+                )
                 if forest.is_output_ready:
                     scores = forest.score(xn)
-                    thr_arr, grade_arr = th.process_batch(scores, normalized=do_norm)
-                    for i in range(len(scores)):
-                        rows.append(
-                            list(key)
-                            + [int(sq[i]), float(scores[i]), float(thr_arr[i]),
-                               float(grade_arr[i])]
+                    thr_arr, grade_arr = th.process_batch(
+                        scores, normalized=tf["do_norm"]
+                    )
+                    blocks.append(
+                        np.column_stack(
+                            [sq.astype(np.float64), scores, thr_arr, grade_arr]
                         )
-                if do_stat and not updated:
-                    norm.update(base)
+                    )
+                if tf["do_stat"] and not updated and len(real):
+                    norm.update(real)
                 forest.update_batch(xn, seqs=sq)
                 tlast = raw_last
         if forest is not None:
             state.update((bytearray(_pack(forest, th, norm, tlast)),))
         cols = key_cols + [order_col, "score", "threshold", "grade"]
-        yield pd.DataFrame(rows, columns=cols)
+        out = (
+            np.concatenate(blocks)
+            if blocks
+            else np.zeros((0, 4))
+        )
+        pdf_out = pd.DataFrame(
+            {c: [k] * len(out) for c, k in zip(key_cols, key)}
+            | {
+                order_col: out[:, 0].astype(np.int64),
+                "score": out[:, 1],
+                "threshold": out[:, 2],
+                "grade": out[:, 3],
+            }
+        )
+        yield pdf_out[cols]
 
     return bucketed.groupBy(*key_cols).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout

@@ -230,7 +230,8 @@ def test_streaming_impute_rcf_with_normalize_transform():
     assert s.n_imputed == n_gap
     # stationary stream: the gap must not trigger an anomaly burst after it
     an = out[out.row_kind == "anomaly"]["seq"]
-    post_gap = sum(((an >= g) & (an <= g + 40)).any() for g in (810, 1521))
+    post_gap = sum(int(((an >= g) & (an <= g + 40)).sum()) for g in (810, 1521))
+    assert post_gap <= 4  # no anomaly burst at the gap edges
     assert s.mean_score < 2.0  # no score explosion from double-transform
 
 
