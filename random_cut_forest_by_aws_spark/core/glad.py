@@ -12,18 +12,28 @@ Shape of the algorithm (per the reference):
   thresholder's mean score drifts by > 0.1, exceeds 1.7, or a hard
   20x interval elapses (:218-227);
 * score = min over clusters of ``distance(point, nearest usable
-  representative) / cluster average radius`` (:280-330), with small
-  clusters below ``ignore_below`` of total weight masked out so a
-  handful of outliers cannot vouch for each other (:49-51);
+  representative) / cluster average radius`` (:280-330), with individual
+  representatives whose weight is below ``ignore_below`` of total weight
+  masked out (per-representative, :292 — a cluster drops out only when
+  none of its representatives survive) so a handful of outliers cannot
+  vouch for each other;
 * optional occlusion handling: a far cluster is not credited when a
   nearer cluster's representative sits between it and the point
   (right-triangle test, :316-329);
 * a ``BasicThresholder`` (absolute threshold 1.2, :52) grades the score
-  stream; thresholder updates use min(score, z_factor).
+  stream; updates use the two-argument path (:253): primary = raw
+  score, secondary = min(score, z_factor).
 
 Distances are pluggable callables (the reference's BiFunction), default
 L2. The expected score of in-distribution points is ≈ 1 (distance ≈ one
 cluster radius).
+
+Batch path: between reclusterings the cluster set is frozen, so scoring
+is a pure function of the representative matrix — ``process_batch``
+computes all (row × representative) distances vectorized per frozen
+segment and keeps only the O(1)-per-row reservoir offers, thresholder
+updates, and recluster checks sequential (bit-identical to ``process``
+called per row).
 """
 
 from __future__ import annotations
@@ -41,7 +51,10 @@ DEFAULT_GLAD_THRESHOLD = 1.2
 
 
 def _l2(a: np.ndarray, b: np.ndarray) -> float:
-    return float(np.linalg.norm(np.asarray(a, np.float64) - np.asarray(b, np.float64)))
+    # sum-of-squares form (not np.linalg.norm) so the scalar path is
+    # bit-identical to the vectorized kernel's ((X - r) ** 2).sum(axis=1)
+    d = np.asarray(a, np.float64) - np.asarray(b, np.float64)
+    return float(np.sqrt((d * d).sum()))
 
 
 class GladDetector:
@@ -80,32 +93,39 @@ class GladDetector:
         self._wkey = int(
             _splitmix64(np.array([(seed * 2654435761 + 13) & ((1 << 64) - 1)], np.uint64))[0]
         )
-        self._points: list[np.ndarray] = []
-        self._weights: list[float] = []  # sampler priority weights
-        self._mass: list[float] = []  # user weights (clustering mass)
+        self._points: np.ndarray | None = None  # (capacity, d), lazily sized
+        self._weights = np.empty(capacity, np.float64)  # sampler priority weights
+        self._mass = np.empty(capacity, np.float64)  # user weights (clustering mass)
+        self._n = 0  # filled reservoir slots
         self.sequence = 0
         self._last_cluster = 0
         self._last_mean = 1.0
         self.clusters: dict | None = None
+        self._flat_reps: tuple | None = None  # cache keyed to self.clusters identity
 
     # -- recency-biased reservoir (StreamSampler semantics) ----------------
-    def _offer(self, x: np.ndarray, weight: float) -> None:
-        u = float(_u01(self._wkey, np.array([self.sequence], np.int64))[0])
+    def _offer(self, x: np.ndarray, weight: float, u: float | None = None) -> None:
+        if u is None:
+            u = float(_u01(self._wkey, np.array([self.sequence], np.int64))[0])
         w = -self.sequence * self.lam + np.log(-np.log(u)) - np.log(max(weight, 1e-12))
-        if len(self._points) < self.capacity:
-            self._points.append(np.asarray(x, np.float64).copy())
-            self._weights.append(w)
-            self._mass.append(weight)
+        x = np.asarray(x, np.float64)
+        if self._points is None:
+            self._points = np.empty((self.capacity, x.shape[0]), np.float64)
+        if self._n < self.capacity:
+            self._points[self._n] = x
+            self._weights[self._n] = w
+            self._mass[self._n] = weight
+            self._n += 1
             return
         mx = int(np.argmax(self._weights))
         if w < self._weights[mx]:
-            self._points[mx] = np.asarray(x, np.float64).copy()
+            self._points[mx] = x
             self._weights[mx] = w
             self._mass[mx] = weight
 
-    def _maybe_recluster(self) -> None:
+    def _maybe_recluster(self) -> bool:
         if self.sequence <= self._last_cluster + self.recluster_within:
-            return
+            return False
         mean = self.thresholder.primary.mean
         if (
             abs(mean - self._last_mean) > 0.1
@@ -118,36 +138,76 @@ class GladDetector:
                 np.random.SeedSequence([self.seed, self.sequence, 17])
             )
             self.clusters = cluster_points(
-                np.stack(self._points),
-                np.asarray(self._mass),
+                self._points[: self._n].copy(),
+                self._mass[: self._n].copy(),
                 max_clusters=self.max_clusters,
                 representatives=self.representatives,
                 shrink=self.shrink,
                 rng=rng,
             )
+            self._flat_reps = None
+            return True
+        return False
+
+    # -- usable representatives under per-rep masking ----------------------
+    def _usable(self) -> tuple | None:
+        """Flattened usable-representative view of the frozen cluster set:
+        (R (m, d), rep_cluster (m,), radii (C,)) — representatives whose
+        weight is <= ignore_below · totalWeight are masked individually
+        (``GlobalLocalAnomalyDetector.java:292``); a cluster survives iff
+        any of its representatives do. None before the first clustering or
+        when everything is masked."""
+        if self.clusters is None or len(self.clusters["centers"]) == 0:
+            return None
+        if self._flat_reps is not None:
+            return self._flat_reps
+        total_w = float(np.sum(self.clusters["weights"]))
+        rep_ws = self.clusters.get("rep_weights")
+        rows, cl_idx, radii = [], [], []
+        c_out = 0
+        for ci, (reps, radius) in enumerate(
+            zip(self.clusters["representatives"], self.clusters["radii"])
+        ):
+            reps = np.asarray(reps, np.float64)
+            if rep_ws is not None:
+                usable = np.asarray(rep_ws[ci]) > self.ignore_below * total_w
+            else:  # legacy cluster dicts: fall back to per-cluster masking
+                cw = float(self.clusters["weights"][ci])
+                usable = np.full(len(reps), cw > self.ignore_below * total_w)
+            if not usable.any():
+                continue
+            rows.append(reps[usable])
+            cl_idx.extend([c_out] * int(usable.sum()))
+            radii.append(float(radius))
+            c_out += 1
+        if not rows:
+            self._flat_reps = None
+            return None
+        self._flat_reps = (
+            np.vstack(rows),
+            np.asarray(cl_idx, np.int64),
+            np.asarray(radii, np.float64),
+        )
+        return self._flat_reps
 
     # -- scoring -----------------------------------------------------------
     def score(
         self, x: np.ndarray, consider_occlusion: bool = False
-    ) -> list[tuple[np.ndarray, float]]| None:
+    ) -> list[tuple[np.ndarray, float]] | None:
         """Per-cluster candidate list [(representative, score)], sorted
         least-anomalous first; None before the first clustering."""
-        if self.clusters is None or len(self.clusters["centers"]) == 0:
+        ur = self._usable()
+        if ur is None:
             return None
-        total_w = float(np.sum(self.clusters["weights"]))
+        R, rep_cluster, radii = ur
+        x = np.asarray(x, np.float64)
         cands: list[tuple[np.ndarray, float, float]] = []  # (rep, radius, dist)
-        for reps, radius, cw in zip(
-            self.clusters["representatives"],
-            self.clusters["radii"],
-            self.clusters["weights"],
-        ):
-            if cw <= self.ignore_below * total_w:
-                continue  # masked: tiny clusters cannot vouch for points
+        for c in range(len(radii)):
+            sel = rep_cluster == c
+            reps = R[sel]
             dists = [self.distance(x, r) for r in reps]
             j = int(np.argmin(dists))
-            cands.append((reps[j], float(radius), float(dists[j])))
-        if not cands:
-            return None
+            cands.append((reps[j], float(radii[c]), float(dists[j])))
         cands.sort(key=lambda c: c[2])
         if cands[0][2] == 0.0:
             return [(cands[0][0], 0.0)]
@@ -169,6 +229,38 @@ class GladDetector:
                         occluded[k] = True
         out.sort(key=lambda c: c[1])
         return out
+
+    def _score_segment(self, X: np.ndarray) -> np.ndarray | None:
+        """Vectorized scores for rows of X against the FROZEN cluster set
+        (occlusion-free path: occlusion never removes the minimal-distance
+        candidate's own score contribution set differently than min over
+        per-cluster scores when unused). None when no usable clusters."""
+        ur = self._usable()
+        if ur is None:
+            return None
+        R, rep_cluster, radii = ur
+        n, C = len(X), len(radii)
+        Dc = np.full((n, C), np.inf)
+        if self.distance is _l2:
+            for j in range(R.shape[0]):
+                diff = X - R[j]
+                d = np.sqrt((diff * diff).sum(axis=1))
+                c = int(rep_cluster[j])
+                np.minimum(Dc[:, c], d, out=Dc[:, c])
+        else:  # custom distance: per-pair callable, still batched per rep
+            for j in range(R.shape[0]):
+                c = int(rep_cluster[j])
+                d = np.array([self.distance(x, R[j]) for x in X])
+                np.minimum(Dc[:, c], d, out=Dc[:, c])
+        safe_r = np.where(radii > 0, radii, 1.0)
+        s = np.where(
+            radii[None, :] > 0,
+            np.minimum(FLOAT_MAX, Dc / safe_r[None, :]),
+            FLOAT_MAX,
+        )
+        scores = s.min(axis=1)
+        scores[Dc.min(axis=1) == 0.0] = 0.0
+        return scores
 
     def process(
         self,
@@ -200,7 +292,9 @@ class GladDetector:
             threshold, grade = self.thresholder.threshold_and_grade(
                 score, normalized=False
             )
-        self.thresholder.update(min(score, self.thresholder.z_factor))
+        # two-argument update (GlobalLocalAnomalyDetector.java:253):
+        # primary = raw score, secondary = min(score, zFactor)
+        self.thresholder.update2(score, min(score, self.thresholder.z_factor))
         self._offer(x, weight)
         self.sequence += 1
         return {
@@ -209,3 +303,46 @@ class GladDetector:
             "grade": float(grade),
             "candidates": attributed,
         }
+
+    def process_batch(
+        self, X: np.ndarray, weights: np.ndarray | None = None
+    ) -> dict:
+        """Batch equivalent of calling ``process`` per row (bit-identical
+        scores/thresholds/grades; candidates are not materialized).
+
+        Scores are computed vectorized per frozen-cluster segment; the
+        thresholder update, reservoir offer, and recluster check stay
+        sequential scalar ops so trigger decisions match the streaming
+        path exactly. Returns {"score", "threshold", "grade"} arrays."""
+        X = np.asarray(X, np.float64)
+        n = len(X)
+        w = np.ones(n) if weights is None else np.asarray(weights, np.float64)
+        scores = np.zeros(n)
+        thresholds = np.zeros(n)
+        grades = np.zeros(n)
+        # counter-based accepts: u depends only on (key, sequence) — safe
+        # to precompute for the whole batch
+        us = _u01(self._wkey, np.arange(self.sequence, self.sequence + n, dtype=np.int64))
+        th = self.thresholder
+        cache: np.ndarray | None = None  # segment scores, or None = no clusters
+        cache_lo = 0
+        cache_valid = False
+        chunk = max(512, self.recluster_within)
+        for i in range(n):
+            reclustered = self._maybe_recluster()
+            if reclustered or not cache_valid or i >= cache_lo + chunk:
+                cache = self._score_segment(X[i : i + chunk])
+                cache_lo = i
+                cache_valid = True
+            if cache is not None:
+                s = float(cache[i - cache_lo])
+                scores[i] = s
+                thresholds[i], grades[i] = th.threshold_and_grade(
+                    s, normalized=False
+                )
+            else:
+                s = 0.0
+            th.update2(s, min(s, th.z_factor))
+            self._offer(X[i], float(w[i]), u=float(us[i]))
+            self.sequence += 1
+        return {"score": scores, "threshold": thresholds, "grade": grades}

@@ -362,7 +362,11 @@ def cluster_points(
     """Weighted multi-center clustering of a point set (the engine core
     shared by ``summarize`` and the GLAD detector): farthest-point
     seeding, L1 Lloyd, separation-ratio merge, CURE representatives.
-    Returns {centers, weights, representatives, radii}."""
+    Returns {centers, weights, representatives, rep_weights, radii} —
+    ``rep_weights[k][j]`` is the member mass nearest representative j of
+    cluster k (the reference's ``Weighted<P>`` representatives carry
+    weights, used by GLAD's per-representative masking,
+    ``GlobalLocalAnomalyDetector.java:292``)."""
     rng = rng or np.random.default_rng(0)
     # farthest-point seeding
     centers = [P[rng.integers(len(P))]]
@@ -424,10 +428,14 @@ def cluster_points(
     distk = np.stack([np.abs(P - C[kj]).sum(1) for kj in keep])
     assign_k = distk.argmin(0)
     reps: list[np.ndarray] = []
+    rep_weights: list[np.ndarray] = []
     for idx, ci in enumerate(keep):
-        members = P[assign_k == idx]
+        sel_mask = assign_k == idx
+        members = P[sel_mask]
+        mw = W[sel_mask]
         if len(members) == 0 or representatives <= 1:
             reps.append(C[ci][None, :].copy())
+            rep_weights.append(np.array([merged_w[ci]], np.float64))
             continue
         sel = [int(np.argmax(np.abs(members - C[ci]).sum(1)))]
         while len(sel) < min(representatives, len(members)):
@@ -438,10 +446,20 @@ def cluster_points(
             if dmin[nxt] <= 0:
                 break
             sel.append(nxt)
+        # each representative carries the member mass nearest to it
+        # (pre-shrink positions), so tiny representatives of a heavy
+        # cluster can be masked individually downstream
+        rep_assign = np.argmin(
+            np.stack([np.abs(members - members[s]).sum(1) for s in sel]), axis=0
+        )
+        rep_weights.append(
+            np.array([mw[rep_assign == j].sum() for j in range(len(sel))], np.float64)
+        )
         reps.append(members[sel] + shrink * (C[ci] - members[sel]))
     return {
         "centers": C[keep],
         "weights": merged_w[keep],
         "representatives": reps,
+        "rep_weights": rep_weights,
         "radii": radii[keep],
     }

@@ -171,6 +171,19 @@ class BasicThresholder:
         self.last_score = score
         self.count += 1
 
+    def update2(self, primary: float, secondary: float) -> None:
+        """Two-argument update (``BasicThresholder.java:321-326``): the
+        primary deviation takes ``primary`` UNCAPPED (no min(·, 2.0)) and
+        the secondary deviation takes ``secondary`` directly (no
+        differencing against the last score). Used by GLAD, which feeds
+        (raw score, min(score, z_factor))."""
+        gap = self.primary.mean - primary
+        if gap > 0:
+            self.threshold_dev.update(gap)
+        self.primary.update(primary)
+        self.secondary.update(secondary)
+        self.count += 1
+
     def process(self, score: float, normalized: bool = True) -> tuple[float, float]:
         """Threshold-then-update for one score; returns (threshold, grade)."""
         out = self.threshold_and_grade(score, normalized)

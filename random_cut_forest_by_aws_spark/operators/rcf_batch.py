@@ -146,16 +146,13 @@ def glad_group_scores(
             representatives=representatives, recluster_within=recluster_within,
             seed=_group_seed(tuple(key), seed),
         )
-        scores, thresholds, grades = [], [], []
-        for x in pdf[vec_col].to_numpy():
-            r = det.process(np.asarray(x, np.float64))
-            scores.append(r["score"])
-            thresholds.append(r["threshold"])
-            grades.append(r["grade"])
+        # vectorized batch: distances computed per frozen-cluster segment,
+        # bit-identical to streaming det.process per row
+        res = det.process_batch(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
         out = pdf[gcols + [id_col]].copy()
-        out["score"] = scores
-        out["threshold"] = thresholds
-        out["grade"] = grades
+        out["score"] = res["score"]
+        out["threshold"] = res["threshold"]
+        out["grade"] = res["grade"]
         return pd.DataFrame(out)
 
     cols = gcols + [id_col, vec_col]
