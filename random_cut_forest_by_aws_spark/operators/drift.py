@@ -408,10 +408,32 @@ def _load_group_state(path_or_file):
 def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg: DriftConfig):
     """Build the grouped-map function (pickled to executors)."""
 
+    out_cols = group_cols + [
+        order_col, "score", "threshold", "grade", "row_kind",
+        "n_rows", "n_scored", "n_anomalous", "n_windows",
+        "n_drifted_windows", "n_imputed", "mean_score",
+    ]
+
     def fn(key, pdf):
         import pandas as pd
 
         pdf = pdf.sort_values(order_col, kind="mergesort")
+        # range-blocked STREAMING_IMPUTE: the previous non-empty block's
+        # last (seq, features) row travels with this block as a marked
+        # anchor row — gap-fill across the block boundary then matches the
+        # single-stream run exactly (same grid points, same fill values)
+        block_anchor: tuple[int, np.ndarray] | None = None
+        if "__anchor" in pdf.columns:
+            amask = pdf["__anchor"].to_numpy() == 1
+            if amask.any():
+                anc = pdf[amask].iloc[-1]
+                block_anchor = (
+                    int(anc[order_col]),
+                    np.asarray(anc[feature_col], np.float64),
+                )
+                pdf = pdf[~amask]
+            if len(pdf) == 0:
+                return pd.DataFrame([], columns=out_cols)
         X = np.stack(pdf[feature_col].to_numpy()).astype(np.float64)
         seqs = pdf[order_col].to_numpy(np.int64)
         if cfg.mode == "time_augmented" and len(X):
@@ -489,6 +511,11 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
             tl = extras["tlast"]
             anchor_x = None if np.isnan(tl).any() else np.asarray(tl, np.float64)
             anchor_seq = emit_wm if (emit_wm >= 0 and n_buf == 0) else None
+            if anchor_seq is None and n_buf == 0 and emit_wm < 0 and block_anchor:
+                # fresh run of a range block: anchor the grid at the
+                # previous block's last real row (checkpoint state wins
+                # when present — it already encodes the same anchor)
+                anchor_seq, anchor_x = block_anchor
             X, seqs, imputed = _gap_fill(
                 X, seqs, imputed, anchor_seq, anchor_x, n_buf, cfg
             )
@@ -686,12 +713,7 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
                extras["n_scored"], extras["n_anomalous"], extras["n_windows"],
                extras["n_drifted_windows"], extras["n_imputed"], mean_score]
         )
-        cols = group_cols + [
-            order_col, "score", "threshold", "grade", "row_kind",
-            "n_rows", "n_scored", "n_anomalous", "n_windows",
-            "n_drifted_windows", "n_imputed", "mean_score",
-        ]
-        return pd.DataFrame(rows, columns=cols)
+        return pd.DataFrame(rows, columns=out_cols)
 
     return fn
 
@@ -719,43 +741,86 @@ def drift_scores(
     if cfg.transform is not None and cfg.transform not in _METHODS:
         raise ValueError(f"unknown TransformMethod {cfg.transform!r}")
     gcols = list(group_cols)
+    total_groups = None
     if cfg.mode == "streaming_impute":
-        # gap detection needs the unsalted per-group stream: hashing seqs
-        # into buckets would itself create artificial grid gaps
-        cfg = replace(cfg, buckets=1)
-    # salt the (skewed) group key into bounded buckets. With buckets=None
-    # the bucket count adapts per group value (ceil(rows/rows_per_bucket),
-    # capped): the hot key (web ≈ 80%) splits into many bounded tasks while
-    # small keys keep one warm forest instead of many cold ones.
-    if cfg.buckets is not None:
-        n_buckets = F.lit(cfg.buckets)
-        total_groups = None
+        if cfg.buckets is not None:
+            # explicit bucket count: gap detection needs the unsalted
+            # per-group stream, so hashing seqs into buckets is never valid
+            # here — force a single stream (tests/back-compat)
+            cfg = replace(cfg, buckets=1)
+            bucketed = df.select(
+                *gcols, F.lit(0).alias("bucket"), F.col(order_col), F.col(feature_col)
+            )
+        else:
+            # scale path: contiguous order_col RANGE blocks (≈ rows_per_
+            # bucket grid slots each) instead of one task per group — a hot
+            # key no longer maps to a single straggler task. Gaps inside a
+            # block fill locally; gaps across block boundaries fill in the
+            # later block, anchored at the previous non-empty block's last
+            # row (delivered as a marked anchor row), so the filled grid is
+            # identical to the single-stream run.
+            from pyspark.sql.window import Window
+
+            span = max(1, cfg.expected_step * cfg.rows_per_bucket)
+            bucketed = df.select(
+                *gcols,
+                F.floor(F.col(order_col) / F.lit(span)).cast("int").alias("bucket"),
+                F.col(order_col),
+                F.col(feature_col),
+                F.lit(0).alias("__anchor"),
+            )
+            blocks = bucketed.groupBy(*gcols, "bucket").agg(
+                F.max(order_col).alias(order_col),
+                F.max_by(feature_col, F.col(order_col)).alias(feature_col),
+            )
+            wspec = Window.partitionBy(*gcols).orderBy("bucket")
+            anchors = (
+                blocks.select(
+                    *gcols,
+                    F.col("bucket"),
+                    F.lag(order_col).over(wspec).alias(order_col),
+                    F.lag(feature_col).over(wspec).alias(feature_col),
+                )
+                .filter(F.col(order_col).isNotNull())
+                .withColumn("__anchor", F.lit(1))
+            )
+            bucketed = bucketed.unionByName(anchors.select(*bucketed.columns))
     else:
-        counts = df.groupBy(*gcols).count().collect()  # tiny: one row per key
-        bmap = {}
-        for r in counts:
-            key = tuple(str(r[g]) for g in gcols)
-            bmap[key] = max(1, min(cfg.max_buckets, -(-r["count"] // cfg.rows_per_bucket)))
-        mapping = F.create_map(
-            *[
-                c
-                for key, b in sorted(bmap.items())
-                for c in (F.lit("\x1f".join(key)), F.lit(b))
-            ]
-        )
-        n_buckets = F.coalesce(
-            F.element_at(mapping, F.concat_ws("\x1f", *[F.col(g).cast("string") for g in gcols])),
-            F.lit(1),
-        )
-        total_groups = sum(bmap.values())
-    bucketed = df.select(
-        *gcols,
-        F.pmod(F.xxhash64(F.col(order_col), F.lit(cfg.seed)), n_buckets)
-        .cast("int")
-        .alias("bucket"),
-        F.col(order_col),
-        F.col(feature_col),
-    )
+        # salt the (skewed) group key into bounded buckets. With buckets=
+        # None the bucket count adapts per group value (ceil(rows/rows_per_
+        # bucket), capped): the hot key (web ≈ 80%) splits into many bounded
+        # tasks while small keys keep one warm forest instead of many cold
+        # ones. The per-key count is computed distributively and joined
+        # back (no driver-side collect — group_cols may be high-cardinality).
+        if cfg.buckets is not None:
+            bucketed = df.select(
+                *gcols,
+                F.pmod(F.xxhash64(F.col(order_col), F.lit(cfg.seed)), F.lit(cfg.buckets))
+                .cast("int")
+                .alias("bucket"),
+                F.col(order_col),
+                F.col(feature_col),
+            )
+        else:
+            nb = F.greatest(
+                F.lit(1),
+                F.least(
+                    F.lit(cfg.max_buckets),
+                    F.ceil(F.col("__group_rows") / F.lit(cfg.rows_per_bucket)),
+                ),
+            )
+            counts = df.groupBy(*gcols).agg(F.count(F.lit(1)).alias("__group_rows"))
+            bucketed = (
+                df.join(F.broadcast(counts), gcols, "left")
+                .select(
+                    *gcols,
+                    F.pmod(F.xxhash64(F.col(order_col), F.lit(cfg.seed)), nb)
+                    .cast("int")
+                    .alias("bucket"),
+                    F.col(order_col),
+                    F.col(feature_col),
+                )
+            )
     key_cols = gcols + ["bucket"]
     # Explicit user repartition on the group key: the UDF is CPU-bound, so
     # we must NOT let AQE coalesce the (byte-wise tiny) shuffle into a few

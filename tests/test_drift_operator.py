@@ -116,3 +116,54 @@ def test_drift_rerun_after_completion_is_noop(spark, feat_df, tmp_path):
     np.testing.assert_array_equal(s1["n_rows"].values, s2["n_rows"].values)
     assert (second[second.row_kind == "anomaly"]).empty  # nothing new to flag
     assert (second[second.row_kind == "window"]).empty  # replayed tail windows too
+
+
+def test_streaming_impute_range_blocked_matches_single_stream(spark):
+    """STREAMING_IMPUTE scale path: contiguous order_col range blocks
+    (rows_per_bucket grid slots each) instead of one task per group. The
+    filled grid — including gaps that cross block boundaries, anchored at
+    the previous block's last row — must match the single-stream run
+    (same totals, full grid restored); a hot group runs as multiple
+    tasks."""
+    import pandas as pd
+
+    n = 4000
+    rng = np.random.default_rng(3)
+    keep = np.ones(n, bool)
+    keep[990:1010] = False    # gap crossing block boundary at 1000
+    keep[1995:2005] = False   # gap crossing block boundary at 2000
+    keep[500:505] = False     # interior gap
+    vals = rng.normal(0.0, 1.0, (n, 2))
+    pdf = pd.DataFrame(
+        {
+            "source": "s",
+            "seq": np.arange(n)[keep],
+            "features": [[float(a), float(b)] for a, b in vals[keep]],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    base = dict(
+        num_trees=10, sample_size=32, chunk_size=256, window=64,
+        min_baseline_windows=3, use_corrector=False,
+        mode="streaming_impute", impute_method="linear",
+    )
+    out_s = drift_scores(
+        df, "features", ("source",), "seq", DriftConfig(**base, buckets=1)
+    ).toPandas()
+    out_b = drift_scores(
+        df, "features", ("source",), "seq",
+        DriftConfig(**base, rows_per_bucket=1000),
+    ).toPandas()
+    ss = out_s[out_s.row_kind == "summary"]
+    sb = out_b[out_b.row_kind == "summary"]
+    assert len(ss) == 1 and len(sb) == 4  # 4 bounded range blocks
+    n_gap = int((~keep).sum())
+    assert int(ss.n_imputed.sum()) == n_gap
+    assert int(sb.n_imputed.sum()) == n_gap  # boundary gaps still filled
+    assert int(ss.n_rows.sum()) == n  # full grid restored
+    assert int(sb.n_rows.sum()) == n
+    # no anomaly ever emitted at an imputed grid position
+    gap_seqs = set(np.arange(n)[~keep].tolist())
+    for out in (out_s, out_b):
+        emitted = set(out[out.row_kind == "anomaly"]["seq"].tolist())
+        assert not (emitted & gap_seqs)
