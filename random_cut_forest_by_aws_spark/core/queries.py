@@ -8,11 +8,14 @@ Re-expressed from the reference's visitor set (SURVEY.md §2.3):
   recursion accumulating directional (probMass, measure, distances)
   DiVectors; scalar density = sumPts / (q·sumPts + Σ_d (dist/prob)^m·prob).
 * impute / conditional field — ``imputation/ImputeVisitor.java:30-80``,
-  summarized per ``ConditionalSampleSummarizer``: per tree, descend with
-  missing dims taking the mass-weighted branch (the reference explores
-  both branches via MultiVisitor and keeps the lower anomaly rank — we
-  sample the branch mass-proportionally, a documented simplification),
-  fill missing dims from the reached leaf, then rank candidates by forest
+  summarized per ``ConditionalSampleSummarizer``: per tree, descend
+  following the observed dims and BOTH branches at cuts on missing dims
+  (MultiVisitor semantics, ``RandomCutForest.java:985-1069``); fill
+  missing dims from each reached leaf, rank each candidate by the tree's
+  own anomaly score of the filled point (bottom-up probability-of-
+  separation walk, ImputeVisitor.accept:148-165) and keep the lowest
+  adjusted rank per tree (merge rule updateCombine:252-258, centrality
+  blend adjustedRank:246-249); then rank the per-tree winners by forest
   score and aggregate the best half (median).
 * extrapolate — ``RandomCutForest.java:1102-1258``: iteratively impute
   the next input block of a shingle ``horizon`` times; ranges from
@@ -165,45 +168,148 @@ def density(forest: RCFForest, X: np.ndarray, q_scale: float = 2.0) -> dict:
 # impute / conditional field
 # --------------------------------------------------------------------- #
 def conditional_field(
-    forest: RCFForest, x: np.ndarray, missing: list[int], seed: int = 0
+    forest: RCFForest,
+    x: np.ndarray,
+    missing: list[int],
+    seed: int = 0,
+    centrality: float = 1.0,
+    max_leaves_per_tree: int = 128,
 ) -> np.ndarray:
-    """Per-tree imputation candidates [T_live, d]: descend each tree,
-    branching mass-proportionally at cuts on missing dims, fill missing
-    dims from the reached leaf (ImputeVisitor semantics, sampled)."""
+    """Per-tree imputation candidates [T_live, d], MultiVisitor both-branch
+    semantics (``imputation/ImputeVisitor.java:30-80``, traversal split
+    ``RandomCutForest.java:985-1069``): descend each tree following the
+    observed dims of ``x`` and BOTH branches at cuts on missing dims; fill
+    missing dims from each reached leaf; rank each candidate by the tree's
+    own score of the filled point (leaf seen/unseen score + bottom-up
+    probability-of-separation recurrence, ImputeVisitor.accept:148-165,
+    acceptLeaf:176-206) and keep the per-tree candidate with the lowest
+    ``centrality·rank + (1−centrality)·U(0,1)`` (adjustedRank:246-249,
+    merge updateCombine:252-258).
+
+    Exploration per tree walks the heavier subtree first and stops after
+    ``max_leaves_per_tree`` leaves — a documented deviation from the
+    reference's unbounded split that only binds when most dims are missing
+    (the degenerate sample-from-forest case)."""
     x32 = np.asarray(x, np.float32).copy()
-    missing_set = set(missing)
-    rng = np.random.default_rng(np.random.SeedSequence([forest.seed, seed, 7]))
-    out = []
+    d = forest.d
+    miss_mask = np.zeros(d, bool)
+    miss_mask[np.asarray(sorted(set(missing)), np.int64)] = True
+    obs_mask = ~miss_mask
+    N = forest.N
+
+    # phase 1: per-tree DFS over paths consistent with the observed dims
+    lane_tree: list[int] = []
+    lane_leaf: list[int] = []
+    lane_depth: list[int] = []
+    tree_slots: list[tuple[int, int]] = []  # (start, end) per live tree
     for t in range(forest.T):
-        node = int(forest.root[t])
-        if node == _NULL:
+        root = int(forest.root[t])
+        if root == _NULL:
             continue
         cutdim = forest.cutdim[t]
         cutval = forest.cutval[t]
         left, right, mass = forest.left[t], forest.right[t], forest.mass[t]
-        while cutdim[node] >= 0:
-            cd = int(cutdim[node])
-            l, r = int(left[node]), int(right[node])
-            if cd in missing_set:
-                pl = mass[l] / (mass[l] + mass[r])
-                node = l if rng.random() < pl else r
-            else:
-                node = l if x32[cd] <= cutval[node] else r
-        cand = x32.copy()
-        leafpt = forest.bbmin[t, node]
-        for m in missing:
-            cand[m] = leafpt[m]
-        out.append(cand)
+        stack = [(root, 0)]
+        start = len(lane_leaf)
+        while stack and (len(lane_leaf) - start) < max_leaves_per_tree:
+            node, dep = stack.pop()
+            while cutdim[node] >= 0:
+                cd = int(cutdim[node])
+                l, r = int(left[node]), int(right[node])
+                if miss_mask[cd]:
+                    if mass[l] >= mass[r]:
+                        node, second = l, r
+                    else:
+                        node, second = r, l
+                    stack.append((second, dep + 1))
+                else:
+                    node = l if x32[cd] <= cutval[node] else r
+                dep += 1
+            lane_tree.append(t)
+            lane_leaf.append(node)
+            lane_depth.append(dep)
+        tree_slots.append((start, len(lane_leaf)))
+    M = len(lane_leaf)
+    if M == 0:
+        return np.zeros((0, d), np.float32)
+
+    # phase 2: vectorized fill + per-tree rank over all (candidate, tree)
+    # lanes — the same leaf-to-root recurrence as RCFForest.score, but each
+    # candidate walks only its own tree and uses the ImputeVisitor's
+    # undamped seen/unseen kernels
+    _, _, _, _, parent_f, bbmin_f, bbmax_f, mass_f = forest._flat()
+    ts = np.asarray(lane_tree, np.int64)
+    addr = ts * N + np.asarray(lane_leaf, np.int64)
+    dv = np.asarray(lane_depth, np.float64)
+    leafpt = bbmin_f[addr]
+    cands = np.tile(x32, (M, 1))
+    cands[:, miss_mask] = leafpt[:, miss_mask]
+    dist = (
+        np.abs(cands[:, obs_mask].astype(np.float64)
+               - leafpt[:, obs_mask].astype(np.float64)).sum(1)
+        if obs_mask.any()
+        else np.zeros(M)
+    )
+    lm = mass_f[addr].astype(np.float64)
+    rank = np.where(
+        dist <= 0,
+        np.where(dv == 0, 0.0, 1.0 / (dv + np.log2(lm + 1.0))),
+        1.0 / (dv + 1.0),
+    )
+    frozen = dist <= 0  # exact match on observed dims: converged at leaf
+    up = parent_f[addr].astype(np.int64)
+    active = np.nonzero(~frozen & (up >= 0))[0]
+    cur = np.where(up >= 0, ts * N + up, -1)
+    dv = dv - 1.0
+    while len(active):
+        a = cur[active]
+        bmn = bbmin_f[a]
+        bmx = bbmax_f[a]
+        xv = cands[active]
+        dlt = (
+            np.maximum(bmn - xv, 0).sum(1, dtype=np.float64)
+            + np.maximum(xv - bmx, 0).sum(1, dtype=np.float64)
+        )
+        newr = (bmx - bmn).sum(1, dtype=np.float64) + dlt
+        p = np.where(newr > 0, dlt / np.maximum(newr, 1e-300), 0.0)
+        pos = p > 0
+        unseen_here = 1.0 / (dv[active] + 1.0)
+        rank[active] = np.where(
+            pos, p * unseen_here + (1.0 - p) * rank[active], rank[active]
+        )
+        nxt = parent_f[a].astype(np.int64)
+        cur[active] = np.where(nxt >= 0, ts[active] * N + nxt, -1)
+        dv[active] -= 1.0
+        active = active[pos & (nxt >= 0)]
+
+    # phase 3: per-tree merge — lowest adjusted rank wins
+    if centrality < 1.0:
+        rng = np.random.default_rng(np.random.SeedSequence([forest.seed, seed, 7]))
+        rank = centrality * rank + (1.0 - centrality) * rng.random(M)
+    out = [
+        cands[s + int(np.argmin(rank[s:e]))]
+        for s, e in tree_slots
+        if e > s
+    ]
     return np.array(out, np.float32)
 
 
 def impute(
-    forest: RCFForest, x: np.ndarray, missing: list[int], seed: int = 0
+    forest: RCFForest,
+    x: np.ndarray,
+    missing: list[int],
+    seed: int = 0,
+    centrality: float = 1.0,
+    max_leaves_per_tree: int = 128,
 ) -> np.ndarray:
-    """Impute missing dims: rank per-tree candidates by forest score, take
-    the coordinate-wise median of the best half
-    (``ConditionalSampleSummarizer`` analogue)."""
-    cands = conditional_field(forest, x, missing, seed)
+    """Impute missing dims: rank per-tree both-branch candidates by forest
+    score, take the coordinate-wise median of the best half
+    (``ConditionalSampleSummarizer`` analogue; centrality per
+    ``RandomCutForest.imputeMissingValues:1040-1069``)."""
+    cands = conditional_field(
+        forest, x, missing, seed,
+        centrality=centrality, max_leaves_per_tree=max_leaves_per_tree,
+    )
     if len(cands) == 0:
         return np.asarray(x, np.float32)
     scores = forest.score(cands)

@@ -588,8 +588,12 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
 
                 all_dims = list(range(xn.shape[1]))
                 for j in np.flatnonzero(imp):
+                    # all dims missing = sample-from-forest degenerate case:
+                    # a tight leaf cap keeps the both-branch enumeration
+                    # bounded without changing the central-median estimate
                     xn[j] = rcf_impute(
-                        forest, xn[j], all_dims, seed=int(seqs[lo + j])
+                        forest, xn[j], all_dims, seed=int(seqs[lo + j]),
+                        max_leaves_per_tree=8,
                     )
             if forest.is_output_ready:
                 scores = forest.score(xn)

@@ -141,3 +141,37 @@ def test_summarize_multicenter_representatives():
         assert 1 <= len(reps) <= 4
         # shrunk representatives stay on their cluster's side of space
         assert (np.sign(reps[:, 0]) == np.sign(center[0])).all()
+
+
+def test_impute_both_branch_picks_best_mode_deterministically():
+    """MultiVisitor both-branch semantics: on a bimodal distribution where
+    the observed dim pins the correct mode, every seed must impute the
+    consistent mode — one-branch mass-proportional sampling would pick the
+    wrong mode with probability ≈ its mass share (~50%)
+    (ImputeVisitor.java:30-80, merge RandomCutForest.java:1040-1069)."""
+    rng = np.random.default_rng(21)
+    A = rng.normal([0.0, 0.0], 0.3, (300, 2))
+    B = rng.normal([10.0, 10.0], 0.3, (300, 2))
+    f = RCFForest(2, num_trees=30, sample_size=128, time_decay=0.0, seed=9)
+    X = np.vstack([A, B]).astype(np.float32)
+    rng.shuffle(X)
+    f.update_batch(X)
+    # observed dim 0 = 0.2 pins mode A; dim 1 missing
+    for seed in range(20):
+        got = impute(f, np.array([0.2, 0.0], np.float32), missing=[1], seed=seed)
+        assert abs(got[1]) < 2.0, f"seed {seed}: imputed wrong mode {got[1]}"
+    # and symmetric: observed near B imputes B's dim-1 mode
+    for seed in range(20):
+        got = impute(f, np.array([9.8, 0.0], np.float32), missing=[1], seed=seed)
+        assert abs(got[1] - 10.0) < 2.0, f"seed {seed}: {got[1]}"
+
+
+def test_conditional_field_centrality_widens_spread():
+    """centrality < 1 blends a uniform tiebreak into the rank
+    (adjustedRank, ImputeVisitor.java:246-249): candidates spread wider
+    than the pure-rank (centrality=1) selection."""
+    f, _ = _two_cluster_forest()
+    x = np.array([5.0, 0.0], np.float32)
+    tight = conditional_field(f, x, [1], seed=3, centrality=1.0)
+    loose = conditional_field(f, x, [1], seed=3, centrality=0.0)
+    assert np.std(loose[:, 1]) >= np.std(tight[:, 1])
