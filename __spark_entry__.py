@@ -415,6 +415,34 @@ def _q_drift_sequences(spark, sf_dir):
     return drift_verdicts(drift_scores(feat, cfg=cfg), cfg=cfg)
 
 
+def _q_drift_shingled_events(spark, sf_dir):
+    """Shingled drift (shingle_size=4) over the per-type event value
+    stream: the forest scores windows of 4 consecutive transformed values
+    and the slot-aware PredictorCorrector de-duplicates anomalies sliding
+    through overlapping shingles (PredictorCorrector.java:795-905).
+    Rows-only (RCF-sketch output)."""
+    from random_cut_forest_by_aws_spark.operators.drift import (
+        DriftConfig, drift_scores,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    seqd = e.withColumn("seq", F.row_number().over(w).cast("long")).select(
+        "event_type", "seq", F.array(F.col("value").cast("double")).alias("features")
+    )
+    cfg = DriftConfig(num_trees=10, sample_size=64, chunk_size=512,
+                      window=64, min_baseline_windows=3, buckets=1,
+                      shingle_size=4)
+    raw = drift_scores(seqd, "features", ("event_type",), "seq", cfg)
+    return raw.filter(F.col("row_kind") == "summary").select(
+        "event_type",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_scored").cast("bigint").alias("n_scored"),
+        F.col("n_anomalous").cast("bigint").alias("n_anomalous"),
+        F.round("mean_score", 4).alias("mean_score"),
+    )
+
+
 def _q_drift_impute_events(spark, sf_dir):
     """STREAMING_IMPUTE mode over a gapped per-type event stream: every
     third event dropped, gaps grid-filled (linear) before the forest
@@ -487,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize_plan": _q_media_resize_plan,
         "media_metadata_check": _q_media_metadata_check,
         "drift_verdicts_sequences": _q_drift_sequences,
+        "drift_shingled_events": _q_drift_shingled_events,
         "drift_impute_events": _q_drift_impute_events,
         "validation_suite_verdicts": _q_suite_verdicts,
     }

@@ -8,9 +8,17 @@ Re-expressed from the reference parkservices layer:
   the forest (the "expected point"), re-score the corrected point, and
   suppress the anomaly when the corrected score falls back under the
   threshold or the point is within the ignore-near-expected band — the
-  cascade/noise suppressor. (The reference's multi-mode machinery —
-  shingle-aware time-slot analysis, run-length discounting — is out of
-  scope; this is the correct-by-expected + re-score core.)
+  cascade/noise suppressor. For shingled streams the analysis is
+  slot-aware (``detect:730-905``): attribution is rolled up per time
+  slot, the driving slot is searched only among ticks that arrived
+  AFTER the last reported anomaly (``maxContribution:195-213`` with
+  ``relative = -min(gap, shingleSize)``), the expected point corrects
+  only that slot's top contributors (``getExpectedPoint:227-270``), and
+  a high score whose corrected version falls under threshold is the
+  previous anomaly still sliding through the shingle
+  (CorrectionMode.ANOMALY_IN_SHINGLE) — reported once, at onset, with
+  the offending base dimension. (Multi-mode score vectors and the
+  autoAdjust drift deviations remain out of scope.)
 * ``ErrorCalibrator`` (``parkservices/calibration/ErrorHandler.java:
   51-80``, ``RCFCaster.java:43-109``): rolling per-horizon forecast-error
   percentiles applied additively to interval bounds
@@ -122,6 +130,145 @@ class PredictorCorrector:
             sig = contrib / np.maximum(contrib.sum(1, keepdims=True), 1e-12)
             return sup, sig
         return sup
+
+    @staticmethod
+    def _pick_block_dims(
+        block: np.ndarray, start: int, max_attributors: int, total_dims: int
+    ) -> list[int] | None:
+        """Reference dim-pick rules within one shingle slot
+        (``getExpectedPoint``, PredictorCorrector.java:227-270): take the
+        top contributors of the block while each stays above
+        min(0.1·blockSum, 0.1); bail out (None) when the largest
+        contributor is under 10% of the block, when more than
+        ``max_attributors`` qualify, or when the picked set exceeds half
+        the forest dimensions — an unusable, smeared correction."""
+        base = len(block)
+        if base == 1:
+            dims = [start]
+            return None if len(dims) > 0.5 * total_dims else dims
+        s = float(block.sum())
+        vals = np.sort(block)
+        if vals[-1] < 0.1 * s:
+            return None
+        threshold = min(0.1 * s, 0.1)
+        pick = 1
+        while pick < base and vals[base - pick - 1] >= threshold:
+            pick += 1
+        if pick > max_attributors:
+            return None
+        cutoff = vals[base - pick]
+        dims: list[int] = []
+        for i in range(base):
+            if len(dims) >= pick:
+                break
+            if block[i] >= cutoff and (len(dims) == 0 or block[i] > s * 0.1):
+                dims.append(start + i)
+        if len(dims) > 0.5 * total_dims:
+            return None
+        return dims
+
+    def suppress_shingle_batch(
+        self,
+        forest: RCFForest,
+        X: np.ndarray,
+        thresholds: np.ndarray,
+        seqs: np.ndarray,
+        shingle_size: int,
+        state: dict,
+        differential_factor: float = 0.3,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Shingle-aware suppression over flagged shingled points
+        (``PredictorCorrector.detect``, PredictorCorrector.java:795-905).
+
+        Per flagged row (shingle layout: oldest slot first, newest last):
+
+        1. the driving slot is the max-attribution slot among the newest
+           ``min(gap, shingle_size)`` slots — only ticks that arrived after
+           the last reported anomaly can start a new one
+           (``relative = -min(gap, shingleSize)``, :806-863);
+        2. the slot's top contributors (reference pick rules,
+           ``getExpectedPoint:227-270``) are imputed out via the best
+           healthy-dim leaf exemplar, giving the expected point;
+        3. when the last anomaly still overlaps the shingle
+           (gap < shingle_size), the reference ``trigger`` test
+           (:288-303) decides: the L1 attribution differential between
+           the point and the expected point over the NEW ticks must
+           exceed ``differential_factor × lastAnomalyScore`` AND
+           (scaled to the full shingle) ``1.2 × threshold`` — otherwise
+           the high score is the previous anomaly sliding through
+           (CorrectionMode.ANOMALY_IN_SHINGLE) and is suppressed;
+        4. past the shingle (gap ≥ shingle_size) only the near-expected
+           band suppresses (withinGap analogue, :539-568); a surviving
+           row records (seq, score) as the new run onset.
+
+        Returns (suppressed flags, relative slot index in [-shingle, -1]
+        with -1 = newest, offending base dimension). ``state`` keys
+        ``last_anomaly_seq`` / ``last_anomaly_score`` persist across
+        chunks/checkpoints."""
+        A, d_total = X.shape
+        base = d_total // shingle_size
+        sup = np.zeros(A, bool)
+        rel_idx = np.full(A, -1, np.int64)
+        bad_dim = np.full(A, -1, np.int64)
+        if A == 0:
+            return sup, rel_idx, bad_dim
+        X32 = np.ascontiguousarray(X, np.float32)
+        hi, lo = forest.attribution(X32)
+        contrib = hi + lo  # [A, d_total]
+        slot_sums = contrib.reshape(A, shingle_size, base).sum(-1)
+        scores = contrib.sum(1)
+        leafpts, _ = forest.leaf_points(X32)  # [A, L, d_total]
+        last_seq = int(state.get("last_anomaly_seq", -(1 << 62)))
+        last_score = float(state.get("last_anomaly_score", 0.0))
+        for i in range(A):
+            gap = int(seqs[i]) - last_seq
+            m = max(1, min(gap, shingle_size))
+            j0 = shingle_size - m  # oldest considered slot
+            slot = j0 + int(np.argmax(slot_sums[i, j0:]))
+            start = slot * base
+            block = contrib[i, start : start + base]
+            rel_idx[i] = slot - shingle_size
+            bad_dim[i] = int(np.argmax(block))
+            dims = self._pick_block_dims(
+                block, start, self.max_attributed_dims, d_total
+            )
+            if dims is not None and leafpts.shape[1]:
+                bad = np.zeros(d_total, bool)
+                bad[dims] = True
+                diffs = (np.abs(leafpts[i] - X32[i]) * ~bad).sum(-1)
+                exemplar = leafpts[i, int(diffs.argmin())]
+                expected = np.where(bad, exemplar, X32[i].astype(np.float64)).astype(
+                    np.float32
+                )
+                if gap < shingle_size:
+                    # trigger test over the ticks that arrived after the
+                    # last anomaly (PredictorCorrector.java:288-303)
+                    e_hi, e_lo = forest.attribution(expected[None, :])
+                    nd = gap * base
+                    differential = float(
+                        np.abs(hi[i, d_total - nd :] - e_hi[0, d_total - nd :]).sum()
+                        + np.abs(lo[i, d_total - nd :] - e_lo[0, d_total - nd :]).sum()
+                    )
+                    alert = (
+                        differential > differential_factor * last_score
+                        and differential * d_total / nd > 1.2 * float(thresholds[i])
+                    )
+                    if not alert:
+                        sup[i] = True
+                        continue
+                else:
+                    scale = np.maximum(np.abs(expected), 1e-6)
+                    near = np.all(
+                        np.abs(X32[i][dims] - expected[dims])
+                        <= self.ignore_near_expected_ratio * scale[dims]
+                    )
+                    if near:
+                        sup[i] = True
+                        continue
+            last_seq, last_score = int(seqs[i]), float(scores[i])
+        state["last_anomaly_seq"] = last_seq
+        state["last_anomaly_score"] = last_score
+        return sup, rel_idx, bad_dim
 
     def run_length_filter(
         self,

@@ -70,6 +70,10 @@ class DriftConfig:
     # irregular streams), 'streaming_impute' (grid gaps filled before
     # update, ImputePreprocessor.java:39).
     mode: str = "standard"
+    # shingle the (transformed) stream: the forest scores windows of the
+    # last ``shingle_size`` rows (ShingleBuilder semantics; the corrector
+    # then runs the slot-aware analysis, PredictorCorrector.java:795-905)
+    shingle_size: int = 1
     expected_step: int = 1  # expected order_col cadence between rows
     # ImputationMethod parity (config/ImputationMethod.java):
     # zero | fixed | previous | next | linear | rcf
@@ -336,6 +340,14 @@ def _state_dict(
     state["tlast"] = np.asarray(
         extras.get("tlast", np.full(forest.d, np.nan)), np.float64
     )
+    st = extras.get("sh_tail")
+    state["sh_tail"] = (
+        np.asarray(st, np.float64) if st is not None and len(st) else np.zeros((0, 1))
+    )
+    state["extras_sh"] = np.array(
+        [float(extras.get("sh_last_seq", -(1 << 62))),
+         float(extras.get("sh_last_score", 0.0))]
+    )
     n_buf = len(buf_seqs)
     state["buf_X"] = (
         np.asarray(buf_X, np.float64).reshape(n_buf, -1)
@@ -402,6 +414,11 @@ def _load_group_state(path_or_file):
     }
     if "tlast" in state:
         extras["tlast"] = np.asarray(state["tlast"], np.float64)
+    if "sh_tail" in state and state["sh_tail"].shape != (0, 1):
+        extras["sh_tail"] = np.asarray(state["sh_tail"], np.float32)
+    if "extras_sh" in state:
+        extras["sh_last_seq"] = int(state["extras_sh"][0])
+        extras["sh_last_score"] = float(state["extras_sh"][1])
     return forest, th, state, extras
 
 
@@ -482,7 +499,7 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
                 imputed = np.concatenate([buf_imp, np.zeros(len(X) - n_buf, bool)])
         else:
             forest = RCFForest(
-                d,
+                d * max(1, cfg.shingle_size),
                 num_trees=cfg.num_trees,
                 sample_size=cfg.sample_size,
                 time_decay=cfg.time_decay,
@@ -492,6 +509,9 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
 
         if "tlast" not in extras:
             extras["tlast"] = np.full(d, np.nan)
+        s_sh = max(1, cfg.shingle_size)
+        if "sh_tail" not in extras:
+            extras["sh_tail"] = np.zeros((0, d), np.float32)
 
         if cfg.mode == "time_augmented" and emit_wm >= 0 and len(X) > n_buf:
             # boundary dt across a resume: the first kept row's predecessor
@@ -595,10 +615,36 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
                         forest, xn[j], all_dims, seed=int(seqs[lo + j]),
                         max_leaves_per_tree=8,
                     )
-            if forest.is_output_ready:
-                scores = forest.score(xn)
+            # shingling: forest points are windows of the last s_sh
+            # transformed rows; rows before the first full shingle (stream
+            # start) are consumed without scoring or updating
+            # (ShingleBuilder warm-up)
+            if s_sh > 1:
+                tail = extras["sh_tail"]
+                cat = np.vstack([tail, xn]) if len(tail) else xn
+                if len(cat) >= s_sh:
+                    pts = np.ascontiguousarray(
+                        np.lib.stride_tricks.sliding_window_view(
+                            cat, (s_sh, cat.shape[1])
+                        )[:, 0].reshape(-1, s_sh * cat.shape[1]),
+                        np.float32,
+                    )
+                    row_map = np.arange(len(pts), dtype=np.int64) + (
+                        s_sh - 1 - len(tail)
+                    )
+                else:
+                    pts = np.zeros((0, s_sh * cat.shape[1]), np.float32)
+                    row_map = np.zeros(0, np.int64)
+                extras["sh_tail"] = cat[max(0, len(cat) - (s_sh - 1)):].copy()
+            else:
+                pts = xn
+                row_map = np.arange(len(chunk), dtype=np.int64)
+            imp_p = imp[row_map]
+            seq_p = seqs[lo:hi][row_map]
+            if forest.is_output_ready and len(pts):
+                scores = forest.score(pts)
                 flagged: list[tuple] = []
-                real_pos = np.flatnonzero(~imp)
+                real_pos = np.flatnonzero(~imp_p)
                 rs = scores[real_pos]
                 if len(rs):
                     # vectorized threshold-then-update over the chunk
@@ -616,23 +662,41 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
                         extras["win_cnt"] += take
                         start += take
                         if extras["win_cnt"] >= cfg.window:
-                            close_window(int(seqs[lo + real_pos[start - 1]]))
+                            close_window(int(seq_p[real_pos[start - 1]]))
                     for i in np.flatnonzero(grade_arr >= cfg.min_emit_grade):
                         flagged.append(
                             (int(real_pos[i]), float(rs[i]),
                              float(thr_arr[i]), float(grade_arr[i]))
                         )
                 if flagged:
-                    if corrector is not None:
+                    if corrector is not None and s_sh > 1:
+                        # slot-aware shingle analysis: the spike sliding
+                        # through later shingles is the SAME anomaly
+                        # (PredictorCorrector.java:795-905)
+                        idx = np.fromiter((f[0] for f in flagged), np.int64)
+                        thr = np.fromiter((f[2] for f in flagged), np.float64)
+                        shstate = {
+                            "last_anomaly_seq": extras.get(
+                                "sh_last_seq", -(1 << 62)
+                            ),
+                            "last_anomaly_score": extras.get("sh_last_score", 0.0),
+                        }
+                        sup, _, _ = corrector.suppress_shingle_batch(
+                            forest, pts[idx].astype(np.float64), thr,
+                            seq_p[idx], s_sh, shstate,
+                        )
+                        extras["sh_last_seq"] = shstate["last_anomaly_seq"]
+                        extras["sh_last_score"] = shstate["last_anomaly_score"]
+                    elif corrector is not None:
                         idx = np.fromiter((f[0] for f in flagged), np.int64)
                         thr = np.fromiter((f[2] for f in flagged), np.float64)
                         sup, fdims = corrector.should_suppress_batch(
-                            forest, xn[idx].astype(np.float64), thr,
+                            forest, pts[idx].astype(np.float64), thr,
                             return_dims=True,
                         )
                         if cfg.run_length_suppression:
                             sup = corrector.run_length_filter(
-                                sup, seqs[lo + idx], fdims, extras,
+                                sup, seq_p[idx], fdims, extras,
                                 cfg.run_gap, cfg.trigger_factor,
                             )
                     else:
@@ -641,9 +705,9 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
                         if s_flag:
                             continue
                         extras["n_anomalous"] += 1
-                        if seqs[lo + i] > emit_wm:  # suppress replayed rows
+                        if seq_p[i] > emit_wm:  # suppress replayed rows
                             anomalies.append(
-                                (int(seqs[lo + i]), s, threshold, grade)
+                                (int(seq_p[i]), s, threshold, grade)
                             )
             if do_stat and not updated and len(real):
                 norm.update(real)
@@ -663,11 +727,13 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
                         ema = f * ema
                 extras["imp_ema"] = ema
                 extras["n_imputed"] += int(imp.sum())
-                if allowed.any():
-                    forest.update_batch(xn[allowed], seqs=seqs[lo:hi][allowed])
+                upd = allowed[row_map]
+                if upd.any():
+                    forest.update_batch(pts[upd], seqs=seq_p[upd])
             else:
                 extras["imp_ema"] *= (1.0 - 1.0 / max(cfg.sample_size, 2)) ** len(chunk)
-                forest.update_batch(xn, seqs=seqs[lo:hi])
+                if len(pts):
+                    forest.update_batch(pts, seqs=seq_p)
             extras["n_rows"] += hi - lo
             extras["tlast"] = raw_last
 
@@ -744,6 +810,8 @@ def drift_scores(
                 "weighted", "subtract_ma")
     if cfg.transform is not None and cfg.transform not in _METHODS:
         raise ValueError(f"unknown TransformMethod {cfg.transform!r}")
+    if cfg.shingle_size < 1:
+        raise ValueError("shingle_size must be >= 1")
     gcols = list(group_cols)
     total_groups = None
     if cfg.mode == "streaming_impute":

@@ -268,3 +268,55 @@ def test_thresholder_batch_large_discount_matches_sequential():
     assert np.all(np.isfinite(got_t))
     np.testing.assert_allclose(got_t, exp[:, 0], rtol=1e-7)
     assert (np.abs(got_g - exp[:, 1]) > 1e-7).sum() <= 2
+
+
+# --------------------------------------------------------------------- #
+# SHINGLED streams (shingle_size > 1, slot-aware corrector)
+# --------------------------------------------------------------------- #
+def test_shingled_spike_alerts_once_with_slot_analysis():
+    """shingle_size=4: a single-tick spike appears in 4 consecutive
+    shingles, but the slot-aware corrector reports only the onset
+    (ANOMALY_IN_SHINGLE suppression for the sliding copies,
+    PredictorCorrector.java:795-905); without the corrector the same
+    spike would alert on multiple overlapping shingles."""
+    rng = np.random.default_rng(11)
+    n = 4000
+    X = rng.normal(0.0, 0.5, (n, 2))
+    X[3500, 1] += 10.0
+    kw = dict(num_trees=20, sample_size=64, chunk_size=256, buckets=1,
+              window=64, min_baseline_windows=3, transform="none")
+    out = _run(DriftConfig(**kw, shingle_size=4, use_corrector=True), X)
+    spikes = out[(out.row_kind == "anomaly")
+                 & (out.seq >= 3500) & (out.seq < 3504)]
+    assert len(spikes) == 1 and int(spikes.iloc[0].seq) == 3500
+    plain = _run(DriftConfig(**kw, shingle_size=4, use_corrector=False), X)
+    p_spikes = plain[(plain.row_kind == "anomaly")
+                     & (plain.seq >= 3500) & (plain.seq < 3504)]
+    assert len(p_spikes) > 1  # the corrector is what de-duplicates
+
+
+def test_shingled_checkpoint_resume_bit_exact(tmp_path):
+    """shingle tail + slot-analysis state must round-trip through the
+    checkpoint: resuming mid-stream reproduces the uninterrupted run."""
+    rng = np.random.default_rng(13)
+    n = 3000
+    X = rng.normal(0.0, 0.5, (n, 2))
+    X[2500, 0] += 9.0
+    kw = dict(num_trees=10, sample_size=32, chunk_size=256, buckets=1,
+              window=32, min_baseline_windows=3, shingle_size=4)
+    full = _run(DriftConfig(**kw), X)
+    cfg_ck = DriftConfig(**kw, checkpoint_dir=str(tmp_path))
+    _run(cfg_ck, X[:1700])
+    resumed = _run(cfg_ck, X)
+    f_sum = full[full.row_kind == "summary"].iloc[0]
+    r_sum = resumed[resumed.row_kind == "summary"].iloc[0]
+    for c in ["n_rows", "n_scored", "n_anomalous", "n_windows"]:
+        assert f_sum[c] == r_sum[c], c
+    assert abs(f_sum.mean_score - r_sum.mean_score) < 1e-12
+    fa = full[full.row_kind == "anomaly"].sort_values("seq")
+    ra = resumed[resumed.row_kind == "anomaly"]
+    ra = ra[ra.seq > 1700].sort_values("seq")
+    fa_new = fa[fa.seq > 1700]
+    np.testing.assert_array_equal(fa_new["seq"].values, ra["seq"].values)
+    np.testing.assert_allclose(fa_new["score"].values, ra["score"].values,
+                               rtol=0, atol=0)
