@@ -393,12 +393,24 @@ def _q_media_resize_plan(spark, sf_dir):
 
 
 def _q_media_metadata_check(spark, sf_dir):
+    """Typed-metadata invariants over the docs-as-media adapter with
+    deterministically planted dim violations (image docs whose payload
+    byte length ≡ 5 mod 17 get height = −1). All metadata is length
+    arithmetic over the documents table, so the violation set is
+    DuckDB-reproducible — a green oracle instead of a rows-only check."""
     from random_cut_forest_by_aws_spark.operators.multimodal import (
-        media_metadata_violations, synth_media,
+        docs_as_media, media_metadata_violations,
     )
 
-    v = media_metadata_violations(synth_media(spark, 300, seed=42))
-    return v.select("doc_id", "mime", F.concat_ws(",", "failed_constraints").alias("failed"))
+    m = docs_as_media(_docs(spark, sf_dir))
+    planted = (F.col("mime") == "image/png") & (
+        F.pmod(F.length("payload"), F.lit(17)) == 5
+    )
+    m = m.withColumn("height", F.when(planted, F.lit(-1)).otherwise(F.col("height")))
+    v = media_metadata_violations(m)
+    return v.select(
+        "doc_id", "mime", F.concat_ws(",", "failed_constraints").alias("failed")
+    )
 
 
 def _q_drift_sequences(spark, sf_dir):
@@ -714,6 +726,40 @@ def oracle_sql() -> dict[str, str]:
                         WHEN s_en > 0.0 THEN 'en'
                         ELSE 'und' END AS lang_guess
             FROM t
+        """,
+        "media_metadata_check": """
+            WITH m AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     ['image/png','audio/wav','video/mp4'][(length(text) % 3) + 1] AS mime,
+                     length(text) AS n,
+                     octet_length(encode(text)) AS blen
+              FROM documents
+            ), mm AS (
+              SELECT doc_id, mime, blen,
+                     CASE WHEN mime = 'image/png' THEN (n % 64) + 32 END AS width,
+                     CASE WHEN mime = 'image/png' THEN
+                       CASE WHEN blen % 17 = 5 THEN -1 ELSE ((n * 7) % 64) + 32 END
+                     END AS height,
+                     CASE WHEN mime <> 'image/png' THEN n * 100 END AS duration_ms
+              FROM m
+            ), v AS (
+              SELECT doc_id, mime,
+                     list_filter([
+                       CASE WHEN NOT coalesce(blen IS NOT NULL, FALSE)
+                            THEN 'payload_not_null' END,
+                       CASE WHEN NOT coalesce(blen > 0, FALSE)
+                            THEN 'payload_not_empty' END,
+                       CASE WHEN NOT coalesce(mime <> 'image/png'
+                                              OR (width > 0 AND height > 0), FALSE)
+                            THEN 'image_dims_positive' END,
+                       CASE WHEN NOT coalesce(mime NOT IN ('audio/wav','video/mp4')
+                                              OR duration_ms > 0, FALSE)
+                            THEN 'av_duration_positive' END
+                     ], x -> x IS NOT NULL) AS failed_list
+              FROM mm
+            )
+            SELECT doc_id, mime, array_to_string(failed_list, ',') AS failed
+            FROM v WHERE len(failed_list) > 0
         """,
         "media_resize_plan": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,

@@ -27,13 +27,18 @@ class RCFCaster:
         sample_size: int = 256,
         time_decay: float | None = None,
         seed: int = 42,
-        calibrate: bool = True,
+        calibrate: bool | str = True,
         error_window: int = 256,
         percentile: float = 10.0,
     ):
         assert shingle_size >= 2 and horizon >= 1
         self.shingle_size = shingle_size
         self.horizon = horizon
+        # calibration mode (config/Calibration.java): bool back-compat —
+        # True = "simple", False = "none"; or "none" | "minimal" | "simple"
+        if isinstance(calibrate, bool):
+            calibrate = "simple" if calibrate else "none"
+        assert calibrate in ErrorCalibrator.MODES, calibrate
         self.calibrate = calibrate
         self.forest = RCFForest(
             shingle_size, num_trees=num_trees, sample_size=sample_size,
@@ -43,8 +48,9 @@ class RCFCaster:
                                      percentile=percentile)
         self._window: list[float] = []
         self._tick = 0
-        # forecasts awaiting their realized value: due_tick -> [(h, pred)]
-        self._pending: dict[int, list[tuple[int, float]]] = {}
+        # forecasts awaiting their realized value:
+        # due_tick -> [(h, pred, issued_upper, issued_lower)]
+        self._pending: dict[int, list[tuple[int, float, float, float]]] = {}
 
     def process(self, value: float) -> dict | None:
         """Consume one value; return the calibrated forecast (or None
@@ -53,8 +59,8 @@ class RCFCaster:
         # is the (_tick+1)-th: a horizon-h forecast issued at tick T was
         # keyed T+h+1 with _tick already incremented, so it realizes when
         # the pre-increment _tick reads T+h — i.e. key _tick+1 here.
-        for h, pred in self._pending.pop(self._tick + 1, []):
-            self.calib.observe(h, 0, value - pred)
+        for h, pred, up, low in self._pending.pop(self._tick + 1, []):
+            self.calib.observe(h, 0, value - pred, inside=low <= value <= up)
         self._window.append(float(value))
         if len(self._window) > self.shingle_size:
             self._window.pop(0)
@@ -70,16 +76,21 @@ class RCFCaster:
         upper = fc["upper"].copy()
         lower = fc["lower"].copy()
         for h in range(self.horizon):
-            self._pending.setdefault(self._tick + h + 1, []).append(
-                (h, float(values[h]))
+            raw_pred = float(values[h])
+            values[h], upper[h], lower[h] = self.calib.calibrate(
+                h, 0, values[h], upper[h], lower[h], mode=self.calibrate
             )
-            if self.calibrate:
-                values[h], upper[h], lower[h] = self.calib.calibrate(
-                    h, 0, values[h], upper[h], lower[h]
-                )
+            # errors settle against the raw model prediction; interval
+            # precision against the ISSUED (calibrated) bounds
+            self._pending.setdefault(self._tick + h + 1, []).append(
+                (h, raw_pred, float(upper[h]), float(lower[h]))
+            )
         return {
             "values": values,
             "upper": upper,
             "lower": lower,
             "rmse": [self.calib.rmse(h, 0) for h in range(self.horizon)],
+            "interval_precision": [
+                self.calib.interval_precision(h, 0) for h in range(self.horizon)
+            ],
         }

@@ -312,12 +312,27 @@ class PredictorCorrector:
 
 
 class ErrorCalibrator:
-    """Rolling forecast-error calibration (Calibration.SIMPLE).
+    """Rolling forecast-error calibration (``config/Calibration.java:
+    18-35``, ``calibration/ErrorHandler.java:426-447``).
 
     Track per-(horizon, dim) errors in a ring buffer; calibrated bounds
-    add the error percentiles to the raw forecast (additive conformal
-    intervals), plus RMSE for reporting.
+    per mode (``ErrorHandler.calibrate``):
+
+    * ``none`` — raw forecast intervals;
+    * ``minimal`` — the center stays raw; bounds are only widened where
+      the observed error percentiles exceed the raw interval
+      (upper = max(raw_upper, value + err_p90), lower symmetric) —
+      intervals are the minimal necessary given past error;
+    * ``simple`` — the center shifts by the error median first, then the
+    same widening applies — Markov-style additive; wider intervals,
+      higher interval precision.
+
+    Also tracks the interval-precision observable (``ErrorHandler.java:
+    418-424``): the rolling fraction of realized values inside the issued
+    calibrated interval.
     """
+
+    MODES = ("none", "minimal", "simple")
 
     def __init__(self, horizon: int, dims: int = 1, window: int = 256,
                  percentile: float = 10.0):
@@ -326,23 +341,37 @@ class ErrorCalibrator:
         self.errors = np.full((horizon, dims, window), np.nan)
         self.pos = np.zeros((horizon, dims), np.int64)
         self.count = np.zeros((horizon, dims), np.int64)
+        self.interval_hits = np.full((horizon, dims, window), np.nan)
 
-    def observe(self, h: int, dim: int, error: float) -> None:
+    def observe(self, h: int, dim: int, error: float,
+                inside: bool | None = None) -> None:
         p = self.pos[h, dim] % self.window
         self.errors[h, dim, p] = error
+        if inside is not None:
+            self.interval_hits[h, dim, p] = 1.0 if inside else 0.0
         self.pos[h, dim] += 1
         self.count[h, dim] += 1
 
     def calibrate(self, h: int, dim: int, value: float,
-                  upper: float, lower: float) -> tuple[float, float, float]:
+                  upper: float, lower: float,
+                  mode: str = "simple") -> tuple[float, float, float]:
+        if mode == "none":
+            return value, upper, lower
         e = self.errors[h, dim]
         e = e[~np.isnan(e)]
         if len(e) < 8:
             return value, upper, lower
         lo_q = float(np.percentile(e, self.percentile))
         hi_q = float(np.percentile(e, 100 - self.percentile))
-        med = float(np.median(e))
-        return value + med, max(upper, value + hi_q), min(lower, value + lo_q)
+        v = value + float(np.median(e)) if mode == "simple" else value
+        return v, max(upper, v + hi_q), min(lower, v + lo_q)
+
+    def interval_precision(self, h: int, dim: int) -> float:
+        """Rolling fraction of realized values that fell inside the
+        issued interval (≈ 1 − 2·percentile/100 when calibrated)."""
+        x = self.interval_hits[h, dim]
+        x = x[~np.isnan(x)]
+        return float(x.mean()) if len(x) else float("nan")
 
     def rmse(self, h: int, dim: int) -> float:
         e = self.errors[h, dim]

@@ -68,9 +68,9 @@ def test_caster_settles_forecast_at_issue_tick_plus_horizon():
         caster.process(float(v))
     T = caster._tick
     assert T + 1 in caster._pending  # next value realizes these forecasts
-    expected = [(h, 999.0 - pred) for h, pred in caster._pending[T + 1]]
+    expected = [(h, 999.0 - pred) for h, pred, _u, _l in caster._pending[T + 1]]
     seen: list[tuple[int, float]] = []
-    caster.calib.observe = lambda h, d, e: seen.append((h, e))
+    caster.calib.observe = lambda h, d, e, **kw: seen.append((h, e))
     caster.process(999.0)
     assert len(seen) == len(expected) > 0
     for (h_got, e_got), (h_exp, e_exp) in zip(seen, expected):
@@ -188,3 +188,34 @@ def test_shingle_aware_spike_alerts_once_with_right_dim():
     # sliding copies of the spike itself are all suppressed above
     others = [a for a in alerts if not (spike_tick <= a[0] < spike_tick + s)]
     assert len(others) < 0.01 * n
+
+
+def test_calibration_modes_interval_ordering():
+    """Calibration.MINIMAL (config/Calibration.java:18-35): NONE ⊆
+    MINIMAL by construction (bounds only widen), and SIMPLE (median-
+    shifted center + same widening) yields intervals at least as wide on
+    a seeded noisy series; interval precision is tracked per horizon."""
+    rng = np.random.default_rng(5)
+    series = 10.0 + np.sin(np.arange(1200) / 8.0) + rng.normal(0, 0.4, 1200)
+    outs = {}
+    for mode in ["none", "minimal", "simple"]:
+        c = RCFCaster(shingle_size=8, horizon=3, num_trees=15,
+                      sample_size=64, seed=11, calibrate=mode)
+        last = None
+        for v in series:
+            r = c.process(float(v))
+            if r is not None:
+                last = r
+        outs[mode] = last
+    for h in range(3):
+        n_u, n_l = outs["none"]["upper"][h], outs["none"]["lower"][h]
+        m_u, m_l = outs["minimal"]["upper"][h], outs["minimal"]["lower"][h]
+        s_u, s_l = outs["simple"]["upper"][h], outs["simple"]["lower"][h]
+        # NONE ⊆ MINIMAL: minimal only ever widens the raw bounds
+        assert m_u >= n_u - 1e-9 and m_l <= n_l + 1e-9
+        # widths: SIMPLE >= MINIMAL >= NONE on this series
+        assert (m_u - m_l) >= (n_u - n_l) - 1e-9
+        assert (s_u - s_l) >= (m_u - m_l) - 1e-6
+    # interval precision observable: calibrated intervals cover ~80%+
+    ip = outs["simple"]["interval_precision"][0]
+    assert 0.5 <= ip <= 1.0
