@@ -226,9 +226,14 @@ def _q_minhash_candidates(spark, sf_dir):
     banded candidate generation achieved full recall at that similarity.
     The gate runs banding at 16 bands of 2 rows (vs the production
     default 8×4): P(candidate) = 1-(1-s²)^16 ≥ 0.99998 at j = 0.7, so
-    the exactness claim holds for any fixture, not just the rehearsed
-    one — per-pair misses at the claim boundary are ~2e-5 instead of
-    ~11%. Pairs below 0.7 are deliberately excluded from the claim."""
+    the claim is fixture-robust with two caveats: (a) the bound is
+    probabilistic — a ~2e-5 per-pair miss at the 0.7 boundary remains
+    possible by design (vs ~11% at 8×4); (b) minhash_candidates drops
+    mega-buckets above 64 colliding ids (dedup.py bucket guard), so a
+    fixture with a > 64-way near-identical duplicate group would lose
+    those pairs while the exact oracle keeps them — the sf0.01 documents
+    table has no such group. Pairs below 0.7 are deliberately excluded
+    from the claim."""
     from random_cut_forest_by_aws_spark.operators.dedup import (
         minhash_candidates, ngram_jaccard,
     )

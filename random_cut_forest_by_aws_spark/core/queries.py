@@ -331,23 +331,33 @@ def extrapolate(
     block_size: int = 1,
     percentiles: tuple[float, float] = (10.0, 90.0),
     seed: int = 0,
+    cyclic: bool = False,
+    shingle_index: int = 0,
 ) -> dict:
-    """Forecast ``horizon`` future blocks of a (sliding) shingled stream.
+    """Forecast ``horizon`` future blocks of a shingled stream.
 
-    ``forest.d`` must equal shingle length; each step shifts the shingle
-    left by ``block_size`` and imputes the trailing block
-    (``RandomCutForest.extrapolateWithRanges``, RandomCutForest.java:
-    1102-1258). Returns {values, upper, lower} of shape
+    ``forest.d`` must equal shingle length. Sliding mode (default): each
+    step shifts the shingle left by ``block_size`` and imputes the
+    trailing block (``extrapolateBasicSliding``, RandomCutForest.java:
+    1169-1190). Cyclic mode: the shingle keeps the ShingleBuilder's
+    rotated in-place layout — each step imputes the block at
+    ``shingle_index`` (the oldest slot) and advances the position mod d
+    (``extrapolateBasicCyclic``, RandomCutForest.java:1192-1258;
+    ShingleBuilder.java:27-48). Returns {values, upper, lower} of shape
     [horizon·block_size] (RangeVector analogue; ranges from per-tree
     candidate percentiles — conformal calibration lives in the caller).
     """
     d = forest.d
     assert len(shingle) == d and d % block_size == 0
     cur = np.asarray(shingle, np.float32).copy()
-    missing = list(range(d - block_size, d))
+    pos = int(shingle_index) % d
     values, upper, lower = [], [], []
     for h in range(horizon):
-        cur = np.roll(cur, -block_size)
+        if cyclic:
+            missing = [(pos + y) % d for y in range(block_size)]
+        else:
+            cur = np.roll(cur, -block_size)
+            missing = list(range(d - block_size, d))
         cands = conditional_field(forest, cur, missing, seed=seed + h)
         if len(cands) == 0:
             block = np.zeros(block_size, np.float32)
@@ -363,6 +373,8 @@ def extrapolate(
         upper.extend(np.percentile(best, percentiles[1], axis=0))
         lower.extend(np.percentile(best, percentiles[0], axis=0))
         cur[missing] = med
+        if cyclic:
+            pos = (pos + block_size) % d
     return {
         "values": np.array(values),
         "upper": np.array(upper),

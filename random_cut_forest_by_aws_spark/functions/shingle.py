@@ -26,17 +26,36 @@ def shingle_column(
     group_cols: tuple[str, ...] = (),
     shingle_size: int = 4,
     out_col: str = "shingle",
+    cyclic: bool = False,
 ) -> DataFrame:
     """Append ``out_col: array<double>`` = the last ``shingle_size``
-    values of ``value_col`` (oldest first); rows before the window fills
-    are dropped (the reference's isReady gate, ShingleBuilder.java:90)."""
+    values of ``value_col``; rows before the window fills are dropped
+    (the reference's isReady gate, ShingleBuilder.java:90).
+
+    ``cyclic=False`` (default): sliding layout, oldest first
+    (abcd → bcde). ``cyclic=True``: each new value overwrites the oldest
+    slot in place (abcd → ebcd → efcd, ShingleBuilder.java:27-48) — the
+    sliding array rotated by ``rowpos % shingle_size``."""
     w = (
         W.partitionBy(*group_cols).orderBy(order_col)
         if group_cols
         else W.orderBy(order_col)
     )
     win = w.rowsBetween(-(shingle_size - 1), 0)
-    out = df.withColumn(out_col, F.collect_list(F.col(value_col).cast("double")).over(win))
+    sl = F.collect_list(F.col(value_col).cast("double")).over(win)
+    out = df.withColumn(out_col, sl)
+    if cyclic:
+        s = shingle_size
+        # 0-based tick t = row_number − 1; shingleIndex r = (t+1) % s;
+        # cyclic = sliding[s−r:] ++ sliding[:s−r]
+        r = F.pmod(F.row_number().over(w), F.lit(s))
+        out = out.withColumn(
+            out_col,
+            F.concat(
+                F.slice(F.col(out_col), s - r + 1, r),
+                F.slice(F.col(out_col), F.lit(1), s - r),
+            ),
+        )
     return out.filter(F.size(out_col) == shingle_size)
 
 

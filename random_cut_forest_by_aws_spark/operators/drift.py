@@ -456,8 +456,14 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
         if cfg.mode == "time_augmented" and len(X):
             # ForestMode.TIME_AUGMENTED: the order_col gap becomes an extra
             # feature dimension (Preprocessor.java:53-90) — cadence shifts
-            # in irregular streams then register as anomalies/drift.
-            dt = np.diff(seqs, prepend=seqs[0] - cfg.expected_step).astype(np.float64)
+            # in irregular streams then register as anomalies/drift. In
+            # range-blocked execution the first row's dt comes from the
+            # previous block's last seq (the anchor row), so block
+            # boundaries measure the stream's real cadence.
+            prepend = seqs[0] - cfg.expected_step
+            if block_anchor is not None:
+                prepend = block_anchor[0]
+            dt = np.diff(seqs, prepend=prepend).astype(np.float64)
             X = np.column_stack([X, dt])
         d = X.shape[1]
         imputed = np.zeros(len(X), bool)
@@ -814,11 +820,12 @@ def drift_scores(
         raise ValueError("shingle_size must be >= 1")
     gcols = list(group_cols)
     total_groups = None
-    if cfg.mode == "streaming_impute":
+    if cfg.mode in ("streaming_impute", "time_augmented"):
         if cfg.buckets is not None:
-            # explicit bucket count: gap detection needs the unsalted
-            # per-group stream, so hashing seqs into buckets is never valid
-            # here — force a single stream (tests/back-compat)
+            # explicit bucket count: gap detection / cadence measurement
+            # needs the unsalted per-group stream, so hashing seqs into
+            # buckets is never valid here — force a single stream
+            # (tests/back-compat)
             cfg = replace(cfg, buckets=1)
             bucketed = df.select(
                 *gcols, F.lit(0).alias("bucket"), F.col(order_col), F.col(feature_col)
@@ -827,10 +834,10 @@ def drift_scores(
             # scale path: contiguous order_col RANGE blocks (≈ rows_per_
             # bucket grid slots each) instead of one task per group — a hot
             # key no longer maps to a single straggler task. Gaps inside a
-            # block fill locally; gaps across block boundaries fill in the
-            # later block, anchored at the previous non-empty block's last
-            # row (delivered as a marked anchor row), so the filled grid is
-            # identical to the single-stream run.
+            # block fill locally; gaps (and TIME_AUGMENTED dt) across block
+            # boundaries resolve against the previous non-empty block's
+            # last row (delivered as a marked anchor row), so the filled
+            # grid / cadence stream is identical to the single-stream run.
             from pyspark.sql.window import Window
 
             span = max(1, cfg.expected_step * cfg.rows_per_bucket)

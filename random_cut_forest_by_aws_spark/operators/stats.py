@@ -53,9 +53,14 @@ def column_stats(
     key_cols: Sequence[str] = (),
     group_by: Sequence[str] | None = None,
     exact_distinct: bool = False,
+    quantiles: Sequence[float] = (),
+    quantile_accuracy: int = 10_000,
 ) -> DataFrame:
-    """Wide stats row per group: per-numeric-column min/max/null-count and
-    per-key-column cardinality (HLL sketch; exact opt-in for test scale)."""
+    """Wide stats row per group: per-numeric-column min/max/null-count
+    (plus optional mergeable quantile sketches — ``percentile_approx``,
+    the 10^12-row scale path; the driver gate keeps exact percentiles for
+    oracle matching) and per-key-column cardinality (HLL sketch; exact
+    opt-in for test scale)."""
     aggs: list = [F.count(F.lit(1)).alias("n_rows")]
     for col in numeric_cols:
         c = F.col(col)
@@ -65,6 +70,12 @@ def column_stats(
             (F.count(F.lit(1)) - F.count(c)).alias(f"{col}_nulls"),
             F.sum(c).alias(f"{col}_sum"),
         ]
+        if quantiles:
+            aggs.append(
+                F.percentile_approx(c, list(quantiles), quantile_accuracy).alias(
+                    f"{col}_quantiles"
+                )
+            )
     for col in key_cols:
         # key-col null count: countDistinct ignores nulls, so a not-null
         # verdict must come from its own aggregate (skip when the numeric

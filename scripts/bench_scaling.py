@@ -127,15 +127,19 @@ def main() -> None:
             return float("inf")
         return abs(a - b) / max(a, b)
 
-    # among window-matched pairs (≤20% calibration mismatch) take the
-    # HIGHEST-efficiency one: noise on this box is one-sided (stragglers
-    # and neighbor steal only ever slow a leg down), so the max over
-    # matched pairs is the least-biased estimator of the true ratio
+    # among window-matched pairs (≤20% calibration mismatch) the headline
+    # is the MEDIAN efficiency: noise is one-sided (legs only slow down),
+    # but max() preferentially selects pairs whose LOW leg straggled,
+    # biasing the ratio upward — the median is robust to both directions.
+    # The max is still reported (one-sided-noise argument) for context,
+    # as are all pairs.
     matched = [p for p in pairs if cal_mismatch(p) <= 0.2] or [
         min(pairs, key=cal_mismatch)
     ]
-    lo, hi = max(matched, key=lambda p: p[1]["value"] / p[0]["value"])
+    by_eff = sorted(matched, key=lambda p: p[1]["value"] / p[0]["value"])
+    lo, hi = by_eff[len(by_eff) // 2]  # median pair
     eff = (hi["value"] / lo["value"]) / ratio
+    eff_max = (by_eff[-1][1]["value"] / by_eff[-1][0]["value"]) / ratio
     eff_norm = eff / ceiling
     report = {
         "low_cpus": args.low,
@@ -145,6 +149,7 @@ def main() -> None:
         "low_tokens_per_sec": lo["tokens_per_sec"],
         "high_tokens_per_sec": hi["tokens_per_sec"],
         "scaling_efficiency_raw": round(eff, 3),
+        "scaling_efficiency_max_pair": round(eff_max, 3),
         "hardware_ceiling": round(ceiling, 3),
         "scaling_efficiency_vs_ceiling": round(eff_norm, 3),
         "low_host_cal_mops": lo.get("host_cal_mops"),
@@ -195,8 +200,11 @@ token invariants + per-partition RCF drift sketches over the
 deterministic tokenized-sequence table
 ({lo["bench_rows"]:,} rows, {lo["bench_tokens"]:,} tokens, seed 42), bench.py,
 identical config at both levels. Levels run as back-to-back pairs
-({args.repeats} pairs); the pair below is the one whose two host
-calibrations agree best (all pairs: {json.dumps(report["all_pairs"])}).
+({args.repeats} pairs); the pair below is the MEDIAN-efficiency pair
+among calibration-matched pairs (max-pair efficiency {eff_max:.3f} —
+noise is one-sided, so the max is an upper estimate, but it also
+preferentially selects straggling low legs; all pairs:
+{json.dumps(report["all_pairs"])}).
 
 | parallelism | validated rows/sec | tokens/sec | suite wall (s) | host Mops at 32p |
 |---|---|---|---|---|

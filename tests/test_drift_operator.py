@@ -167,3 +167,32 @@ def test_streaming_impute_range_blocked_matches_single_stream(spark):
     for out in (out_s, out_b):
         emitted = set(out[out.row_kind == "anomaly"]["seq"].tolist())
         assert not (emitted & gap_seqs)
+
+
+def test_time_augmented_range_blocked_cadence(spark):
+    """TIME_AUGMENTED in range-blocked execution: dt at block boundaries
+    comes from the previous block's last seq (anchor row), so a hot group
+    splits into bounded tasks and a cadence shift is still flagged."""
+    import pandas as pd
+
+    n = 4000
+    seqs = np.concatenate(
+        [np.arange(0, 20000, 10), 20000 + np.arange(n - 2000)]
+    )  # cadence 10 → 1 at midpoint
+    pdf = pd.DataFrame(
+        {"source": "s", "seq": seqs, "features": [[1.0, 2.0]] * n}
+    )
+    df = spark.createDataFrame(pdf)
+    base = dict(
+        num_trees=10, sample_size=64, chunk_size=256, window=64,
+        min_baseline_windows=3, use_corrector=False, mode="time_augmented",
+    )
+    out = drift_scores(
+        df, "features", ("source",), "seq",
+        DriftConfig(**base, rows_per_bucket=3000),
+    ).toPandas()
+    sb = out[out.row_kind == "summary"]
+    assert len(sb) > 1  # hot group split into multiple range blocks
+    assert int(sb.n_rows.sum()) == n
+    # the cadence shift registers as drift in the block containing it
+    assert int(sb.n_drifted_windows.sum()) >= 1

@@ -146,3 +146,21 @@ def test_column_stats_key_col_overlapping_numeric(seqs):
     assert got.columns.count("n_tok_nulls") == 1
     pdf = got.select("source", F.col("n_tok_nulls")).toPandas()
     assert (pdf["n_tok_nulls"] == 0).all()
+
+
+def test_column_stats_sketch_quantiles(spark):
+    """column_stats optionally emits mergeable percentile_approx sketches
+    (SURVEY §2.5 scale path) alongside exact min/max/sum."""
+    import pandas as pd
+
+    from random_cut_forest_by_aws_spark.operators.stats import column_stats
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": ["a"] * 50 + ["b"] * 50, "v": list(range(100))})
+    )
+    out = column_stats(
+        df, ["v"], group_by=["g"], quantiles=(0.5, 0.9)
+    ).toPandas().set_index("g")
+    assert "v_quantiles" in out.columns
+    med_a = out.loc["a", "v_quantiles"][0]
+    assert 20 <= med_a <= 29  # approx median of 0..49
