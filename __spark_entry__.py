@@ -460,6 +460,32 @@ def _q_drift_shingled_events(spark, sf_dir):
     )
 
 
+def _q_drift_multimode_events(spark, sf_dir):
+    """MULTI_MODE scoring over the per-type event value stream: the
+    distance thresholder (getSimpleDensity distances, primary mean+z·dev
+    grading) vetoes inverse-depth alerts it grades 0
+    (PredictorCorrector.java:595-609,785-792). Rows-only (sketch)."""
+    from random_cut_forest_by_aws_spark.operators.drift import (
+        DriftConfig, drift_scores,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    seqd = e.withColumn("seq", F.row_number().over(w).cast("long")).select(
+        "event_type", "seq", F.array(F.col("value").cast("double")).alias("features")
+    )
+    cfg = DriftConfig(num_trees=10, sample_size=64, chunk_size=512,
+                      window=64, min_baseline_windows=3, buckets=1,
+                      scoring="multi_mode")
+    raw = drift_scores(seqd, "features", ("event_type",), "seq", cfg)
+    return raw.filter(F.col("row_kind") == "summary").select(
+        "event_type",
+        F.col("n_scored").cast("bigint").alias("n_scored"),
+        F.col("n_anomalous").cast("bigint").alias("n_anomalous"),
+        F.round("mean_score", 4).alias("mean_score"),
+    )
+
+
 def _q_drift_impute_events(spark, sf_dir):
     """STREAMING_IMPUTE mode over a gapped per-type event stream: every
     third event dropped, gaps grid-filled (linear) before the forest
@@ -533,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata_check": _q_media_metadata_check,
         "drift_verdicts_sequences": _q_drift_sequences,
         "drift_shingled_events": _q_drift_shingled_events,
+        "drift_multimode_events": _q_drift_multimode_events,
         "drift_impute_events": _q_drift_impute_events,
         "validation_suite_verdicts": _q_suite_verdicts,
     }

@@ -362,6 +362,143 @@ class BasicThresholder:
             self.last_score = float(s[-1])
         return thresholds, grades
 
+    # -- primary-only threshold/grade (BasicThresholder.java:155-192) -----
+    def primary_threshold(self) -> float:
+        if not self.is_deviation_ready():
+            return 0.0
+        return self.primary.mean + self.z_factor * self.primary.deviation
+
+    def primary_threshold_and_grade(self, score: float) -> tuple[float, float]:
+        """getPrimaryThresholdAndGrade (:185-192): the simple
+        mean + z·dev threshold with the linear [0, 1] grade — no ramp, no
+        auxiliary deviations. Used by the DISTANCE scoring mode and GLAD's
+        recluster veto."""
+        if not self.is_deviation_ready() or score <= 0:
+            return 0.0, 0.0
+        thr = self.primary_threshold()
+        if thr <= 0 or score <= thr:
+            return thr, 0.0
+        dev = self.primary.deviation
+        if dev <= 0:
+            return thr, 1.0 if score > self.primary.mean + 1e-10 else 0.0
+        t = min(2 * self.z_factor, (score - self.primary.mean) / dev)
+        return thr, max(0.0, (t - self.z_factor) / self.z_factor)
+
+    def primary_process_batch(
+        self, scores: np.ndarray, secondaries: np.ndarray | None = None,
+        block: int = 256,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Batch equivalent of primary_threshold_and_grade-then-update2
+        per score (the DISTANCE mode inner loop: threshold from the state
+        BEFORE each row, then ``update2(score, secondary)`` — primary
+        uncapped, secondary fed directly). Same closed-form Deviation
+        prefixes as ``process_batch``."""
+        scores = np.asarray(scores, np.float64)
+        B = len(scores)
+        if secondaries is None:
+            secondaries = np.concatenate([[self.last_score], scores[:-1]])
+        secondaries = np.asarray(secondaries, np.float64)
+        thresholds = np.empty(B)
+        grades = np.empty(B)
+        f1 = 1.0 - self.primary.discount
+        f2 = 1.0 - self.threshold_dev.discount
+        m = self.minimum_scores
+        fmin = min(f1, f2)
+        if fmin < 1.0:
+            block = max(1, min(block, int(27.6 / -math.log(fmin))))
+
+        for lo in range(0, B, block):
+            s = scores[lo : lo + block]
+            sec = secondaries[lo : lo + block]
+            n = len(s)
+
+            def prefix(x, s0, f):
+                if f == 1.0:
+                    c = np.concatenate([[0.0], np.cumsum(x)])
+                    return s0 + c[:-1], s0 + c[-1]
+                j = np.arange(n, dtype=np.float64)
+                inv = f ** (-j)
+                c = np.concatenate([[0.0], np.cumsum(x * inv)])
+                fi = f ** np.arange(n + 1, dtype=np.float64)
+                return fi[:n] * s0 + (fi[:n] / f) * c[:-1], fi[n] * s0 + (
+                    fi[n] / f
+                ) * c[-1]
+
+            p_sum, p_sum_end = prefix(s, self.primary.sum, f1)
+            p_ssq, p_ssq_end = prefix(s * s, self.primary.sum_squared, f1)
+            p_w, p_w_end = prefix(np.ones(n), self.primary.weight, f1)
+            p_mean = np.where(p_w > 0, p_sum / np.where(p_w > 0, p_w, 1.0), 0.0)
+            p_var = np.maximum(
+                np.where(p_w > 0, p_ssq / np.where(p_w > 0, p_w, 1.0), 0.0)
+                - p_mean * p_mean,
+                0.0,
+            )
+            p_dev = np.sqrt(p_var)
+
+            s_sum_end = prefix(sec, self.secondary.sum, f1)[1]
+            s_ssq_end = prefix(sec * sec, self.secondary.sum_squared, f1)[1]
+            s_w_end = prefix(np.ones(n), self.secondary.weight, f1)[1]
+
+            # threshold deviation (two-arg update: gap vs UNCAPPED primary)
+            gaps = p_mean - s
+            ev = gaps > 0
+            c_excl = np.concatenate([[0], np.cumsum(ev)])[:-1]
+            ev_vals = gaps[ev]
+            ne = len(ev_vals)
+            if f2 == 1.0:
+                tc = np.concatenate([[0.0], np.cumsum(ev_vals)])
+                t_sum_states = self.threshold_dev.sum + tc
+                tcq = np.concatenate([[0.0], np.cumsum(ev_vals * ev_vals)])
+                t_ssq_states = self.threshold_dev.sum_squared + tcq
+                t_w_states = self.threshold_dev.weight + np.arange(
+                    ne + 1, dtype=np.float64
+                )
+            else:
+                je = np.arange(ne, dtype=np.float64)
+                inv2 = f2 ** (-je)
+                fe = f2 ** np.arange(ne + 1, dtype=np.float64)
+                tc = np.concatenate([[0.0], np.cumsum(ev_vals * inv2)])
+                t_sum_states = fe * self.threshold_dev.sum + (fe / f2) * tc
+                tcq = np.concatenate([[0.0], np.cumsum(ev_vals * ev_vals * inv2)])
+                t_ssq_states = fe * self.threshold_dev.sum_squared + (fe / f2) * tcq
+                t_w_states = fe * self.threshold_dev.weight + ((1.0 - fe) / (1.0 - f2))
+
+            n_i = self.count + np.arange(n)
+            sc_i = self.secondary.count + np.arange(n)
+            ready = n_i >= m
+            if self.score_differencing != 0:
+                ready = ready & (sc_i >= m)
+
+            thr = np.where(ready, p_mean + self.z_factor * p_dev, 0.0)
+            over = ready & (s > 0) & (thr > 0) & (s > thr)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                t_val = np.minimum(
+                    2 * self.z_factor,
+                    np.where(p_dev > 0, (s - p_mean) / np.where(p_dev > 0, p_dev, 1.0), np.inf),
+                )
+            g = np.maximum(0.0, (t_val - self.z_factor) / self.z_factor)
+            g = np.where(
+                p_dev > 0, g, np.where(s > p_mean + 1e-10, 1.0, 0.0)
+            )
+            grades[lo : lo + n] = np.where(over, g, 0.0)
+            thresholds[lo : lo + n] = thr
+
+            self.primary.sum = float(p_sum_end)
+            self.primary.sum_squared = float(p_ssq_end)
+            self.primary.weight = float(p_w_end)
+            self.primary.count += n
+            self.secondary.sum = float(s_sum_end)
+            self.secondary.sum_squared = float(s_ssq_end)
+            self.secondary.weight = float(s_w_end)
+            self.secondary.count += n
+            self.threshold_dev.sum = float(t_sum_states[ne])
+            self.threshold_dev.sum_squared = float(t_ssq_states[ne])
+            self.threshold_dev.weight = float(t_w_states[ne])
+            self.threshold_dev.count += ne
+            self.count += n
+            self.last_score = float(s[-1])
+        return thresholds, grades
+
     # -- checkpoint -------------------------------------------------------
     def to_state(self) -> dict:
         return {

@@ -74,6 +74,15 @@ class DriftConfig:
     # last ``shingle_size`` rows (ShingleBuilder semantics; the corrector
     # then runs the slot-aware analysis, PredictorCorrector.java:795-905)
     shingle_size: int = 1
+    # ScoringStrategy (parkservices/config/ScoringStrategy.java;
+    # PredictorCorrector.populateScores:595-609):
+    # 'expected_inverse_depth' — the standard RCF score;
+    # 'distance' — getSimpleDensity(point).distances highLowSum, graded by
+    #   the simple primary mean + z·dev threshold;
+    # 'multi_mode' — both: the RCF grade is vetoed when the distance
+    #   thresholder is warm and grades the point 0 (:785-792) — distance
+    #   acts as a second opinion against inverse-depth false positives.
+    scoring: str = "expected_inverse_depth"
     expected_step: int = 1  # expected order_col cadence between rows
     # ImputationMethod parity (config/ImputationMethod.java):
     # zero | fixed | previous | next | linear | rcf
@@ -300,6 +309,7 @@ def _state_dict(
     buf_X: np.ndarray,
     buf_seqs: np.ndarray,
     buf_imp: np.ndarray | None = None,
+    th2: BasicThresholder | None = None,
 ) -> dict:
     """Serialize (forest, thresholder, normalizer, counters) as of a chunk
     boundary, plus the replay buffer of post-boundary rows. The buffer is
@@ -320,6 +330,12 @@ def _state_dict(
     state["th_secondary"] = np.array(th_state["secondary"])
     state["th_threshold_dev"] = np.array(th_state["threshold_dev"])
     state["th_params"] = np.array(th_state["params"])
+    if th2 is not None:  # secondary (distance-mode) thresholder
+        t2 = th2.to_state()
+        state["th2_primary"] = np.array(t2["primary"])
+        state["th2_secondary"] = np.array(t2["secondary"])
+        state["th2_threshold_dev"] = np.array(t2["threshold_dev"])
+        state["th2_params"] = np.array(t2["params"])
     state.update(norm.to_state())
     state["extras"] = np.array(
         [extras.get("last_seq", -1), extras.get("n_rows", 0), extras.get("n_scored", 0),
@@ -419,6 +435,15 @@ def _load_group_state(path_or_file):
     if "extras_sh" in state:
         extras["sh_last_seq"] = int(state["extras_sh"][0])
         extras["sh_last_score"] = float(state["extras_sh"][1])
+    if "th2_params" in state:
+        extras["th2"] = BasicThresholder.from_state(
+            {
+                "primary": state["th2_primary"],
+                "secondary": state["th2_secondary"],
+                "threshold_dev": state["th2_threshold_dev"],
+                "params": state["th2_params"],
+            }
+        )
     return forest, th, state, extras
 
 
@@ -518,6 +543,9 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
         s_sh = max(1, cfg.shingle_size)
         if "sh_tail" not in extras:
             extras["sh_tail"] = np.zeros((0, d), np.float32)
+        th2 = extras.pop("th2", None)
+        if cfg.scoring == "multi_mode" and th2 is None:
+            th2 = BasicThresholder(z_factor=cfg.z_factor)
 
         if cfg.mode == "time_augmented" and emit_wm >= 0 and len(X) > n_buf:
             # boundary dt across a resume: the first kept row's predecessor
@@ -550,7 +578,10 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
         anomalies: list[tuple] = []  # confident per-row violations
         windows: list[tuple] = []  # drifted windows (the verdict signal)
         corrector = None
-        if cfg.use_corrector:
+        # the expected-point corrector re-scores with inverse depth; its
+        # threshold comparison is scale-mismatched against pure DISTANCE
+        # thresholds, so it only runs for inverse-depth-graded strategies
+        if cfg.use_corrector and cfg.scoring != "distance":
             from ..core.corrector import PredictorCorrector
 
             corrector = PredictorCorrector()
@@ -648,14 +679,41 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
             imp_p = imp[row_map]
             seq_p = seqs[lo:hi][row_map]
             if forest.is_output_ready and len(pts):
-                scores = forest.score(pts)
+                ds = None
+                if cfg.scoring == "distance":
+                    # ScoringStrategy.DISTANCE: the directional-distance
+                    # DiVector sum replaces the inverse-depth score
+                    from ..core.queries import density as _density_q
+
+                    dres = _density_q(forest, pts)
+                    scores = (dres["dist_high"] + dres["dist_low"]).sum(1)
+                else:
+                    scores = forest.score(pts)
+                    if cfg.scoring == "multi_mode":
+                        from ..core.queries import density as _density_q
+
+                        dres = _density_q(forest, pts)
+                        ds = (dres["dist_high"] + dres["dist_low"]).sum(1)
                 flagged: list[tuple] = []
                 real_pos = np.flatnonzero(~imp_p)
                 rs = scores[real_pos]
                 if len(rs):
                     # vectorized threshold-then-update over the chunk
                     # (imputed rows maintain state, not signal)
-                    thr_arr, grade_arr = th.process_batch(rs, normalized=do_norm)
+                    if cfg.scoring == "distance":
+                        thr_arr, grade_arr = th.primary_process_batch(rs)
+                    else:
+                        thr_arr, grade_arr = th.process_batch(rs, normalized=do_norm)
+                    if ds is not None:
+                        # multi-mode veto (PredictorCorrector.java:785-792):
+                        # a warm distance thresholder grading the point 0
+                        # zeroes the inverse-depth grade
+                        thr2_arr, g2_arr = th2.primary_process_batch(ds[real_pos])
+                        grade_arr = np.where(
+                            (grade_arr > 0) & (thr2_arr > 0) & (g2_arr == 0),
+                            0.0,
+                            grade_arr,
+                        )
                     extras["n_scored"] += len(rs)
                     extras["score_sum"] += float(rs.sum())
                     # window accounting: segment sums between closures
@@ -757,7 +815,8 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
 
         if ckpt:
             state = _state_dict(
-                forest, th, norm, extras, X[tail_lo:], seqs[tail_lo:], imputed[tail_lo:]
+                forest, th, norm, extras, X[tail_lo:], seqs[tail_lo:],
+                imputed[tail_lo:], th2=th2,
             )
             process(tail_lo, B)  # tail: emitted now, replayed next run
             state["extras"][0] = extras["last_seq"] = (
@@ -818,6 +877,8 @@ def drift_scores(
         raise ValueError(f"unknown TransformMethod {cfg.transform!r}")
     if cfg.shingle_size < 1:
         raise ValueError("shingle_size must be >= 1")
+    if cfg.scoring not in ("expected_inverse_depth", "distance", "multi_mode"):
+        raise ValueError(f"unknown ScoringStrategy {cfg.scoring!r}")
     gcols = list(group_cols)
     total_groups = None
     if cfg.mode in ("streaming_impute", "time_augmented"):

@@ -50,10 +50,14 @@ def _pack(
     th: BasicThresholder,
     norm: _Normalizer,
     tlast: np.ndarray,
+    sh_tail: np.ndarray | None = None,
 ) -> bytes:
+    extras = {"baseline": Deviation(0.01), "tlast": tlast}
+    if sh_tail is not None:
+        extras["sh_tail"] = sh_tail
     state = _state_dict(
         forest, th, norm,
-        {"baseline": Deviation(0.01), "tlast": tlast},
+        extras,
         np.zeros((0, forest.d)), np.zeros(0, np.int64),
     )
     buf = io.BytesIO()
@@ -61,12 +65,14 @@ def _pack(
     return buf.getvalue()
 
 
-def _unpack(blob: bytes, mean_only: bool = False):
+def _unpack(blob: bytes, mean_only: bool = False, base_dim: int | None = None):
     forest, th, raw, extras = _load_group_state(io.BytesIO(blob))
-    norm = _Normalizer(forest.d, 0.0, 100.0, mean_only=mean_only)
+    d = base_dim or forest.d
+    norm = _Normalizer(d, 0.0, 100.0, mean_only=mean_only)
     norm.load_state(raw)
-    tlast = extras.get("tlast", np.full(forest.d, np.nan))
-    return forest, th, norm, tlast
+    tlast = extras.get("tlast", np.full(d, np.nan))
+    sh_tail = extras.get("sh_tail", np.zeros((0, d), np.float32))
+    return forest, th, norm, tlast, sh_tail
 
 
 def streaming_drift_scores(
@@ -113,17 +119,20 @@ def streaming_drift_scores(
     )
     state_schema = StructType([StructField("blob", BinaryType())])
 
+    s_sh = max(1, cfg.shingle_size)
+
     def fn(key, pdf_iter, state):
         tf = None
         if state.exists:
-            forest, th, norm, tlast = _unpack(
+            forest, th, norm, tlast, sh_tail = _unpack(
                 bytes(state.get[0]),
                 mean_only=(cfg.transform == "subtract_ma"),
+                base_dim=None,
             )
-            tf = _resolve_transform(cfg, forest.d)
+            tf = _resolve_transform(cfg, forest.d // s_sh)
         else:
             forest = None
-            th = norm = tlast = None
+            th = norm = tlast = sh_tail = None
         blocks: list[np.ndarray] = []
         for pdf in pdf_iter:
             pdf = pdf.sort_values(order_col, kind="mergesort")
@@ -132,7 +141,7 @@ def streaming_drift_scores(
             if forest is None:
                 tf = _resolve_transform(cfg, X.shape[1])
                 forest = RCFForest(
-                    X.shape[1],
+                    X.shape[1] * s_sh,
                     num_trees=cfg.num_trees,
                     sample_size=cfg.sample_size,
                     time_decay=cfg.time_decay,
@@ -144,28 +153,56 @@ def streaming_drift_scores(
                     cfg.clip_factor, mean_only=tf["do_sub"],
                 )
                 tlast = np.full(X.shape[1], np.nan)
+                sh_tail = np.zeros((0, X.shape[1]), np.float32)
             for lo in range(0, len(X), cfg.chunk_size):
                 chunk = X[lo : lo + cfg.chunk_size]
                 sq = seqs[lo : lo + cfg.chunk_size]
                 base, real, xn, raw_last, updated = _transform_chunk(
                     tf, chunk, None, norm, tlast
                 )
-                if forest.is_output_ready:
-                    scores = forest.score(xn)
+                # shingling parity with the batch operator: the tail of
+                # the last s−1 transformed rows rides the state blob, so
+                # windows spanning micro-batch boundaries score exactly
+                # like an unbroken stream
+                if s_sh > 1:
+                    cat = np.vstack([sh_tail, xn]) if len(sh_tail) else xn
+                    if len(cat) >= s_sh:
+                        pts = np.ascontiguousarray(
+                            np.lib.stride_tricks.sliding_window_view(
+                                cat, (s_sh, cat.shape[1])
+                            )[:, 0].reshape(-1, s_sh * cat.shape[1]),
+                            np.float32,
+                        )
+                        row_map = np.arange(len(pts), dtype=np.int64) + (
+                            s_sh - 1 - len(sh_tail)
+                        )
+                    else:
+                        pts = np.zeros((0, s_sh * cat.shape[1]), np.float32)
+                        row_map = np.zeros(0, np.int64)
+                    sh_tail = cat[max(0, len(cat) - (s_sh - 1)):].copy()
+                else:
+                    pts = xn
+                    row_map = np.arange(len(chunk), dtype=np.int64)
+                sq_p = sq[row_map]
+                if forest.is_output_ready and len(pts):
+                    scores = forest.score(pts)
                     thr_arr, grade_arr = th.process_batch(
                         scores, normalized=tf["do_norm"]
                     )
                     blocks.append(
                         np.column_stack(
-                            [sq.astype(np.float64), scores, thr_arr, grade_arr]
+                            [sq_p.astype(np.float64), scores, thr_arr, grade_arr]
                         )
                     )
                 if tf["do_stat"] and not updated and len(real):
                     norm.update(real)
-                forest.update_batch(xn, seqs=sq)
+                if len(pts):
+                    forest.update_batch(pts, seqs=sq_p)
                 tlast = raw_last
         if forest is not None:
-            state.update((bytearray(_pack(forest, th, norm, tlast)),))
+            state.update(
+                (bytearray(_pack(forest, th, norm, tlast, sh_tail)),)
+            )
         cols = key_cols + [order_col, "score", "threshold", "grade"]
         out = (
             np.concatenate(blocks)

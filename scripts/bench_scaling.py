@@ -101,21 +101,35 @@ def main() -> None:
     # apart, which poisons any low-vs-high ratio measured in different
     # windows. Each pair is as window-matched as this box allows; the
     # pair whose two host calibrations agree best is the evidence.
+    def wait_capacity(tag: str) -> None:
+        if args.min_host_mops <= 0:
+            return
+        for _ in range(20):
+            cal32 = calibrate_cpu(32, 6_000_000) / 1e6
+            print(f"[scaling] host probe ({tag}): {cal32:.0f} Mops", file=sys.stderr)
+            if cal32 >= args.min_host_mops:
+                return
+            time.sleep(60)
+
     pairs: list[tuple[dict, dict]] = []
     for i in range(args.repeats):
-        if args.min_host_mops > 0:
-            for _ in range(20):
-                cal32 = calibrate_cpu(32, 6_000_000) / 1e6
-                print(f"[scaling] host probe: {cal32:.0f} Mops", file=sys.stderr)
-                if cal32 >= args.min_host_mops:
-                    break
-                time.sleep(60)
+        # gate EACH leg on capacity, and probe after the pair too: a leg
+        # measured while the host collapses mid-run (capacity here can
+        # drop 3x in minutes) poisons the ratio — such pairs are tainted
+        # and excluded from the matched set.
+        wait_capacity(f"pair{i} pre-low")
         lo_r = run_bench(args.low, args.rows)
+        wait_capacity(f"pair{i} pre-high")
         hi_r = run_bench(args.high, args.rows)
+        post = calibrate_cpu(32, 6_000_000) / 1e6 if args.min_host_mops > 0 else -1.0
+        tainted = args.min_host_mops > 0 and post < 0.6 * args.min_host_mops
+        lo_r["post_cal_mops"] = hi_r["post_cal_mops"] = round(post, 1)
+        lo_r["tainted"] = hi_r["tainted"] = tainted
         for tag, r in (("low", lo_r), ("high", hi_r)):
             print(
                 f"[scaling] pair{i} {tag} cpus={r['cpus']}: {r['value']} rows/sec "
-                f"(host {r.get('host_cal_mops', '?')} Mops)",
+                f"(host {r.get('host_cal_mops', '?')} Mops, post {post:.0f}"
+                f"{', TAINTED' if tainted else ''})",
                 file=sys.stderr,
             )
         pairs.append((lo_r, hi_r))
@@ -133,9 +147,9 @@ def main() -> None:
     # biasing the ratio upward — the median is robust to both directions.
     # The max is still reported (one-sided-noise argument) for context,
     # as are all pairs.
-    matched = [p for p in pairs if cal_mismatch(p) <= 0.2] or [
-        min(pairs, key=cal_mismatch)
-    ]
+    matched = [
+        p for p in pairs if cal_mismatch(p) <= 0.2 and not p[0].get("tainted")
+    ] or [min(pairs, key=cal_mismatch)]
     by_eff = sorted(matched, key=lambda p: p[1]["value"] / p[0]["value"])
     lo, hi = by_eff[len(by_eff) // 2]  # median pair
     eff = (hi["value"] / lo["value"]) / ratio
@@ -159,6 +173,8 @@ def main() -> None:
                 "low": p[0]["value"], "high": p[1]["value"],
                 "low_cal": p[0].get("host_cal_mops"),
                 "high_cal": p[1].get("host_cal_mops"),
+                "post_cal": p[0].get("post_cal_mops"),
+                "tainted": bool(p[0].get("tainted")),
                 "eff_raw": round((p[1]["value"] / p[0]["value"]) / ratio, 3),
             }
             for p in pairs

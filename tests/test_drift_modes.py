@@ -320,3 +320,87 @@ def test_shingled_checkpoint_resume_bit_exact(tmp_path):
     np.testing.assert_array_equal(fa_new["seq"].values, ra["seq"].values)
     np.testing.assert_allclose(fa_new["score"].values, ra["score"].values,
                                rtol=0, atol=0)
+
+
+# --------------------------------------------------------------------- #
+# ScoringStrategy (distance / multi_mode)
+# --------------------------------------------------------------------- #
+def test_primary_process_batch_matches_scalar():
+    """primary_process_batch == primary_threshold_and_grade-then-update2
+    per row (the DISTANCE-mode inner loop), including committed state."""
+    from random_cut_forest_by_aws_spark.core.thresholder import BasicThresholder
+
+    rng = np.random.default_rng(3)
+    scores = np.abs(rng.normal(1.0, 0.3, 500)) + 0.01
+    a = BasicThresholder()
+    b = BasicThresholder()
+    thr_s, g_s = [], []
+    prev = a.last_score
+    for x in scores:
+        t, g = a.primary_threshold_and_grade(float(x))
+        a.update2(float(x), prev)
+        a.last_score = float(x)
+        prev = float(x)
+        thr_s.append(t)
+        g_s.append(g)
+    thr_b, g_b = b.primary_process_batch(scores)
+    np.testing.assert_allclose(thr_b, thr_s, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(g_b, g_s, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(
+        [a.primary.sum, a.primary.weight, a.secondary.sum, a.threshold_dev.sum],
+        [b.primary.sum, b.primary.weight, b.secondary.sum, b.threshold_dev.sum],
+        rtol=1e-9,
+    )
+
+
+def test_distance_scoring_mode_flags_outlier():
+    """ScoringStrategy.DISTANCE (populateScores:604-609): the directional-
+    distance score replaces inverse depth; a far outlier still alerts."""
+    rng = np.random.default_rng(9)
+    X = rng.normal(0, 1, size=(4000, 3))
+    X[3500] = [30.0, 30.0, 30.0]
+    cfg = DriftConfig(**BASE_KW, scoring="distance", transform="none",
+                      normalize=False)
+    out = _run(cfg, X)
+    an = out[out.row_kind == "anomaly"]
+    assert 3500 in set(an.seq)
+    s = out[out.row_kind == "summary"].iloc[0]
+    assert s.n_scored > 3000 and np.isfinite(s.mean_score)
+
+
+def test_multi_mode_veto_reduces_false_positives():
+    """MULTI_MODE (PredictorCorrector.java:785-792): the distance
+    thresholder's second opinion can only REMOVE inverse-depth alerts,
+    never add them; genuinely far outliers survive the veto."""
+    rng = np.random.default_rng(11)
+    X = rng.normal(0, 1, size=(5000, 3))
+    spikes = [4200, 4600]
+    for sp in spikes:
+        X[sp] = [25.0, -25.0, 25.0]
+    base = dict(**BASE_KW, transform="none", normalize=False)
+    out_plain = _run(DriftConfig(**base), X)
+    out_multi = _run(DriftConfig(**base, scoring="multi_mode"), X)
+    a_plain = set(out_plain[out_plain.row_kind == "anomaly"].seq)
+    a_multi = set(out_multi[out_multi.row_kind == "anomaly"].seq)
+    assert a_multi <= a_plain  # veto only removes
+    for sp in spikes:
+        assert sp in a_multi  # real outliers survive
+
+
+def test_multi_mode_checkpoint_resume(tmp_path):
+    """The distance thresholder's state rides the checkpoint: resumed
+    multi-mode run reproduces the uninterrupted one."""
+    rng = np.random.default_rng(13)
+    X = rng.normal(0, 1, size=(3000, 2))
+    X[2500] = [20.0, -20.0]
+    kw = dict(**BASE_KW, transform="none", normalize=False,
+              scoring="multi_mode")
+    full = _run(DriftConfig(**kw), X)
+    cfg_ck = DriftConfig(**kw, checkpoint_dir=str(tmp_path))
+    _run(cfg_ck, X[:1700])
+    resumed = _run(cfg_ck, X)
+    f_sum = full[full.row_kind == "summary"].iloc[0]
+    r_sum = resumed[resumed.row_kind == "summary"].iloc[0]
+    for c in ["n_rows", "n_scored", "n_anomalous"]:
+        assert f_sum[c] == r_sum[c], c
+    assert abs(f_sum.mean_score - r_sum.mean_score) < 1e-12

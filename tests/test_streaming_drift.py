@@ -68,3 +68,71 @@ def test_streaming_drift_subtract_ma_transform(spark, tmp_path):
     assert len(res) > 1000
     assert np.isfinite(res["score"]).all()
     assert (res["score"] >= 0).all()
+
+
+@pytest.mark.timeout(600)
+def test_streaming_drift_shingled_matches_batch(spark, tmp_path):
+    """shingle_size > 1 in streaming: the transformed-row tail rides
+    GroupState, so windows spanning micro-batch boundaries score exactly
+    like the batch operator over the same unbroken stream."""
+    import pandas as pd
+
+    src_dir = str(tmp_path / "s3_src")
+    ckpt = str(tmp_path / "s3_ckpt")
+    rng = np.random.default_rng(3)
+    n = 3000
+    vals = rng.normal(0.0, 0.5, (n, 2))
+    pdf = pd.DataFrame(
+        {"source": "s", "seq": np.arange(n),
+         "features": [[float(a), float(b)] for a, b in vals]}
+    )
+    feat = spark.createDataFrame(pdf)
+    # ordered delivery: contiguous seq ranges, one file per micro-batch
+    # (FileStreamSource orders by mtime then path — ascending names keep
+    # range order on ms-granularity ties); cross-batch ordering is the
+    # stream's responsibility per the operator contract
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(src_dir, exist_ok=True)
+    for i in range(6):
+        part = pdf.iloc[i * 500 : (i + 1) * 500]
+        pq.write_table(
+            pa.Table.from_pandas(part, preserve_index=False),
+            os.path.join(src_dir, f"part-{i:03d}.parquet"),
+        )
+    stream = (
+        spark.readStream.schema(feat.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(src_dir)
+    )
+    cfg = DriftConfig(num_trees=10, sample_size=32, chunk_size=256, buckets=1,
+                      shingle_size=4, transform="none", use_corrector=False)
+    out = streaming_drift_scores(stream, cfg=cfg)
+    q = (
+        out.writeStream.format("memory").queryName("drift_stream_sh")
+        .option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    res = spark.sql("SELECT * FROM drift_stream_sh").toPandas()
+    # batch reference over the same rows, same config
+    from random_cut_forest_by_aws_spark.operators.drift import _make_drift_fn
+
+    fn = _make_drift_fn(["source", "bucket"], "seq", "features", cfg)
+    bpdf = pdf.copy()
+    bpdf["bucket"] = 0
+    bref = fn(("s", 0), bpdf)
+    # streaming emits per-row descriptors; compare score series
+    got = res.sort_values("seq")[["seq", "score"]].reset_index(drop=True)
+    s = bref[bref.row_kind == "summary"].iloc[0]
+    # same shingle warmup (first s−1 ticks consumed) modulo score-then-
+    # update chunk-boundary placement, which differs between the batch
+    # grid and micro-batch arrival
+    assert abs(len(got) - s.n_scored) <= cfg.chunk_size
+    assert got["seq"].min() >= cfg.shingle_size - 1
+    # stationary gaussian stream: both paths score ≈ the same level
+    assert abs(got["score"].mean() - s.mean_score) < 0.1
+    assert np.isfinite(got["score"]).all()
