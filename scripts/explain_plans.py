@@ -84,10 +84,31 @@ def main() -> None:
             seqs.withColumn("features", token_features()).select("source", "seq", "features"),
             cfg=DriftConfig(rows_per_bucket=25_000),
         ),
-        "Exactly one exchange: the explicit user repartition on\n"
-        "(source, bucket) that the grouped map reuses (AQE cannot coalesce\n"
-        "it — the UDF is CPU-bound, not byte-bound). FlatMapGroupsInPandas\n"
-        "is the only Python stage in the whole suite.",
+        "Exactly one exchange of the FACT rows: the explicit user\n"
+        "repartition on (source, bucket) that the grouped map reuses (AQE\n"
+        "cannot coalesce it — the UDF is CPU-bound, not byte-bound).\n"
+        "Adaptive bucket counts come from a per-key aggregate joined back\n"
+        "via BroadcastHashJoin (no driver-side collect), so the extra\n"
+        "aggregate shuffles one row per key, not fact rows.\n"
+        "FlatMapGroupsInPandas is the only Python stage in the whole suite.",
+    )
+    add(
+        "drift streaming_impute (range blocks + anchor rows)",
+        drift_scores(
+            seqs.withColumn("features", token_features()).select("source", "seq", "features"),
+            cfg=DriftConfig(mode="streaming_impute", rows_per_bucket=25_000),
+        ),
+        "Order-sensitive modes partition by contiguous order_col RANGE\n"
+        "blocks (floor(seq/span)) instead of hash salting — gap detection\n"
+        "and cadence need consecutive rows. A tiny per-block aggregate +\n"
+        "lag window produces one anchor row per block (the previous\n"
+        "non-empty block's last row), unioned into the stream, so block\n"
+        "boundaries fill gaps exactly like the single-stream run while the\n"
+        "hot key still splits into bounded tasks. Cost note: the anchor\n"
+        "branch is a second columnar-pruned scan (+ feature projection)\n"
+        "whose aggregate shuffles one row per BLOCK — for repeated runs\n"
+        "over the same table, persist the projected stream to make it a\n"
+        "cache hit.",
     )
     add(
         "cosine top-k (broadcast + two-phase top-k)",
