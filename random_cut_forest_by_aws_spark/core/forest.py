@@ -678,6 +678,129 @@ class RCFForest:
         np.add.at(out, qs, normalizer(score, tm_all[ts]))
         return out / T
 
+    def transductive_score(
+        self,
+        X: np.ndarray,
+        gvec,
+        score_seen=None,
+        score_unseen=None,
+        damp=None,
+        normalizer=None,
+    ) -> np.ndarray:
+        """Transductive scoring: score as if each tree had been built with
+        a caller-supplied cut distribution over bounding boxes
+        (``anomalydetection/TransductiveScalarScoreVisitor.java:1-173``;
+        trees built under such distributions are the reference's
+        ``HyperTree.java:25-44``).
+
+        ``gvec(bbmin, bbmax) -> weights`` maps ``[L, d]`` box corners to
+        nonnegative per-dimension cut weights. Per ancestor level
+        (accept:72-88, getProbabilityOfSeparation:100-139, getWeight:149-172):
+
+        * p = Σ_outside g(box∪x)[i]·(newRange_i−oldRange_i)/newRange_i
+          / Σ_i g(box∪x)[i]
+        * score ← p·unseen(depth, mass) + w·score with
+          w = (oldRange(cut)/newRange(cut)) · (Σ g(box)/Σ g(box∪x)) ·
+          (g(box∪x)[cut]/g(box)[cut]) — the non-separation weight under
+          the supplied distribution (can exceed 1).
+
+        With ``gvec = ranges`` (the RCF cut distribution) this reduces
+        exactly to ``score`` — p = Δrange/Σ newRange and w = 1−p — which
+        is the built-in parity check. Leaf handling and the normalization
+        defaults match ``score`` so the two are directly comparable.
+        """
+        X32 = np.ascontiguousarray(np.atleast_2d(X), np.float32)
+        Q, T, N = X32.shape[0], self.T, self.N
+        out = np.zeros(Q)
+        live_trees = np.nonzero(self.root >= 0)[0]
+        if Q == 0 or len(live_trees) == 0:
+            return out
+        cutdim, cutval, left, right, parent, bbmin, bbmax, mass = self._flat()
+        tm_all = np.zeros(T)
+        tm_all[live_trees] = mass[live_trees * N + self.root[live_trees]]
+
+        L = Q * len(live_trees)
+        qs = np.repeat(np.arange(Q, dtype=np.int64), len(live_trees))
+        ts = np.tile(live_trees.astype(np.int64), Q)
+        addr = ts * N + self.root[ts].astype(np.int64)
+        depth = np.zeros(L, np.int64)
+
+        active = np.arange(L)
+        while len(active):
+            a = addr[active]
+            at_leaf = cutdim[a] < 0
+            stepping = active[~at_leaf]
+            if len(stepping):
+                a2 = addr[stepping]
+                cd2 = cutdim[a2].astype(np.int64)
+                xv = X32[qs[stepping], cd2]
+                goleft = xv <= cutval[a2]
+                child = np.where(goleft, left[a2], right[a2]).astype(np.int64)
+                addr[stepping] = ts[stepping] * N + child
+                depth[stepping] += 1
+            active = stepping
+
+        if score_seen is None:
+            score_seen = lambda dep, m: 1.0 / (dep + np.log2(m + 1.0))  # noqa: E731
+        if score_unseen is None:
+            score_unseen = lambda dep, m: 1.0 / (dep + 1.0)  # noqa: E731
+        if damp is None:
+            damp = lambda lm_, tm_: 1.0 - lm_ / (2.0 * np.maximum(tm_, 1.0))  # noqa: E731
+        if normalizer is None:
+            normalizer = lambda s, tm_: s * np.log2(tm_ + 1.0)  # noqa: E731
+
+        a = addr
+        leafpt = bbmin[a]
+        eq = np.all(X32[qs] == leafpt, axis=1)
+        lm = mass[a].astype(np.float64)
+        d64 = depth.astype(np.float64)
+        seen = damp(lm, tm_all[ts]) * score_seen(d64, lm)
+        score = np.where(eq, seen, score_unseen(d64, lm))
+        frozen = eq
+
+        up = parent[a].astype(np.int64)
+        active = np.nonzero(~frozen & (up >= 0))[0]
+        cur = np.where(up >= 0, ts * N + up, -1)
+        d64 = d64 - 1.0
+        tiny = _F32_TINY
+        while len(active):
+            a = cur[active]
+            bmn = bbmin[a].astype(np.float64)
+            bmx = bbmax[a].astype(np.float64)
+            xv = X32[qs[active]].astype(np.float64)
+            mmn = np.minimum(bmn, xv)
+            mmx = np.maximum(bmx, xv)
+            old_r = bmx - bmn
+            new_r = mmx - mmn
+            g_small = np.asarray(gvec(bmn, bmx), np.float64)
+            g_large = np.asarray(gvec(mmn, mmx), np.float64)
+            grow = new_r > old_r
+            num = (
+                g_large * np.where(grow, (new_r - old_r) / np.maximum(new_r, tiny), 0.0)
+            ).sum(1)
+            den = g_large.sum(1)
+            p = np.where(den > 0, num / np.maximum(den, tiny), 0.0)
+            cd = cutdim[a].astype(np.int64)
+            rows = np.arange(len(a))
+            gs_cut = g_small[rows, cd]
+            gl_cut = g_large[rows, cd]
+            w = (
+                (old_r[rows, cd] / np.maximum(new_r[rows, cd], tiny))
+                * (g_small.sum(1) / np.maximum(den, tiny))
+                * (gl_cut / np.maximum(gs_cut, tiny))
+            )
+            pos = p > 0
+            unseen_here = score_unseen(d64[active], mass[a].astype(np.float64))
+            sa = score[active]
+            score[active] = np.where(pos, p * unseen_here + w * sa, sa)
+            nxt = parent[a].astype(np.int64)
+            cur[active] = np.where(nxt >= 0, ts[active] * N + nxt, -1)
+            d64[active] -= 1.0
+            active = active[pos & (nxt >= 0)]
+
+        np.add.at(out, qs, normalizer(score, tm_all[ts]))
+        return out / T
+
     def displacement_score(self, X: np.ndarray) -> np.ndarray:
         """Density-displacement scoring (the reference's dynamic-score
         example kernel, RandomCutForest.java:1532): contributions are node

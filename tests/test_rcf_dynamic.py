@@ -70,3 +70,52 @@ def test_decay_checkpoint_roundtrip():
     g = RCFForest.from_state(f.to_state())
     assert g.paused and g.lam == f.lam
     assert g._decay_acc == f._decay_acc and g._decay_rel0 == f._decay_rel0
+
+
+def test_transductive_with_rcf_distribution_equals_score():
+    """TransductiveScalarScoreVisitor with gvec = box ranges (the RCF cut
+    distribution) must reduce exactly to the standard score: p becomes
+    range-growth/total and the non-separation weight becomes 1 − p
+    (TransductiveScalarScoreVisitor.java:139,170 notes)."""
+    import numpy as np
+
+    from random_cut_forest_by_aws_spark.core.forest import RCFForest
+
+    rng = np.random.default_rng(4)
+    f = RCFForest(3, num_trees=20, sample_size=64, time_decay=0.0, seed=6)
+    f.update_batch(rng.normal(0, 1, (2000, 3)).astype(np.float32))
+    Xq = np.vstack([rng.normal(0, 1, (20, 3)), [[6.0, -6.0, 6.0]]]).astype(np.float32)
+    base = f.score(Xq)
+    trans = f.transductive_score(Xq, gvec=lambda bmin, bmax: bmax - bmin)
+    # float32 box corners are promoted to float64 in the transductive
+    # walk, so agreement is to ~1e-8, not bit-exact
+    np.testing.assert_allclose(trans, base, rtol=1e-6, atol=1e-7)
+
+
+def test_transductive_custom_distribution_reweights_dims():
+    """A cut distribution that puts all weight on dim 0 makes the score
+    insensitive to anomalies in other dims (the HyperTree.java:25-44
+    build-distribution semantics applied transductively)."""
+    import numpy as np
+
+    from random_cut_forest_by_aws_spark.core.forest import RCFForest
+
+    rng = np.random.default_rng(5)
+    f = RCFForest(2, num_trees=20, sample_size=64, time_decay=0.0, seed=7)
+    f.update_batch(rng.normal(0, 1, (2000, 2)).astype(np.float32))
+
+    def dim0_only(bmin, bmax):
+        g = np.zeros_like(bmin)
+        g[:, 0] = np.maximum(bmax[:, 0] - bmin[:, 0], 1e-12)
+        return g
+
+    nominal = np.array([[0.1, 0.0]], np.float32)
+    bad_dim1 = np.array([[0.1, 9.0]], np.float32)
+    bad_dim0 = np.array([[9.0, 0.0]], np.float32)
+    s_nom = f.transductive_score(nominal, gvec=dim0_only)[0]
+    s_d1 = f.transductive_score(bad_dim1, gvec=dim0_only)[0]
+    s_d0 = f.transductive_score(bad_dim0, gvec=dim0_only)[0]
+    # dim-1 anomaly is invisible under a dim-0-only cut distribution;
+    # dim-0 anomaly still stands out
+    assert s_d0 > 2.0 * s_nom
+    assert s_d1 < 0.5 * s_d0
