@@ -256,15 +256,19 @@ class PredictorCorrector:
                     if not alert:
                         sup[i] = True
                         continue
-                else:
-                    scale = np.maximum(np.abs(expected), 1e-6)
-                    near = np.all(
-                        np.abs(X32[i][dims] - expected[dims])
-                        <= self.ignore_near_expected_ratio * scale[dims]
-                    )
-                    if near:
-                        sup[i] = True
-                        continue
+                # near-expected band (withinGap → CorrectionMode.FORECAST,
+                # PredictorCorrector.java:888-894): applies both past the
+                # shingle AND after a passing trigger — an in-shingle
+                # candidate that triggers but sits within the expected band
+                # is still suppressed by the reference.
+                scale = np.maximum(np.abs(expected), 1e-6)
+                near = np.all(
+                    np.abs(X32[i][dims] - expected[dims])
+                    <= self.ignore_near_expected_ratio * scale[dims]
+                )
+                if near:
+                    sup[i] = True
+                    continue
             last_seq, last_score = int(seqs[i]), float(scores[i])
         state["last_anomaly_seq"] = last_seq
         state["last_anomaly_score"] = last_score

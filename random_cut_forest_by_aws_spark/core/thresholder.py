@@ -392,9 +392,32 @@ class BasicThresholder:
         per score (the DISTANCE mode inner loop: threshold from the state
         BEFORE each row, then ``update2(score, secondary)`` — primary
         uncapped, secondary fed directly). Same closed-form Deviation
-        prefixes as ``process_batch``."""
+        prefixes as ``process_batch``.
+
+        Scores ≤ 0 follow the reference exactly
+        (``getPrimaryThresholdAndGrade`` returns (0, 0) and ``saveScores``
+        updates the DISTANCE thresholder only when score > 0,
+        PredictorCorrector.java:709): they emit (0.0, 0.0) and leave every
+        deviation untouched. Since non-positive rows never mutate state,
+        the compressed positive subsequence evolves identically to the
+        scalar loop — compute on it and scatter back."""
         scores = np.asarray(scores, np.float64)
         B = len(scores)
+        pos_mask = scores > 0
+        if not pos_mask.all():
+            thr_all = np.zeros(B)
+            g_all = np.zeros(B)
+            if pos_mask.any():
+                sp = scores[pos_mask]
+                sec_p = (
+                    np.asarray(secondaries, np.float64)[pos_mask]
+                    if secondaries is not None
+                    else np.concatenate([[self.last_score], sp[:-1]])
+                )
+                t, g = self.primary_process_batch(sp, sec_p, block)
+                thr_all[pos_mask] = t
+                g_all[pos_mask] = g
+            return thr_all, g_all
         if secondaries is None:
             secondaries = np.concatenate([[self.last_score], scores[:-1]])
         secondaries = np.asarray(secondaries, np.float64)

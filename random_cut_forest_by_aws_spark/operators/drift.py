@@ -251,49 +251,95 @@ def _gap_fill(
     boundary. Values per cfg.impute_method; 'rcf' rows are marked for
     lazy forest-conditional resolution at chunk time."""
     step = cfg.expected_step
-    prev_seq = anchor_seq
-    prev_x = anchor_x
-    out_X: list[np.ndarray] = []
-    out_seq: list[int] = []
-    out_imp: list[bool] = []
+    n, d = X.shape
+    if n == 0:
+        return X, seqs, imputed
     fixed = (
         np.asarray(cfg.impute_fixed, np.float64)
         if cfg.impute_fixed is not None
-        else np.zeros(X.shape[1])
+        else np.zeros(d)
     )
-    for i in range(len(X)):
-        if i >= fill_from and prev_seq is not None:
-            n_missing = int((seqs[i] - prev_seq) // step) - 1
-            n_fill = min(max(n_missing, 0), cfg.max_gap_fill)
-            for g in range(n_fill):
-                gseq = int(prev_seq + (g + 1) * step)
-                frac = (g + 1) / (n_missing + 1)
-                m = cfg.impute_method
-                if m == "zero":
-                    val = np.zeros(X.shape[1])
-                elif m == "fixed":
-                    val = fixed
-                elif m == "next":
-                    val = X[i]
-                elif m == "linear":
-                    base = prev_x if prev_x is not None else X[i]
-                    val = base + frac * (X[i] - base)
-                else:  # previous | rcf (rcf resolved lazily at chunk time)
-                    val = prev_x if prev_x is not None else X[i]
-                out_X.append(np.asarray(val, np.float64))
-                out_seq.append(gseq)
-                out_imp.append(True)
-        out_X.append(X[i])
-        out_seq.append(int(seqs[i]))
-        out_imp.append(bool(imputed[i]))
-        prev_seq, prev_x = int(seqs[i]), X[i]
-    if not out_X:
+    # per-row predecessor on the grid: row i-1, or the anchor for row 0
+    prev_seq = np.empty(n, np.int64)
+    prev_seq[1:] = seqs[:-1]
+    has_prev = np.ones(n, bool)
+    if anchor_seq is not None:
+        prev_seq[0] = anchor_seq
+    else:
+        prev_seq[0] = seqs[0]
+        has_prev[0] = False
+    n_missing = (seqs - prev_seq) // step - 1
+    n_fill = np.clip(n_missing, 0, cfg.max_gap_fill)
+    n_fill[:fill_from] = 0
+    n_fill[~has_prev] = 0
+    total = int(n_fill.sum())
+    if total == 0:
         return X, seqs, imputed
-    return (
-        np.stack(out_X),
-        np.asarray(out_seq, np.int64),
-        np.asarray(out_imp, bool),
-    )
+    # fill row k (global, ordered) belongs to gap row_idx[k] with in-gap
+    # index g[k] ∈ [0, n_fill[row_idx[k]])
+    cum = np.concatenate([[0], np.cumsum(n_fill)])
+    row_idx = np.repeat(np.arange(n), n_fill)
+    g = np.arange(total, dtype=np.int64) - cum[row_idx]
+    gseq = prev_seq[row_idx] + (g + 1) * step
+    # predecessor VALUES: X[i-1]; for row 0 the anchor value, else X[0]
+    # (matching the scalar rule "prev_x if prev_x is not None else X[i]")
+    prev_x = np.empty_like(X)
+    prev_x[1:] = X[:-1]
+    prev_x[0] = anchor_x if anchor_x is not None else X[0]
+    m = cfg.impute_method
+    if m == "zero":
+        vals = np.zeros((total, d))
+    elif m == "fixed":
+        vals = np.broadcast_to(fixed, (total, d)).copy()
+    elif m == "next":
+        vals = X[row_idx].copy()
+    elif m == "linear":
+        base = prev_x[row_idx]
+        frac = (g + 1) / (n_missing[row_idx] + 1)
+        vals = base + frac[:, None] * (X[row_idx] - base)
+    else:  # previous | rcf (rcf resolved lazily at chunk time)
+        vals = prev_x[row_idx].copy()
+    # interleave: fill k sits at position row_idx[k] + k; original row i at
+    # i + (fills of gaps ≤ i) = i + cum[i + 1]
+    out_n = n + total
+    fill_pos = row_idx + np.arange(total)
+    orig_pos = np.arange(n) + cum[1:]
+    out_X = np.empty((out_n, d), np.float64)
+    out_seq = np.empty(out_n, np.int64)
+    out_imp = np.empty(out_n, bool)
+    out_X[orig_pos] = X
+    out_X[fill_pos] = vals
+    out_seq[orig_pos] = seqs
+    out_seq[fill_pos] = gseq
+    out_imp[orig_pos] = imputed
+    out_imp[fill_pos] = True
+    return out_X, out_seq, out_imp
+
+
+def _imp_ema_batch(
+    imp: np.ndarray, ema0: float, f: float
+) -> tuple[np.ndarray, float]:
+    """Closed-form discounted imputed-fraction EMA over a chunk.
+
+    The scalar recurrence ``ema' = f·ema + (1−f)·imp_i`` has the prefix
+    form ``ema_i = f^i·ema0 + (1−f)·f^{i−1}·Σ_{j<i} imp_j·f^{−j}`` (state
+    BEFORE row i) — the same trick as ``BasicThresholder.process_batch``'s
+    Deviation prefixes, blocked so the f^{−j} factors stay bounded.
+    Returns (per-row pre-update EMA, end-of-chunk EMA)."""
+    n = len(imp)
+    out = np.empty(n, np.float64)
+    blk = n if f >= 1.0 else max(1, int(27.6 / -np.log(f)))
+    ema = float(ema0)
+    for lo in range(0, n, blk):
+        m = imp[lo : lo + blk].astype(np.float64)
+        k = len(m)
+        j = np.arange(k, dtype=np.float64)
+        fi = f ** j
+        inv = f ** (-j)
+        c = np.concatenate([[0.0], np.cumsum(m * inv)])
+        out[lo : lo + k] = fi * ema + (1.0 - f) * (fi / f) * c[:-1]
+        ema = (f ** k) * ema + (1.0 - f) * (f ** (k - 1)) * c[-1]
+    return out, ema
 
 
 def _checkpoint_path(ckpt_dir: str, key: tuple) -> str:
@@ -781,15 +827,10 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
                 # imputed fraction exceeds the cap — a long outage cannot
                 # collapse the sketch onto its own imputations.
                 f = 1.0 - 1.0 / max(cfg.sample_size, 2)
-                ema = extras["imp_ema"]
+                pre_ema, end_ema = _imp_ema_batch(imp, extras["imp_ema"], f)
                 allowed = np.ones(len(chunk), bool)
-                for i in range(len(chunk)):
-                    if imp[i]:
-                        allowed[i] = ema <= cfg.max_imputed_frac
-                        ema = f * ema + (1.0 - f)
-                    else:
-                        ema = f * ema
-                extras["imp_ema"] = ema
+                allowed[imp] = pre_ema[imp] <= cfg.max_imputed_frac
+                extras["imp_ema"] = end_ema
                 extras["n_imputed"] += int(imp.sum())
                 upd = allowed[row_map]
                 if upd.any():
@@ -877,10 +918,20 @@ def drift_scores(
         raise ValueError(f"unknown TransformMethod {cfg.transform!r}")
     if cfg.shingle_size < 1:
         raise ValueError("shingle_size must be >= 1")
+    if cfg.mode == "streaming_impute" and cfg.impute_method == "rcf" and cfg.shingle_size > 1:
+        # rcf_impute resolves gaps in BASE space (xn rows, before shingle
+        # assembly) but the forest is built in shingle space (d·shingle
+        # dims) — conditional_field would index base-dim vectors with
+        # shingle-space cut dims (IndexError in the executor). The
+        # reference's ImputePreprocessor imputes against its own shingled
+        # forest; until that path exists here, reject the combination.
+        raise ValueError(
+            "impute_method='rcf' is not supported with shingle_size > 1 "
+            "(gap imputation runs in base space; use previous/linear/... )"
+        )
     if cfg.scoring not in ("expected_inverse_depth", "distance", "multi_mode"):
         raise ValueError(f"unknown ScoringStrategy {cfg.scoring!r}")
     gcols = list(group_cols)
-    total_groups = None
     if cfg.mode in ("streaming_impute", "time_augmented"):
         if cfg.buckets is not None:
             # explicit bucket count: gap detection / cadence measurement
@@ -966,9 +1017,18 @@ def drift_scores(
     # we must NOT let AQE coalesce the (byte-wise tiny) shuffle into a few
     # fat Python tasks. A user-specified numPartitions is exempt from AQE
     # coalescing, and the grouped-map below reuses this exchange.
+    #
+    # Partition-count sizing: with an explicit bucket count, 2·buckets
+    # spreads CPU-bound forests ~2 per task; in the adaptive path the
+    # bucket count is computed distributively (no driver action to read
+    # it), so the floor is 2·defaultParallelism — enough partitions to
+    # keep every core busy while hash-packing multiple buckets per task
+    # stays balanced on average. Workloads with extreme adaptive bucket
+    # counts (≫ 2·cores per wave) should pin cfg.extra['parallelism'].
     sc = df.sparkSession.sparkContext
+    explicit_buckets = cfg.buckets if cfg.buckets is not None else 0
     n_part = cfg.extra.get("parallelism") or max(
-        sc.defaultParallelism * 2, 16, 2 * (total_groups or 0)
+        sc.defaultParallelism * 2, 16, 2 * explicit_buckets
     )
     bucketed = bucketed.repartition(n_part, *key_cols)
     schema_prefix = ", ".join(

@@ -219,3 +219,39 @@ def test_calibration_modes_interval_ordering():
     # interval precision observable: calibrated intervals cover ~80%+
     ip = outs["simple"]["interval_precision"][0]
     assert 0.5 <= ip <= 1.0
+
+
+def test_shingle_trigger_respects_near_expected_band():
+    """The near-expected band (withinGap -> CorrectionMode.FORECAST,
+    PredictorCorrector.java:888-894) applies AFTER a passing trigger in
+    the gap<shingle branch: an in-shingle candidate whose new-dim spike
+    fires the trigger still gets suppressed when it sits inside the
+    expected band. With the default narrow band the same candidate
+    alerts."""
+    rng = np.random.default_rng(11)
+    base_d, s = 2, 4
+    n = 2000
+    series = rng.normal(0.0, 0.5, (n, base_d))
+    sh = np.lib.stride_tricks.sliding_window_view(series, (s, base_d))[
+        :, 0
+    ].reshape(-1, s * base_d)
+    f = RCFForest(s * base_d, num_trees=30, sample_size=128, time_decay=0.0, seed=5)
+    f.update_batch(sh.astype(np.float32))
+    # candidate: the NEWEST slot spikes in dim 0, two ticks after a
+    # previous anomaly (gap=2 < shingle=4 -> trigger branch)
+    cand = sh[-1].astype(np.float64).copy()
+    cand[(s - 1) * base_d + 0] += 8.0
+    seqs = np.array([n])
+    state = {"last_anomaly_seq": n - 2, "last_anomaly_score": 0.1}
+    thr = np.array([0.5])
+    pc = PredictorCorrector()  # ignore_near_expected_ratio = 0.1
+    sup, rel, bad = pc.suppress_shingle_batch(
+        f, cand[None, :], thr, seqs, s, dict(state)
+    )
+    assert not sup[0]  # trigger fires and the spike is far outside the band
+    assert rel[0] == -1 and bad[0] == 0
+    pc_wide = PredictorCorrector(ignore_near_expected_ratio=1e9)
+    sup2, _, _ = pc_wide.suppress_shingle_batch(
+        f, cand[None, :], thr, seqs, s, dict(state)
+    )
+    assert sup2[0]  # same trigger, but within the (infinite) expected band

@@ -404,3 +404,147 @@ def test_multi_mode_checkpoint_resume(tmp_path):
     for c in ["n_rows", "n_scored", "n_anomalous"]:
         assert f_sum[c] == r_sum[c], c
     assert abs(f_sum.mean_score - r_sum.mean_score) < 1e-12
+
+
+# --------------------------------------------------------------------- #
+# round-4: vectorized gap-fill / EMA / zero-score guard / config guards
+# --------------------------------------------------------------------- #
+def _scalar_gap_fill(X, seqs, imputed, anchor_seq, anchor_x, fill_from, cfg):
+    """Per-row reference loop for _gap_fill (the pre-round-4
+    implementation), kept as the equivalence oracle."""
+    step = cfg.expected_step
+    prev_seq = anchor_seq
+    prev_x = anchor_x
+    out_X, out_seq, out_imp = [], [], []
+    fixed = (
+        np.asarray(cfg.impute_fixed, np.float64)
+        if cfg.impute_fixed is not None
+        else np.zeros(X.shape[1])
+    )
+    for i in range(len(X)):
+        if i >= fill_from and prev_seq is not None:
+            n_missing = int((seqs[i] - prev_seq) // step) - 1
+            n_fill = min(max(n_missing, 0), cfg.max_gap_fill)
+            for g in range(n_fill):
+                gseq = int(prev_seq + (g + 1) * step)
+                frac = (g + 1) / (n_missing + 1)
+                m = cfg.impute_method
+                if m == "zero":
+                    val = np.zeros(X.shape[1])
+                elif m == "fixed":
+                    val = fixed
+                elif m == "next":
+                    val = X[i]
+                elif m == "linear":
+                    base = prev_x if prev_x is not None else X[i]
+                    val = base + frac * (X[i] - base)
+                else:
+                    val = prev_x if prev_x is not None else X[i]
+                out_X.append(np.asarray(val, np.float64))
+                out_seq.append(gseq)
+                out_imp.append(True)
+        out_X.append(X[i])
+        out_seq.append(int(seqs[i]))
+        out_imp.append(bool(imputed[i]))
+        prev_seq, prev_x = int(seqs[i]), X[i]
+    if not out_X:
+        return X, seqs, imputed
+    return np.stack(out_X), np.asarray(out_seq, np.int64), np.asarray(out_imp, bool)
+
+
+def test_gap_fill_vectorized_matches_scalar_reference():
+    """The np.repeat/arange-built _gap_fill is bit-identical to the
+    per-row loop for every ImputationMethod x anchor x fill_from combo."""
+    from random_cut_forest_by_aws_spark.operators.drift import _gap_fill
+
+    rng = np.random.default_rng(17)
+    n, d = 400, 3
+    X = rng.normal(0, 1, (n, d))
+    keep = np.sort(rng.choice(np.arange(3, 3 * n, dtype=np.int64), n, replace=False))
+    imputed = rng.random(n) < 0.1
+    anchors = [(None, None), (0, None), (0, rng.normal(0, 1, d))]
+    for method in ("zero", "fixed", "previous", "next", "linear", "rcf"):
+        for anchor_seq, anchor_x in anchors:
+            for fill_from in (0, 7):
+                cfg = DriftConfig(
+                    impute_method=method, max_gap_fill=3,
+                    impute_fixed=(1.0, 2.0, 3.0) if method == "fixed" else None,
+                    expected_step=2,
+                )
+                gx, gs, gi = _gap_fill(
+                    X, keep * 2, imputed, anchor_seq, anchor_x, fill_from, cfg
+                )
+                sx, ss, si = _scalar_gap_fill(
+                    X, keep * 2, imputed, anchor_seq, anchor_x, fill_from, cfg
+                )
+                np.testing.assert_array_equal(gs, ss)
+                np.testing.assert_array_equal(gi, si)
+                np.testing.assert_array_equal(gx, sx)
+
+
+def test_imp_ema_batch_matches_scalar():
+    """Closed-form imputed-fraction EMA == the scalar recurrence on mixed
+    imputed/real chunks, including the committed end state."""
+    from random_cut_forest_by_aws_spark.operators.drift import _imp_ema_batch
+
+    rng = np.random.default_rng(2)
+    imp = rng.random(5000) < 0.3
+    for K in (2, 64, 256):
+        f = 1.0 - 1.0 / K
+        ema0 = 0.37
+        pre = np.empty(len(imp))
+        e = ema0
+        for i in range(len(imp)):
+            pre[i] = e
+            e = f * e + (1.0 - f) if imp[i] else f * e
+        got_pre, got_end = _imp_ema_batch(imp, ema0, f)
+        np.testing.assert_allclose(got_pre, pre, rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(got_end, e, rtol=1e-9, atol=1e-12)
+
+
+def test_primary_process_batch_zero_scores_follow_reference():
+    """Scores <= 0 emit (0, 0) and leave all deviations untouched — the
+    reference guards getPrimaryThresholdAndGrade with score > 0 and
+    saveScores updates the DISTANCE thresholder only for positive scores
+    (PredictorCorrector.java:704-710)."""
+    from random_cut_forest_by_aws_spark.core.thresholder import BasicThresholder
+
+    rng = np.random.default_rng(3)
+    scores = np.abs(rng.normal(1.0, 0.3, 400)) + 0.01
+    scores[rng.random(400) < 0.25] = 0.0  # exact-duplicate distances
+    a = BasicThresholder()
+    b = BasicThresholder()
+    thr_s, g_s = [], []
+    prev = a.last_score
+    for x in scores:
+        if x > 0:
+            t, g = a.primary_threshold_and_grade(float(x))
+            a.update2(float(x), prev)
+            a.last_score = float(x)
+            prev = float(x)
+        else:
+            t, g = 0.0, 0.0
+        thr_s.append(t)
+        g_s.append(g)
+    thr_b, g_b = b.primary_process_batch(scores)
+    np.testing.assert_allclose(thr_b, thr_s, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(g_b, g_s, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(
+        [a.primary.sum, a.primary.weight, a.secondary.sum,
+         a.threshold_dev.sum, float(a.count)],
+        [b.primary.sum, b.primary.weight, b.secondary.sum,
+         b.threshold_dev.sum, float(b.count)],
+        rtol=1e-9,
+    )
+
+
+def test_rcf_impute_with_shingle_rejected():
+    """impute_method='rcf' + shingle_size>1 would index base-dim vectors
+    with shingle-space cut dims inside the executor — rejected upfront."""
+    import pytest
+
+    from random_cut_forest_by_aws_spark.operators.drift import drift_scores
+
+    cfg = DriftConfig(mode="streaming_impute", impute_method="rcf", shingle_size=2)
+    with pytest.raises(ValueError, match="rcf"):
+        drift_scores(None, cfg=cfg)
