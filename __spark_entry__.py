@@ -286,6 +286,24 @@ def _q_lsh_cosine(spark, sf_dir):
     )
 
 
+def _q_lsh_cosine_full(spark, sf_dir):
+    """LSH ANN with FULL probing (all 2^bits buckets): the candidate set
+    is the whole corpus, so the bucket-join + re-score pipeline must equal
+    exact brute-force top-k — oracle-checkable (the IVF full-probe trick
+    applied to the hyperplane-LSH path)."""
+    from random_cut_forest_by_aws_spark.operators.similarity import lsh_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_cosine_topk(emb, queries, dim=64, k=10, bits=4, full_probe=True)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 5).alias("cosine"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
 def _q_lang_quality(spark, sf_dir):
     """Quality score + language ID from the full text_profile operator.
     The fingerprint column is hash-chained (not SQL-expressible in DuckDB)
@@ -330,6 +348,11 @@ def _q_glad_scores_embeddings(spark, sf_dir):
 
 
 def _q_rcf_forecast_events(spark, sf_dir):
+    """Per-series forecast with TimedRangeVector parity: each horizon step
+    carries (ts, ts_upper, ts_lower) epoch-millis timestamps derived from
+    the stream's discounted time-gap statistics
+    (returntypes/TimedRangeVector.java:35-43,
+    Preprocessor.invertForecastRange:596-640). Rows-only (RCF sketch)."""
     from random_cut_forest_by_aws_spark.operators.rcf_batch import rcf_group_forecast
 
     ev = _t(spark, sf_dir, "events")
@@ -548,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_candidates_docs": _q_minhash_candidates,
         "simhash_docs": _q_simhash,
         "lsh_cosine_topk": _q_lsh_cosine,
+        "lsh_cosine_full_probe": _q_lsh_cosine_full,
         "ivf_cosine_full_probe": _q_ivf_cosine_full,
         "lang_quality_docs": _q_lang_quality,
         "rcf_scores_embeddings": _q_rcf_scores_embeddings,
@@ -680,6 +704,22 @@ def oracle_sql() -> dict[str, str]:
                             ) > 1800000 THEN 1 ELSE 0 END AS new_sess
                 FROM events))
             GROUP BY user_id, session_id
+        """,
+        "lsh_cosine_full_probe": """
+            SELECT query_id, vec_id, round(cosine, 5) AS cosine, rank FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                     list_dot_product(q.embedding, c.embedding)
+                       / greatest(sqrt(list_dot_product(q.embedding, q.embedding))
+                                  * sqrt(list_dot_product(c.embedding, c.embedding)),
+                                  1e-12) AS cosine,
+                     row_number() OVER (
+                        PARTITION BY q.vec_id
+                        ORDER BY list_dot_product(q.embedding, c.embedding)
+                                   / greatest(sqrt(list_dot_product(q.embedding, q.embedding))
+                                              * sqrt(list_dot_product(c.embedding, c.embedding)),
+                                              1e-12) DESC, c.vec_id) AS rank
+              FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+            ) WHERE rank <= 10
         """,
         "ivf_cosine_full_probe": """
             SELECT query_id, vec_id, round(cosine, 5) AS cosine, rank FROM (

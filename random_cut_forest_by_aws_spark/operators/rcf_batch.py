@@ -71,14 +71,25 @@ def rcf_group_forecast(
     num_trees: int = 30,
     sample_size: int = 128,
     seed: int = 42,
+    time_discount: float = 0.01,
 ) -> DataFrame:
     """Per-series calibrated-range forecasting: shingle each group's
     ordered values, train a forest, extrapolate ``horizon`` steps
-    (extrapolateWithRanges analogue)."""
+    (extrapolateWithRanges analogue).
+
+    Each step also carries forecast **timestamps** (TimedRangeVector
+    parity, ``returntypes/TimedRangeVector.java:35-43``): per
+    ``Preprocessor.invertForecastRange`` (Preprocessor.java:596-640,
+    standard-mode branch) the step timestamp is the previous one plus the
+    discounted mean observed gap (timeDrift), with upper/lower bounds at
+    ±1.3× the discounted gap deviation (timeGapDifference), chained so
+    horizon-h uncertainty accumulates. ``order_col`` may be numeric or a
+    timestamp (emitted as epoch millis)."""
     gcols = list(group_cols)
     schema_prefix = ", ".join(f"{c} {t}" for c, t in df.select(*gcols).dtypes)
     out_schema = (
-        f"{schema_prefix}, step int, forecast double, upper double, lower double"
+        f"{schema_prefix}, step int, forecast double, upper double, lower double, "
+        "ts long, ts_upper long, ts_lower long"
     )
 
     def fn(key, pdf):
@@ -86,6 +97,11 @@ def rcf_group_forecast(
 
         pdf = pdf.sort_values(order_col, kind="mergesort")
         v = pdf[value_col].to_numpy(np.float64)
+        ov = pdf[order_col]
+        if np.issubdtype(ov.dtype, np.datetime64):
+            tvals = ov.to_numpy("datetime64[ns]").astype(np.int64) // 1_000_000
+        else:
+            tvals = ov.to_numpy(np.float64)
         rows = []
         if len(v) > shingle_size * 4:
             sh = np.lib.stride_tricks.sliding_window_view(v, shingle_size)
@@ -95,14 +111,40 @@ def rcf_group_forecast(
             )
             forest.update_batch(sh.astype(np.float32))
             fc = _extrapolate(forest, sh[-1].astype(np.float32), horizon)
+            # discounted gap statistics, closed-form (Deviation.java
+            # semantics: weight f^{n-1-i} per gap, f = 1 - discount)
+            gaps = np.diff(np.asarray(tvals, np.float64))
+            if len(gaps):
+                f = 1.0 - time_discount
+                if f >= 1.0:
+                    wsum, s1 = float(len(gaps)), float(gaps.sum())
+                    s2 = float((gaps * gaps).sum())
+                else:
+                    w = f ** np.arange(len(gaps) - 1, -1, -1, dtype=np.float64)
+                    wsum = float(w.sum())
+                    s1 = float((w * gaps).sum())
+                    s2 = float((w * gaps * gaps).sum())
+                mean_gap = s1 / wsum
+                gap_dev = float(np.sqrt(max(s2 / wsum - mean_gap * mean_gap, 0.0)))
+            else:
+                mean_gap, gap_dev = 1.0, 0.0
+            bound = 1.3 * gap_dev
+            t_prev = float(tvals[-1])
             for h in range(horizon):
+                ts = t_prev + mean_gap
+                ts_up = max(ts, t_prev + mean_gap + bound)
+                ts_lo = min(ts, t_prev + max(0.0, mean_gap - bound))
                 rows.append(
                     list(key)
                     + [h + 1, float(fc["values"][h]), float(fc["upper"][h]),
-                       float(fc["lower"][h])]
+                       float(fc["lower"][h]),
+                       int(round(ts)), int(round(ts_up)), int(round(ts_lo))]
                 )
+                t_prev = ts
         return pd.DataFrame(
-            rows, columns=gcols + ["step", "forecast", "upper", "lower"]
+            rows,
+            columns=gcols + ["step", "forecast", "upper", "lower",
+                             "ts", "ts_upper", "ts_lower"],
         )
 
     sc = df.sparkSession.sparkContext

@@ -199,6 +199,7 @@ def lsh_cosine_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    full_probe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: join on hyperplane-sketch bucket, exact re-score
     inside buckets. ``probes`` > 1 additionally probes buckets at Hamming
@@ -206,6 +207,12 @@ def lsh_cosine_topk(
     (``bits + 1``, i.e. the bucket plus every Hamming-1 neighbor) measures
     recall@10 ≈ 0.9 on clustered data (tests/test_similarity.py) while
     scanning ~(bits+1)/2^bits of the corpus per query.
+
+    ``full_probe`` probes every one of the 2^bits buckets: the candidate
+    set becomes the whole corpus, so the result must equal the exact
+    ``cosine_topk`` — the oracle-checkable equivalence that proves the
+    bucket-join machinery is lossless given full coverage (keep ``bits``
+    small; cost is 2^bits broadcast rows per query).
 
     Sign-sketch LSH presumes near neighbors are *angularly* close: on
     isotropic vectors (no cluster structure) no bucketing scheme can prune
@@ -217,7 +224,15 @@ def lsh_cosine_topk(
     qsk = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv"), sk.alias("_qb")
     )
-    if probes > 1:
+    if full_probe:
+        qsk = qsk.select(
+            "query_id",
+            "_qv",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.lit((1 << bits) - 1).cast("long"))
+            ).alias("_qb"),
+        )
+    elif probes > 1:
         flips = F.array(F.lit(0), *[F.lit(1 << i) for i in range(bits)])
         qsk = qsk.select(
             "query_id",

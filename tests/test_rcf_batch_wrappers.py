@@ -79,3 +79,43 @@ def test_glad_group_scores(spark):
     normal = out[~out["rid"].isin([1200, 2401])]
     # the overwhelming majority of in-distribution rows are not flagged
     assert (normal["grade"] > 0).mean() < 0.05
+
+
+def test_rcf_group_forecast_timestamps_follow_grid(spark):
+    """TimedRangeVector parity: on a perfectly regular grid (gap g, zero
+    deviation) the forecast timestamps are last + h·g with upper == lower
+    == ts (Preprocessor.invertForecastRange:596-640)."""
+    import pandas as pd
+
+    n = 200
+    pdf = pd.DataFrame({
+        "g": "a",
+        "t": np.arange(n, dtype=np.int64) * 10,
+        "value": np.sin(np.arange(n) / 5.0),
+    })
+    df = spark.createDataFrame(pdf)
+    fc = rcf_group_forecast(
+        df, "value", ("g",), "t", shingle_size=4, horizon=3
+    ).toPandas().sort_values("step")
+    last = (n - 1) * 10
+    np.testing.assert_array_equal(fc["ts"].values, last + 10 * fc["step"].values)
+    np.testing.assert_array_equal(fc["ts_upper"].values, fc["ts"].values)
+    np.testing.assert_array_equal(fc["ts_lower"].values, fc["ts"].values)
+
+
+def test_rcf_group_forecast_timestamp_bounds_widen_on_jitter(spark):
+    """Irregular cadence ⇒ ts_lower ≤ ts ≤ ts_upper with a strict spread
+    (1.3× the discounted gap deviation per step, chained)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(4)
+    n = 300
+    t = np.cumsum(rng.integers(5, 16, n)).astype(np.int64)
+    pdf = pd.DataFrame({"g": "a", "t": t, "value": rng.normal(0, 1, n)})
+    fc = rcf_group_forecast(
+        spark.createDataFrame(pdf), "value", ("g",), "t",
+        shingle_size=4, horizon=4,
+    ).toPandas().sort_values("step")
+    assert (fc["ts_upper"] > fc["ts"]).all()
+    assert (fc["ts_lower"] < fc["ts"]).all()
+    assert fc["ts"].is_monotonic_increasing

@@ -98,3 +98,20 @@ def test_exact_topk_has_no_global_window(emb, qset):
     # the window runs AFTER a mapInPandas pruning stage
     assert "MapInPandas" in plan
     assert plan.index("Window") < plan.index("MapInPandas")  # physical plans print top-down
+
+
+def test_lsh_full_probe_equals_exact(emb, qset):
+    """full_probe probes all 2^bits buckets — the candidate set is the
+    whole corpus, so the bucket-join pipeline must reproduce exact top-k
+    bit-for-bit (the gate's lsh_cosine_full_probe equivalence)."""
+    exact = cosine_topk(emb, qset, k=10).toPandas()
+    full = lsh_cosine_topk(
+        emb, qset, dim=64, k=10, bits=4, full_probe=True
+    ).toPandas()
+    import numpy as np
+
+    cols = ["query_id", "vec_id", "rank"]
+    a = exact[cols + ["cosine"]].sort_values(cols).reset_index(drop=True)
+    b = full[cols + ["cosine"]].sort_values(cols).reset_index(drop=True)
+    assert a[cols].equals(b[cols])
+    np.testing.assert_allclose(a["cosine"], b["cosine"], rtol=0, atol=1e-12)
