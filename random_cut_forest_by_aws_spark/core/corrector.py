@@ -33,18 +33,189 @@ from .forest import RCFForest
 from .queries import impute
 
 
+class _DimDeviations:
+    """Vector of per-dimension exponentially discounted mean/deviation
+    (``statistics/Deviation.java`` semantics, one per base dimension —
+    the reference's ``deviationsActual``/``deviationsExpected`` arrays,
+    PredictorCorrector.java:102-104,131-136)."""
+
+    __slots__ = ("discount", "sum", "sumsq", "weight")
+
+    def __init__(self, d: int, discount: float = 0.01):
+        self.discount = discount
+        self.sum = np.zeros(d)
+        self.sumsq = np.zeros(d)
+        self.weight = 0.0
+
+    def update(self, x: np.ndarray) -> None:
+        f = 1.0 - self.discount
+        self.sum = self.sum * f + x
+        self.sumsq = self.sumsq * f + x * x
+        self.weight = self.weight * f + 1.0
+
+    def reset(self) -> None:
+        self.sum[:] = 0.0
+        self.sumsq[:] = 0.0
+        self.weight = 0.0
+
+    @property
+    def mean(self) -> np.ndarray:
+        return self.sum / self.weight if self.weight > 0 else np.zeros_like(self.sum)
+
+    @property
+    def deviation(self) -> np.ndarray:
+        if self.weight <= 0:
+            return np.zeros_like(self.sum)
+        m = self.sum / self.weight
+        return np.sqrt(np.maximum(self.sumsq / self.weight - m * m, 0.0))
+
+    def to_state(self) -> np.ndarray:
+        return np.vstack([
+            self.sum, self.sumsq,
+            np.full_like(self.sum, self.weight),
+            np.full_like(self.sum, self.discount),
+        ])
+
+    @classmethod
+    def from_state(cls, a: np.ndarray) -> "_DimDeviations":
+        dd = cls(a.shape[1], float(a[3, 0]))
+        dd.sum = a[0].copy()
+        dd.sumsq = a[1].copy()
+        dd.weight = float(a[2, 0])
+        return dd
+
+
 class PredictorCorrector:
     """Suppress anomaly cascades by checking the 'expected point'."""
+
+    RUN_ALLOWED = 2  # DEFAULT_RUN_ALLOWED (PredictorCorrector.java:60)
 
     def __init__(
         self,
         max_attributed_dims: int = 2,
         ignore_near_expected_ratio: float = 0.1,
         suppression_factor: float = 1.0,
+        auto_adjust: bool = False,
+        auto_adjust_discount: float = 0.01,
+        noise_factor: float = 0.0,
     ):
         self.max_attributed_dims = max_attributed_dims
         self.ignore_near_expected_ratio = ignore_near_expected_ratio
         self.suppression_factor = suppression_factor
+        # autoAdjust (PredictorCorrector.java:109,905-940): per-dimension
+        # discounted Deviations over the candidate stream size the
+        # suppression bands adaptively — a sustained run whose points stay
+        # within 2·dev of the running per-dim means is DATA_DRIFT, not a
+        # new anomaly. noise_factor adds an absolute band floor (the
+        # reference's transformer-deviation/scale term lives outside this
+        # layer; 0 disables the floor).
+        self.auto_adjust = auto_adjust
+        self.auto_adjust_discount = auto_adjust_discount
+        self.noise_factor = noise_factor
+        self.dev_actual: _DimDeviations | None = None
+        self.dev_expected: _DimDeviations | None = None
+        self.run_length = 0
+        self._aa_prev_seq: int | None = None
+
+    def auto_adjust_batch(
+        self,
+        sup: np.ndarray,
+        X: np.ndarray,
+        expected: np.ndarray,
+        seqs: np.ndarray,
+        cand_X: np.ndarray | None = None,
+        cand_seqs: np.ndarray | None = None,
+        base_d: int | None = None,
+        step: int = 1,
+    ) -> np.ndarray:
+        """Apply the autoAdjust DATA_DRIFT suppression
+        (PredictorCorrector.java:905-962).
+
+        ``X``/``expected``/``seqs`` are the emit-grade rows being decided;
+        ``cand_X``/``cand_seqs`` optionally carry the FULL candidate
+        stream (every thresholder-positive row — the reference's
+        ``candidate`` = inHighScoreRegion set, of which the emitted rows
+        are a subset). Per candidate, in order: the per-dim actual
+        Deviations absorb the newest base-dim block (deviationsExpected
+        only where an expected point exists — the reference's
+        ``expectedPoint != null`` guard); an emit-grade row in a run
+        longer than RUN_ALLOWED is suppressed when every dim sits within
+        max(2·actualDev, noise_factor) of the running actual mean AND the
+        expected point sits within 2·max(expectedDev, actualDev) +
+        0.1·|meanA − meanE| of the running expected mean. Run
+        bookkeeping follows the reference: a positive-grade candidate
+        extends the run, a suppressed one sustains a nonzero run, and a
+        gap in the candidate stream (an intermediate grade-0,
+        correction-NONE row) resets run and deviations."""
+        if not self.auto_adjust or len(sup) == 0:
+            return sup
+        if cand_X is None or cand_seqs is None:
+            cand_X, cand_seqs = X, seqs
+        d_total = cand_X.shape[1]
+        base = base_d or d_total
+        if self.dev_actual is None or len(self.dev_actual.sum) != base:
+            self.dev_actual = _DimDeviations(base, self.auto_adjust_discount)
+            self.dev_expected = _DimDeviations(base, self.auto_adjust_discount)
+        out = sup.copy()
+        # position of each emitted row within the candidate stream
+        emit_pos = {int(s): i for i, s in enumerate(seqs)}
+        for j in range(len(cand_seqs)):
+            s = int(cand_seqs[j])
+            if self._aa_prev_seq is not None and s - self._aa_prev_seq > step:
+                # non-candidate rows in between: grade 0 / CorrectionMode
+                # NONE resets the run and the deviations (:957-962)
+                self.run_length = 0
+                self.dev_actual.reset()
+                self.dev_expected.reset()
+            x = np.asarray(cand_X[j, d_total - base:], np.float64)
+            # reference order (:905-911): deviations absorb the candidate
+            # FIRST, the within test then runs against the updated stats
+            self.dev_actual.update(x)
+            i = emit_pos.get(s)
+            if i is not None:
+                e = np.asarray(expected[i, d_total - base:], np.float64)
+                self.dev_expected.update(e)
+                if not out[i] and self.run_length > self.RUN_ALLOWED:
+                    mean_a, dev_a = self.dev_actual.mean, self.dev_actual.deviation
+                    mean_e, dev_e = self.dev_expected.mean, self.dev_expected.deviation
+                    band_a = np.maximum(2.0 * dev_a, self.noise_factor)
+                    within = bool(np.all(np.abs(mean_a - x) < band_a))
+                    if within:
+                        band_e = 2.0 * np.maximum(dev_e, dev_a) + 0.1 * np.abs(
+                            mean_a - mean_e
+                        )
+                        within = bool(np.all(np.abs(mean_e - e) < band_e))
+                    if within:
+                        out[i] = True  # DATA_DRIFT
+            if i is None or not out[i]:
+                self.run_length += 1  # positive grade extends/starts the run
+            elif self.run_length > 0:
+                self.run_length += 1  # suppressed candidate sustains it
+            self._aa_prev_seq = s
+        return out
+
+    def aa_state(self) -> dict:
+        """autoAdjust state for checkpointing (numpy-serializable)."""
+        if self.dev_actual is None:
+            return {}
+        return {
+            "aa_act": self.dev_actual.to_state(),
+            "aa_exp": self.dev_expected.to_state(),
+            "aa_meta": np.array(
+                [self.run_length,
+                 -(1 << 62) if self._aa_prev_seq is None else self._aa_prev_seq],
+                np.int64,
+            ),
+        }
+
+    def load_aa_state(self, state: dict) -> None:
+        if "aa_act" not in state:
+            return
+        self.dev_actual = _DimDeviations.from_state(np.asarray(state["aa_act"]))
+        self.dev_expected = _DimDeviations.from_state(np.asarray(state["aa_exp"]))
+        meta = np.asarray(state["aa_meta"], np.int64)
+        self.run_length = int(meta[0])
+        self._aa_prev_seq = None if int(meta[1]) == -(1 << 62) else int(meta[1])
 
     def expected_point(self, forest: RCFForest, x: np.ndarray) -> tuple[np.ndarray, list[int]]:
         """Impute the top score-contributing dimensions (attribution-led,
@@ -79,6 +250,7 @@ class PredictorCorrector:
         X: np.ndarray,
         thresholds: np.ndarray,
         return_dims: bool = False,
+        return_expected: bool = False,
     ):
         """Vectorized suppression verdicts for a batch of flagged points.
 
@@ -92,7 +264,12 @@ class PredictorCorrector:
         A, d = X.shape
         if A == 0:
             empty = np.zeros(0, bool)
-            return (empty, np.zeros((0, d))) if return_dims else empty
+            out = [empty]
+            if return_dims:
+                out.append(np.zeros((0, d)))
+            if return_expected:
+                out.append(np.zeros((0, d)))
+            return tuple(out) if len(out) > 1 else empty
         X32 = np.ascontiguousarray(X, np.float32)
         hi, lo = forest.attribution(X32)
         contrib = hi + lo
@@ -105,10 +282,12 @@ class PredictorCorrector:
         leafpts, _ = forest.leaf_points(X32)  # [A, L, d]
         if leafpts.shape[1] == 0:
             none = np.zeros(A, bool)
+            out = [none]
             if return_dims:
-                sig = contrib / np.maximum(contrib.sum(1, keepdims=True), 1e-12)
-                return none, sig
-            return none
+                out.append(contrib / np.maximum(contrib.sum(1, keepdims=True), 1e-12))
+            if return_expected:
+                out.append(X.astype(np.float64).copy())
+            return tuple(out) if len(out) > 1 else none
         # distance on healthy dims only
         healthy = ~bad_mask
         diffs = np.abs(leafpts - X32[:, None, :]) * healthy[:, None, :]
@@ -124,12 +303,15 @@ class PredictorCorrector:
         )
         corrected = forest.score(expected.astype(np.float32))
         sup = near | (corrected < self.suppression_factor * np.asarray(thresholds))
+        out = [sup]
         if return_dims:
             # normalized attribution signature per row — the run-length
             # filter's "is this the same anomaly continuing?" signal
             sig = contrib / np.maximum(contrib.sum(1, keepdims=True), 1e-12)
-            return sup, sig
-        return sup
+            out.append(sig)
+        if return_expected:
+            out.append(expected)
+        return tuple(out) if len(out) > 1 else sup
 
     @staticmethod
     def _pick_block_dims(
@@ -220,34 +402,89 @@ class PredictorCorrector:
         leafpts, _ = forest.leaf_points(X32)  # [A, L, d_total]
         last_seq = int(state.get("last_anomaly_seq", -(1 << 62)))
         last_score = float(state.get("last_anomaly_score", 0.0))
+
+        def _expected_for(i: int, gap: int):
+            """(dims, expected) for row i under a given gap — pure in
+            (i, gap), so speculative and in-loop computations agree."""
+            m = max(1, min(gap, shingle_size))
+            j0 = shingle_size - m
+            slot = j0 + int(np.argmax(slot_sums[i, j0:]))
+            start = slot * base
+            dims = self._pick_block_dims(
+                contrib[i, start : start + base], start,
+                self.max_attributed_dims, d_total,
+            )
+            if dims is None:
+                return slot, None, None
+            bad = np.zeros(d_total, bool)
+            bad[dims] = True
+            diffs = (np.abs(leafpts[i] - X32[i]) * ~bad).sum(-1)
+            exemplar = leafpts[i, int(diffs.argmin())]
+            expected = np.where(
+                bad, exemplar, X32[i].astype(np.float64)
+            ).astype(np.float32)
+            return slot, dims, expected
+
+        # Batched trigger attributions: the expected point depends on the
+        # gap only through m = min(gap, shingle_size) (the slot-search
+        # window), and the true last_seq at row i is always either the
+        # incoming last_seq or some earlier flagged row's seq — so the
+        # full set of reachable (row, m) pairs is enumerable upfront
+        # (≤ shingle_size per row, typically ~1). All their expected
+        # points go through ONE forest.attribution call; the sequential
+        # loop then only does cache lookups, bit-identical to per-row
+        # calls (per-lane attribution arithmetic is row-independent).
+        spec: dict[tuple[int, int], tuple] = {}
+        if leafpts.shape[1]:
+            pairs: list[tuple[int, int]] = []
+            seen_pairs = set()
+
+            def _add(i: int, gap: int) -> None:
+                if gap >= shingle_size:
+                    return  # >= shingle: band check only, no attribution
+                m = max(1, min(gap, shingle_size))
+                if (i, m) not in seen_pairs:
+                    seen_pairs.add((i, m))
+                    pairs.append((i, m))
+
+            for i in range(A):
+                _add(i, int(seqs[i]) - last_seq)
+                j = i - 1
+                while j >= 0 and int(seqs[i]) - int(seqs[j]) < shingle_size:
+                    _add(i, int(seqs[i]) - int(seqs[j]))
+                    j -= 1
+            exp_rows, meta = [], []
+            for i, m in pairs:
+                _, dims_s, exp_s = _expected_for(i, m)
+                if exp_s is not None:
+                    exp_rows.append(exp_s)
+                    meta.append((i, m))
+            if exp_rows:
+                bh, bl = forest.attribution(np.stack(exp_rows))
+                for (i, m), h_row, l_row in zip(meta, bh, bl):
+                    spec[(i, m)] = (h_row, l_row)
+
         for i in range(A):
             gap = int(seqs[i]) - last_seq
-            m = max(1, min(gap, shingle_size))
-            j0 = shingle_size - m  # oldest considered slot
-            slot = j0 + int(np.argmax(slot_sums[i, j0:]))
+            slot, dims, expected = _expected_for(i, gap)
             start = slot * base
             block = contrib[i, start : start + base]
             rel_idx[i] = slot - shingle_size
             bad_dim[i] = int(np.argmax(block))
-            dims = self._pick_block_dims(
-                block, start, self.max_attributed_dims, d_total
-            )
             if dims is not None and leafpts.shape[1]:
-                bad = np.zeros(d_total, bool)
-                bad[dims] = True
-                diffs = (np.abs(leafpts[i] - X32[i]) * ~bad).sum(-1)
-                exemplar = leafpts[i, int(diffs.argmin())]
-                expected = np.where(bad, exemplar, X32[i].astype(np.float64)).astype(
-                    np.float32
-                )
                 if gap < shingle_size:
                     # trigger test over the ticks that arrived after the
                     # last anomaly (PredictorCorrector.java:288-303)
-                    e_hi, e_lo = forest.attribution(expected[None, :])
+                    cached = spec.get((i, max(1, min(gap, shingle_size))))
+                    if cached is not None:
+                        e_hi_r, e_lo_r = cached
+                    else:  # misprediction: individual fallback
+                        e2 = forest.attribution(expected[None, :])
+                        e_hi_r, e_lo_r = e2[0][0], e2[1][0]
                     nd = gap * base
                     differential = float(
-                        np.abs(hi[i, d_total - nd :] - e_hi[0, d_total - nd :]).sum()
-                        + np.abs(lo[i, d_total - nd :] - e_lo[0, d_total - nd :]).sum()
+                        np.abs(hi[i, d_total - nd :] - e_hi_r[d_total - nd :]).sum()
+                        + np.abs(lo[i, d_total - nd :] - e_lo_r[d_total - nd :]).sum()
                     )
                     alert = (
                         differential > differential_factor * last_score

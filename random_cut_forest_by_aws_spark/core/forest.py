@@ -40,9 +40,9 @@ Semantics re-expressed from the reference (file:line cites into
   149-268``, ``CommonUtils.java:148-181``;
 * attribution: directional Δrange split of the same recursion; high+low
   sums to the scalar score exactly — ``anomalydetection/
-  AbstractAttributionVisitor.java:115-199`` (duplicate-leaf counterfactual
-  shadow boxes are simplified to an equal split here; the sum invariant is
-  preserved).
+  AbstractAttributionVisitor.java:115-199``, including the duplicate-leaf
+  counterfactual shadow-box walk (sibling-box unions up the path,
+  renormalized to the leaf score per ``DiVector.renormalize``).
 
 Determinism: sampler draws are counter-based (splitmix64 of
 (seed, tree, seq)) so accept decisions are independent of batch/chunk
@@ -897,6 +897,65 @@ class RCFForest:
         denom = np.where(eq, 1.0, sumnew)
         high = np.where(eq[:, None], saved[:, None] / (2 * d), saved[:, None] * dh / denom[:, None])
         low = np.where(eq[:, None], saved[:, None] / (2 * d), saved[:, None] * dl / denom[:, None])
+
+        # duplicate-leaf lanes: counterfactual shadow-box walk
+        # (AbstractAttributionVisitor.java:118-167, hitDuplicates path) —
+        # attribute as if the point and its duplicate leaf had not been
+        # inserted: smallBox per ancestor is the running union of sibling
+        # boxes along the path (getSiblingBoundingBox picks the child the
+        # point does NOT descend into), and the final DiVector is
+        # renormalized to the duplicate-leaf score (DiVector.renormalize,
+        # DiVector.java:141-150) so the sum invariant is preserved while
+        # the per-dimension split follows the shadow geometry.
+        eq_lanes = np.nonzero(eq & (parent[a] >= 0))[0]
+        if len(eq_lanes):
+            ts_e = ts[eq_lanes]
+            x_e = X32[qs[eq_lanes]].astype(np.float64)
+            saved_e = seen[eq_lanes]
+            d_e = depth[eq_lanes].astype(np.float64) - 1.0
+            cur_p = ts_e * N + parent[addr[eq_lanes]].astype(np.int64)
+            h_e = high[eq_lanes].copy()
+            l_e = low[eq_lanes].copy()
+            n_eq = len(eq_lanes)
+            smin_all = np.empty((n_eq, d))
+            smax_all = np.empty((n_eq, d))
+            act = np.arange(n_eq)
+            first = True
+            while len(act):
+                pa = cur_p[act]
+                cdp = cutdim[pa].astype(np.int64)
+                go_left = x_e[act, cdp] <= cutval[pa]
+                sib = np.where(go_left, right[pa], left[pa]).astype(np.int64)
+                sa = ts_e[act] * N + sib
+                if first:
+                    smin_all[act] = bbmin[sa]
+                    smax_all[act] = bbmax[sa]
+                    first = False
+                else:
+                    np.minimum(smin_all[act], bbmin[sa], out=smin_all[act])
+                    np.maximum(smax_all[act], bbmax[sa], out=smax_all[act])
+                sm, sx = smin_all[act], smax_all[act]
+                xv = x_e[act]
+                dh_s = np.maximum(xv - sx, 0)
+                dl_s = np.maximum(sm - xv, 0)
+                new_sum = (np.maximum(sx, xv) - np.minimum(sm, xv)).sum(1)
+                dlt = (dh_s + dl_s).sum(1)
+                safe = np.maximum(new_sum, _F32_TINY)
+                p = np.where(new_sum > 0, dlt / safe, 0.0)
+                pos = p > 0
+                ns = score_unseen(d_e[act], mass[pa].astype(np.float64))
+                nh = (dh_s / safe[:, None]) * ns[:, None] + (1 - p)[:, None] * h_e[act]
+                nl = (dl_s / safe[:, None]) * ns[:, None] + (1 - p)[:, None] * l_e[act]
+                h_e[act] = np.where(pos[:, None], nh, h_e[act])
+                l_e[act] = np.where(pos[:, None], nl, l_e[act])
+                nxt = parent[pa].astype(np.int64)
+                cur_p[act] = np.where(nxt >= 0, ts_e[act] * N + nxt, -1)
+                d_e[act] -= 1.0
+                act = act[pos & (nxt >= 0)]
+            tot = h_e.sum(1) + l_e.sum(1)
+            scale = np.where(tot > 0, saved_e / np.maximum(tot, 1e-300), 1.0)
+            high[eq_lanes] = h_e * scale[:, None]
+            low[eq_lanes] = l_e * scale[:, None]
 
         up = parent[a].astype(np.int64)
         active = np.nonzero(~eq & (up >= 0))[0]

@@ -102,6 +102,7 @@ class GladDetector:
         self._last_mean = 1.0
         self.clusters: dict | None = None
         self._flat_reps: tuple | None = None  # cache keyed to self.clusters identity
+        self._rr_cache: np.ndarray | None = None  # rep-rep distances, same keying
 
     # -- recency-biased reservoir (StreamSampler semantics) ----------------
     def _offer(self, x: np.ndarray, weight: float, u: float | None = None) -> None:
@@ -146,6 +147,7 @@ class GladDetector:
                 rng=rng,
             )
             self._flat_reps = None
+            self._rr_cache = None
             return True
         return False
 
@@ -230,27 +232,55 @@ class GladDetector:
         out.sort(key=lambda c: c[1])
         return out
 
-    def _score_segment(self, X: np.ndarray) -> np.ndarray | None:
-        """Vectorized scores for rows of X against the FROZEN cluster set
-        (occlusion-free path: occlusion never removes the minimal-distance
-        candidate's own score contribution set differently than min over
-        per-cluster scores when unused). None when no usable clusters."""
+    def _rep_rep(self) -> np.ndarray:
+        """Pairwise distances between usable representatives (occlusion
+        geometry), cached per frozen cluster set."""
+        if self._rr_cache is not None:
+            return self._rr_cache
+        R = self._usable()[0]
+        m = len(R)
+        RR = np.empty((m, m))
+        if self.distance is _l2:
+            for j in range(m):
+                diff = R - R[j]
+                RR[:, j] = np.sqrt((diff * diff).sum(axis=1))
+        else:
+            for j in range(m):
+                RR[:, j] = [self.distance(r, R[j]) for r in R]
+        self._rr_cache = RR
+        return RR
+
+    def _score_segment(
+        self, X: np.ndarray, consider_occlusion: bool = False
+    ) -> np.ndarray | None:
+        """Vectorized scores for rows of X against the FROZEN cluster set;
+        with ``consider_occlusion`` the right-triangle test
+        (GlobalLocalAnomalyDetector.java:316-329) masks clusters a nearer
+        surviving representative sits in front of, exactly as the scalar
+        ``score`` does (the rep-rep distance matrix is precomputed per
+        recluster and the per-point scan is vectorized over rows). None
+        when no usable clusters."""
         ur = self._usable()
         if ur is None:
             return None
         R, rep_cluster, radii = ur
         n, C = len(X), len(radii)
         Dc = np.full((n, C), np.inf)
+        Jc = np.zeros((n, C), np.int64)  # argmin representative per cluster
         if self.distance is _l2:
             for j in range(R.shape[0]):
                 diff = X - R[j]
                 d = np.sqrt((diff * diff).sum(axis=1))
                 c = int(rep_cluster[j])
+                better = d < Dc[:, c]
+                Jc[better, c] = j
                 np.minimum(Dc[:, c], d, out=Dc[:, c])
         else:  # custom distance: per-pair callable, still batched per rep
             for j in range(R.shape[0]):
                 c = int(rep_cluster[j])
                 d = np.array([self.distance(x, R[j]) for x in X])
+                better = d < Dc[:, c]
+                Jc[better, c] = j
                 np.minimum(Dc[:, c], d, out=Dc[:, c])
         safe_r = np.where(radii > 0, radii, 1.0)
         s = np.where(
@@ -258,7 +288,35 @@ class GladDetector:
             np.minimum(FLOAT_MAX, Dc / safe_r[None, :]),
             FLOAT_MAX,
         )
-        scores = s.min(axis=1)
+        if consider_occlusion and C > 1:
+            # per point: clusters sorted by distance (stable = scalar sort
+            # order); a surviving nearer candidate occludes a farther one
+            # when its chosen representative sits between (between < far
+            # and far > hypot(near, between)); occluded candidates neither
+            # score nor occlude others — the sequential scan is O(C²)
+            # vectorized passes over the rows.
+            order = np.argsort(Dc, axis=1, kind="stable")
+            rows = np.arange(n)[:, None]
+            Ds = np.take_along_axis(Dc, order, axis=1)
+            Js = Jc[rows, order]
+            RR = self._rep_rep()
+            occ = np.zeros((n, C), bool)
+            for i in range(C - 1):
+                alive = ~occ[:, i]
+                di = Ds[:, i]
+                for k in range(i + 1, C):
+                    between = RR[Js[:, i], Js[:, k]]
+                    far = Ds[:, k]
+                    occ[:, k] |= (
+                        alive
+                        & (between < far)
+                        & (far > np.sqrt(di * di + between * between))
+                    )
+            s_sorted = np.take_along_axis(s, order, axis=1)
+            s_sorted[occ] = np.inf  # excluded from the candidate list
+            scores = s_sorted.min(axis=1)
+        else:
+            scores = s.min(axis=1)
         scores[Dc.min(axis=1) == 0.0] = 0.0
         return scores
 
@@ -305,10 +363,16 @@ class GladDetector:
         }
 
     def process_batch(
-        self, X: np.ndarray, weights: np.ndarray | None = None
+        self,
+        X: np.ndarray,
+        weights: np.ndarray | None = None,
+        consider_occlusion: bool = False,
     ) -> dict:
         """Batch equivalent of calling ``process`` per row (bit-identical
-        scores/thresholds/grades; candidates are not materialized).
+        scores/thresholds/grades; candidates are not materialized),
+        including ``consider_occlusion`` — the right-triangle mask is a
+        pure function of the frozen representative set, so it vectorizes
+        per segment (GlobalLocalAnomalyDetector.java:316-329).
 
         Scores are computed vectorized per frozen-cluster segment; the
         thresholder update, reservoir offer, and recluster check stay
@@ -331,7 +395,9 @@ class GladDetector:
         for i in range(n):
             reclustered = self._maybe_recluster()
             if reclustered or not cache_valid or i >= cache_lo + chunk:
-                cache = self._score_segment(X[i : i + chunk])
+                cache = self._score_segment(
+                    X[i : i + chunk], consider_occlusion=consider_occlusion
+                )
                 cache_lo = i
                 cache_valid = True
             if cache is not None:

@@ -111,6 +111,12 @@ class DriftConfig:
     run_length_suppression: bool = True
     run_gap: int = 2
     trigger_factor: float = 0.5  # L1 attribution shift that re-alerts
+    # autoAdjust (PredictorCorrector.java:109,905-962): per-dimension
+    # discounted deviations over the candidate stream size the suppression
+    # bands adaptively; a sustained run within the per-dim bands is
+    # DATA_DRIFT, not a new anomaly. Fixes mis-tuned suppression when
+    # per-dim noise floors differ by orders of magnitude.
+    auto_adjust: bool = False
     anomaly_rate_threshold: float = 0.01
     # skew handling: a group never exceeds ~rows_per_bucket rows; bucket
     # count per group value adapts to its frequency, capped at max_buckets.
@@ -356,6 +362,7 @@ def _state_dict(
     buf_seqs: np.ndarray,
     buf_imp: np.ndarray | None = None,
     th2: BasicThresholder | None = None,
+    corrector=None,
 ) -> dict:
     """Serialize (forest, thresholder, normalizer, counters) as of a chunk
     boundary, plus the replay buffer of post-boundary rows. The buffer is
@@ -383,6 +390,8 @@ def _state_dict(
         state["th2_threshold_dev"] = np.array(t2["threshold_dev"])
         state["th2_params"] = np.array(t2["params"])
     state.update(norm.to_state())
+    if corrector is not None and getattr(corrector, "auto_adjust", False):
+        state.update(corrector.aa_state())
     state["extras"] = np.array(
         [extras.get("last_seq", -1), extras.get("n_rows", 0), extras.get("n_scored", 0),
          extras.get("n_anomalous", 0), extras.get("n_windows", 0),
@@ -557,8 +566,10 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
         )
         emit_wm = -1  # emit only rows with seq > emit_wm
         n_buf = 0
+        ckpt_raw = None
         if ckpt and os.path.exists(ckpt):
             forest, th, raw, extras = _load_group_state(ckpt)
+            ckpt_raw = raw
             norm.load_state(raw)
             emit_wm = extras["last_seq"]
             keep = seqs > emit_wm  # resume: drop rows already processed…
@@ -630,7 +641,9 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
         if cfg.use_corrector and cfg.scoring != "distance":
             from ..core.corrector import PredictorCorrector
 
-            corrector = PredictorCorrector()
+            corrector = PredictorCorrector(auto_adjust=cfg.auto_adjust)
+            if cfg.auto_adjust and ckpt_raw is not None:
+                corrector.load_aa_state(ckpt_raw)
 
         def close_window(end_seq: int) -> None:
             win_mean = extras["win_sum"] / extras["win_cnt"]
@@ -800,14 +813,34 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
                     elif corrector is not None:
                         idx = np.fromiter((f[0] for f in flagged), np.int64)
                         thr = np.fromiter((f[2] for f in flagged), np.float64)
-                        sup, fdims = corrector.should_suppress_batch(
-                            forest, pts[idx].astype(np.float64), thr,
-                            return_dims=True,
-                        )
+                        if cfg.auto_adjust:
+                            sup, fdims, exp_pts = corrector.should_suppress_batch(
+                                forest, pts[idx].astype(np.float64), thr,
+                                return_dims=True, return_expected=True,
+                            )
+                        else:
+                            sup, fdims = corrector.should_suppress_batch(
+                                forest, pts[idx].astype(np.float64), thr,
+                                return_dims=True,
+                            )
+                            exp_pts = None
                         if cfg.run_length_suppression:
                             sup = corrector.run_length_filter(
                                 sup, seq_p[idx], fdims, extras,
                                 cfg.run_gap, cfg.trigger_factor,
+                            )
+                        if cfg.auto_adjust:
+                            # the candidate stream = every thresholder-
+                            # positive real row (the reference's
+                            # inHighScoreRegion set); emitted rows are the
+                            # subset actually tested for DATA_DRIFT
+                            cand = real_pos[np.flatnonzero(grade_arr > 0)]
+                            sup = corrector.auto_adjust_batch(
+                                sup, pts[idx].astype(np.float64), exp_pts,
+                                seq_p[idx],
+                                cand_X=pts[cand].astype(np.float64),
+                                cand_seqs=seq_p[cand],
+                                step=cfg.expected_step,
                             )
                     else:
                         sup = np.zeros(len(flagged), bool)
@@ -857,7 +890,7 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
         if ckpt:
             state = _state_dict(
                 forest, th, norm, extras, X[tail_lo:], seqs[tail_lo:],
-                imputed[tail_lo:], th2=th2,
+                imputed[tail_lo:], th2=th2, corrector=corrector,
             )
             process(tail_lo, B)  # tail: emitted now, replayed next run
             state["extras"][0] = extras["last_seq"] = (

@@ -165,6 +165,7 @@ def glad_group_scores(
     representatives: int = 5,
     recluster_within: int | None = None,
     seed: int = 42,
+    consider_occlusion: bool = False,
 ) -> DataFrame:
     """GLAD per group: stream each group's vectors (in ``order_col`` order
     when given) through a GladDetector and emit per-row (score, threshold,
@@ -189,8 +190,12 @@ def glad_group_scores(
             seed=_group_seed(tuple(key), seed),
         )
         # vectorized batch: distances computed per frozen-cluster segment,
-        # bit-identical to streaming det.process per row
-        res = det.process_batch(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+        # bit-identical to streaming det.process per row (occlusion
+        # included: the right-triangle mask is frozen-segment-pure)
+        res = det.process_batch(
+            np.stack(pdf[vec_col].to_numpy()).astype(np.float64),
+            consider_occlusion=consider_occlusion,
+        )
         out = pdf[gcols + [id_col]].copy()
         out["score"] = res["score"]
         out["threshold"] = res["threshold"]

@@ -255,3 +255,102 @@ def test_shingle_trigger_respects_near_expected_band():
         f, cand[None, :], thr, seqs, s, dict(state)
     )
     assert sup2[0]  # same trigger, but within the (infinite) expected band
+
+
+def test_auto_adjust_suppresses_sustained_drift_run_per_dim():
+    """autoAdjust (PredictorCorrector.java:905-962): a sustained candidate
+    run hovering within 2·dev of the running per-dim means is DATA_DRIFT —
+    suppressed after RUN_ALLOWED — while a point that breaks the TIGHT
+    dim's band re-alerts even though a loose global band would absorb it;
+    a gap in the candidate stream resets the run."""
+    from random_cut_forest_by_aws_spark.core.corrector import PredictorCorrector
+
+    pc = PredictorCorrector(auto_adjust=True)
+    n = 10
+    alt = np.where(np.arange(n) % 2 == 0, 1.0, -1.0)
+    X = np.column_stack([
+        5.0 + 0.01 * alt,   # tight dim: dev = 0.01
+        0.05 * alt,         # looser dim: dev = 0.05
+    ])
+    exp = X + 0.001
+    out = pc.auto_adjust_batch(np.zeros(n, bool), X, exp, np.arange(n), step=1)
+    assert not out[: pc.RUN_ALLOWED + 1].any()  # run must exceed RUN_ALLOWED
+    assert out[pc.RUN_ALLOWED + 1 :].all()      # sustained in-band run = drift
+    # dim-0 jump of 0.5 (~50x its dev, but only 10% of its level):
+    # the per-dim band catches it where a fixed relative band would not
+    x2 = np.array([[5.5, 0.0]])
+    out2 = pc.auto_adjust_batch(np.zeros(1, bool), x2, x2, np.array([n]), step=1)
+    assert not out2[0]
+    # a seq gap (intermediate grade-0 rows) resets run + deviations:
+    # the next in-band candidate is NOT suppressed despite matching stats
+    pc2 = PredictorCorrector(auto_adjust=True)
+    pc2.auto_adjust_batch(np.zeros(n, bool), X, exp, np.arange(n), step=1)
+    out3 = pc2.auto_adjust_batch(
+        np.zeros(1, bool), X[:1], exp[:1], np.array([n + 5]), step=1
+    )
+    assert not out3[0]
+
+
+def test_auto_adjust_state_roundtrip():
+    """aa_state/load_aa_state round-trips the per-dim deviations and run
+    bookkeeping bit-exactly (checkpoint support)."""
+    from random_cut_forest_by_aws_spark.core.corrector import PredictorCorrector
+
+    rng = np.random.default_rng(5)
+    pc = PredictorCorrector(auto_adjust=True)
+    X = 3.0 + 0.1 * rng.normal(size=(6, 3))
+    pc.auto_adjust_batch(np.zeros(6, bool), X, X, np.arange(6), step=1)
+    st = pc.aa_state()
+    pc2 = PredictorCorrector(auto_adjust=True)
+    pc2.load_aa_state(st)
+    assert pc2.run_length == pc.run_length
+    assert pc2._aa_prev_seq == pc._aa_prev_seq
+    np.testing.assert_array_equal(pc2.dev_actual.sum, pc.dev_actual.sum)
+    np.testing.assert_array_equal(pc2.dev_expected.sumsq, pc.dev_expected.sumsq)
+    # continued processing must agree exactly
+    X2 = 3.0 + 0.1 * rng.normal(size=(4, 3))
+    a = pc.auto_adjust_batch(np.zeros(4, bool), X2, X2, np.arange(6, 10), step=1)
+    b = pc2.auto_adjust_batch(np.zeros(4, bool), X2, X2, np.arange(6, 10), step=1)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_shingle_trigger_attributions_are_batched():
+    """VERDICT r3 item 10: in a cascade the trigger attributions run as
+    ONE batched forest.attribution call per suppress_shingle_batch (plus
+    the shared point-attribution call), not one call per flagged row —
+    with decisions identical to the per-row fallback path."""
+    rng = np.random.default_rng(7)
+    base_d, s = 2, 4
+    n = 3000
+    series = rng.normal(0.0, 0.5, (n, base_d))
+    series[2500, 1] += 8.0
+    sh = np.lib.stride_tricks.sliding_window_view(series, (s, base_d))[
+        :, 0
+    ].reshape(-1, s * base_d)
+    f = RCFForest(s * base_d, num_trees=30, sample_size=128, time_decay=0.0, seed=3)
+    f.update_batch(sh[:2400].astype(np.float32))
+    # flagged set: the spike sliding through 4 consecutive shingles
+    idx = np.arange(2497, 2501)  # shingle rows containing tick 2500
+    flag_X = sh[idx].astype(np.float64)
+    flag_seqs = idx + s - 1
+    thr = np.full(len(idx), 1.0)
+    calls = []
+    orig = RCFForest.attribution
+
+    def counting(self, X, **kw):
+        calls.append(len(np.atleast_2d(X)))
+        return orig(self, X, **kw)
+
+    RCFForest.attribution = counting
+    try:
+        pc = PredictorCorrector()
+        sup, rel, bad = pc.suppress_shingle_batch(
+            f, flag_X, thr, flag_seqs, s, {}
+        )
+    finally:
+        RCFForest.attribution = orig
+    # call 1: the A-row point attribution; call 2: the one batched set of
+    # trigger attributions over all reachable (row, m) pairs — the
+    # in-loop path is cache lookups only
+    assert len(calls) <= 2, calls
+    assert not sup[0] and sup[1:].all()  # onset alerts once, slides suppressed

@@ -548,3 +548,55 @@ def test_rcf_impute_with_shingle_rejected():
     cfg = DriftConfig(mode="streaming_impute", impute_method="rcf", shingle_size=2)
     with pytest.raises(ValueError, match="rcf"):
         drift_scores(None, cfg=cfg)
+
+
+def test_auto_adjust_quiets_level_shift_cascade():
+    """Operator-level autoAdjust: a persistent level shift produces a
+    sustained candidate run; with cfg.auto_adjust the in-band run is
+    suppressed as DATA_DRIFT after the onset, emitting strictly fewer
+    anomaly rows than the fixed-band corrector while the onset still
+    alerts."""
+    rng = np.random.default_rng(29)
+    n = 4000
+    X = rng.normal(0.0, 0.4, (n, 3))
+    # persistent shift in ALL dims (drift, not a spike): the top-2
+    # expected-point imputation leaves a residual dim, so the cascade
+    # survives the fixed-band corrector and reaches autoAdjust
+    X[3000:] += 6.0
+    kw = dict(num_trees=10, sample_size=32, chunk_size=256, buckets=1,
+              window=32, min_baseline_windows=3, use_corrector=True,
+              run_length_suppression=False)
+    base = _run(DriftConfig(**kw), X)
+    auto = _run(DriftConfig(**kw, auto_adjust=True), X)
+    nb = int(base[base.row_kind == "summary"].iloc[0].n_anomalous)
+    na = int(auto[auto.row_kind == "summary"].iloc[0].n_anomalous)
+    a_seqs = auto[auto.row_kind == "anomaly"]["seq"]
+    assert na < nb, (na, nb)
+    assert na >= 1 and (a_seqs >= 3000).any()  # onset still alerts
+
+
+def test_auto_adjust_checkpoint_resume_bit_exact(tmp_path):
+    """The autoAdjust deviations/run state ride the checkpoint: a resumed
+    run reproduces the uninterrupted one exactly."""
+    rng = np.random.default_rng(31)
+    n = 4000
+    X = rng.normal(0.0, 0.4, (n, 3))
+    X[2500:] += 6.0
+    kw = dict(num_trees=10, sample_size=32, chunk_size=256, buckets=1,
+              window=32, min_baseline_windows=3, use_corrector=True,
+              run_length_suppression=False, auto_adjust=True)
+    full = _run(DriftConfig(**kw), X)
+    cfg_ck = DriftConfig(**kw, checkpoint_dir=str(tmp_path))
+    _run(cfg_ck, X[:2700])
+    resumed = _run(cfg_ck, X)
+    f_sum = full[full.row_kind == "summary"].iloc[0]
+    r_sum = resumed[resumed.row_kind == "summary"].iloc[0]
+    for c in ["n_rows", "n_scored", "n_anomalous", "n_windows"]:
+        assert f_sum[c] == r_sum[c], c
+    fa = full[full.row_kind == "anomaly"]
+    ra = resumed[resumed.row_kind == "anomaly"]
+    fa_new = fa[fa.seq > 2700].sort_values("seq")
+    ra_new = ra[ra.seq > 2700].sort_values("seq")
+    np.testing.assert_array_equal(fa_new["seq"].values, ra_new["seq"].values)
+    np.testing.assert_allclose(fa_new["score"].values, ra_new["score"].values,
+                               rtol=0, atol=0)

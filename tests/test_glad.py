@@ -176,3 +176,42 @@ def test_glad_two_arg_thresholder_update():
         th.update2(8.0, min(8.0, th.z_factor))
     assert th.primary.mean > 2.5  # single-arg update would cap at 2.0
     assert th.secondary.count == 50
+
+
+def test_glad_batch_occlusion_matches_sequential_bitexact():
+    """process_batch(consider_occlusion=True) must reproduce per-row
+    process(consider_occlusion=True) exactly (the right-triangle mask is
+    frozen-segment-pure, GlobalLocalAnomalyDetector.java:316-329) — and
+    the flag must actually change at least one score vs the plain path on
+    a multi-cluster stream with elongated geometry."""
+    rng = np.random.default_rng(21)
+    # tight cluster at the origin, WIDE cluster at x=12; probe points sit
+    # beyond the tight cluster on the far side (x < 0): without occlusion
+    # the wide cluster's large radius vouches for them (low score); with
+    # occlusion the tight cluster sits between them and the wide one, so
+    # the wide candidate is dropped and the score jumps
+    X = np.vstack([
+        rng.normal([0.0, 0.0], 0.05, (2000, 2)),
+        rng.normal([12.0, 0.0], 4.0, (2000, 2)),
+        np.column_stack([
+            rng.uniform(-3.0, -1.0, 200), rng.uniform(-0.2, 0.2, 200)
+        ]),
+    ])
+    rng.shuffle(X)
+    det_seq = GladDetector(capacity=256, max_clusters=8, seed=6)
+    seq = {"score": [], "threshold": [], "grade": []}
+    for x in X:
+        r = det_seq.process(x, consider_occlusion=True)
+        for k in seq:
+            seq[k].append(r[k])
+    det_bat = GladDetector(capacity=256, max_clusters=8, seed=6)
+    bat = det_bat.process_batch(X, consider_occlusion=True)
+    for k in seq:
+        np.testing.assert_array_equal(np.asarray(seq[k]), bat[k])
+    assert det_seq._last_cluster == det_bat._last_cluster
+    np.testing.assert_array_equal(
+        det_seq._points[: det_seq._n], det_bat._points[: det_bat._n]
+    )
+    det_plain = GladDetector(capacity=256, max_clusters=8, seed=6)
+    plain = det_plain.process_batch(X, consider_occlusion=False)
+    assert (np.asarray(bat["score"]) != np.asarray(plain["score"])).any()

@@ -216,3 +216,41 @@ def test_thresholder_flags_shift():
     assert spike_grade > 0.5
     th2 = BasicThresholder.from_state(th.to_state())
     assert th2.threshold_and_grade(3.0) == th.threshold_and_grade(3.0)
+
+
+def test_duplicate_leaf_attribution_shadow_box_two_leaf():
+    """Hand-computed shadow-box case (AbstractAttributionVisitor.java:
+    118-167): one tree with leaves A=(0,0) and B=(4,-2); scoring the
+    duplicate x=A walks the counterfactual sibling box (= leaf B), so the
+    attribution is DIRECTIONAL — low[0] (A below B in dim 0) and high[1]
+    (A above B in dim 1) — renormalized to the duplicate-leaf score, not
+    the old equal split."""
+    f = RCFForest(2, num_trees=1, sample_size=4, time_decay=0.0, seed=3)
+    A = np.array([0.0, 0.0], np.float32)
+    B = np.array([4.0, -2.0], np.float32)
+    f.update_batch(np.stack([A, B]))
+    s = float(f.score(A[None, :])[0])
+    hi, lo = f.attribution(A[None, :])
+    hi, lo = hi[0], lo[0]
+    # savedScore = damp(1,2)*scoreSeen(1,1) = 0.75*0.5; normalizer log2(3)
+    saved = 0.75 * 0.5 * np.log2(3.0)
+    np.testing.assert_allclose(s, saved, rtol=1e-12)
+    S = 6.0  # sum |A-B|
+    np.testing.assert_allclose(hi, [0.0, saved * 2.0 / S], rtol=1e-9)
+    np.testing.assert_allclose(lo, [saved * 4.0 / S, 0.0], rtol=1e-9)
+    np.testing.assert_allclose(hi.sum() + lo.sum(), s, rtol=1e-9)
+
+
+def test_duplicate_heavy_attribution_sum_invariant():
+    """Duplicate-heavy stream: high+low still sums to the score for every
+    query (duplicates included), with the shadow-box directional split."""
+    rng = np.random.default_rng(23)
+    f = RCFForest(3, num_trees=15, sample_size=64, seed=7)
+    base = rng.normal(size=(40, 3)).astype(np.float32)
+    X = base[rng.integers(0, 40, size=1500)]  # heavy duplication
+    f.update_batch(X)
+    Q = base[:20]  # all duplicates of sampled leaves (likely)
+    s = f.score(Q)
+    hi, lo = f.attribution(Q)
+    np.testing.assert_allclose(hi.sum(1) + lo.sum(1), s, rtol=1e-8)
+    assert (hi >= -1e-12).all() and (lo >= -1e-12).all()
