@@ -47,10 +47,46 @@ def _ensure_bench_table(spark, n_rows: int) -> str:
     return path
 
 
+_CAL_SRC = (
+    "import multiprocessing as mp, time\n"
+    "def b(q):\n"
+    "    t0=time.time(); n=0\n"
+    "    while time.time()-t0<1.5:\n"
+    "        for _ in range(100000): n+=1\n"
+    "    q.put(n)\n"
+    "if __name__=='__main__':\n"
+    "    q=mp.Queue(); ps=[mp.Process(target=b,args=(q,)) for _ in range(32)]\n"
+    "    [p.start() for p in ps]; print(sum(q.get() for _ in ps)/1.5/1e6)\n"
+    "    [p.join() for p in ps]\n"
+)
+
+
+def _calibrate_host() -> float:
+    """Pure-Python ops/s at full width in a CLEAN subprocess (forking the
+    post-suite driver measured ~3x low — session memory state depresses
+    forked busy loops)."""
+    import subprocess as sp
+
+    try:
+        return float(
+            sp.run([sys.executable, "-c", _CAL_SRC], capture_output=True,
+                   text=True, timeout=120).stdout.strip()
+        )
+    except Exception:
+        return -1.0
+
+
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+
+    # calibrate BEFORE anything heavy: round-3 showed a single post-run
+    # calibration cannot bracket the window the suite actually ran in
+    # (the host can swing 2x between suite time and calibration time,
+    # which made identical code read 82.7s in one session and 132.3s in
+    # another at "comparable" calibration). pre+post brackets the window.
+    cal_pre = _calibrate_host()
 
     from pyspark.sql import functions as F
 
@@ -116,17 +152,26 @@ def main() -> None:
     # calibration for cross-run normalization.
     suite_cfg = SuiteConfig(drift=drift_cfg)
     suite_attempts = []
-    for attempt in range(int(os.environ.get("SPARK_GRAFT_SUITE_RUNS", "1"))):
+    phase_rows = None
+    # default 2 back-to-back runs: run2/run1 bounds in-session variance
+    # (contamination + window drift) inside ONE committed artifact
+    for attempt in range(int(os.environ.get("SPARK_GRAFT_SUITE_RUNS", "2"))):
         t0 = time.time()
         res = ValidationSuite(spark, suite_cfg).run(seqs, ref_dim=dim)
         res.verdicts.collect()
         res.violations.count()
         suite_attempts.append(round(time.time() - t0, 3))
+        if phase_rows is None:  # per-check durations of the FIRST (clean) run
+            phase_rows = res.metrics.select("check", "duration_sec").collect()
         spark.catalog.clearCache()  # suite-internal caches: same work next run
     suite_sec = min(suite_attempts)
     timings["suite_total"] = suite_sec
     for i, t in enumerate(suite_attempts):
         timings[f"suite_run{i + 1}"] = t
+    for r in phase_rows or []:
+        # phase split feeds the scaling ceiling math: drift = Python/NumPy
+        # compute, the other checks = JVM columnar scan/aggregation
+        timings[f"suite_phase_{r['check']}"] = round(float(r["duration_sec"]), 3)
 
     # --- individual operators over the token table ----------------------
     if not suite_only:
@@ -174,32 +219,10 @@ def main() -> None:
 
         timed("minhash_dedup", run_minhash)
 
-    # host calibration: pure-Python ops/s at full width, so recorded
-    # numbers can be normalized across this VM's noisy-neighbor windows.
-    # Runs in a CLEAN subprocess: forking the post-suite driver measured
-    # ~3x low (session memory state depresses forked busy loops), which
-    # made same-host windows look different across parallelism levels.
-    import subprocess as sp
-
-    _CAL_SRC = (
-        "import multiprocessing as mp, time\n"
-        "def b(q):\n"
-        "    t0=time.time(); n=0\n"
-        "    while time.time()-t0<1.5:\n"
-        "        for _ in range(100000): n+=1\n"
-        "    q.put(n)\n"
-        "if __name__=='__main__':\n"
-        "    q=mp.Queue(); ps=[mp.Process(target=b,args=(q,)) for _ in range(32)]\n"
-        "    [p.start() for p in ps]; print(sum(q.get() for _ in ps)/1.5/1e6)\n"
-        "    [p.join() for p in ps]\n"
-    )
-    try:
-        cal = float(
-            sp.run([sys.executable, "-c", _CAL_SRC], capture_output=True,
-                   text=True, timeout=120).stdout.strip()
-        )
-    except Exception:
-        cal = -1.0
+    # bracketing calibration: the window the suite ran in is bounded by
+    # (cal_pre, cal_post); host_cal_mops stays the post value for
+    # continuity with earlier rounds' JSONs.
+    cal = _calibrate_host()
 
     rows_per_sec = n_rows / suite_sec
     result = {
@@ -214,6 +237,7 @@ def main() -> None:
         "tokens_per_sec": round(n_tokens / suite_sec, 1),
         "suite_sec": round(suite_sec, 3),
         "host_cal_mops": round(cal, 1),
+        "host_cal_pre_mops": round(cal_pre, 1),
     }
     print(json.dumps(result))
     spark.stop()

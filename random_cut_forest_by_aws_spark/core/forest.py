@@ -197,7 +197,11 @@ class _TreeOps:
             return leaf
 
         # bottom-up walk: propose a cut on box∪x per level, keep deepest
-        # separating one (tree/RandomCutTree.java:283-327)
+        # separating one (tree/RandomCutTree.java:283-327). The box∪x
+        # stats (per-dim lo, gap, total range, #dims where x is outside)
+        # are maintained INCREMENTALLY across levels — the box only grows
+        # by sibling merges, so only changed dims are touched instead of
+        # rescanning all d dims per level.
         bmin = lp[:]
         bmax = lp[:]
         idx = len(stack) - 1
@@ -209,24 +213,25 @@ class _TreeOps:
         rng_random = self.rng.random
         los = [0.0] * d
         gaps = [0.0] * d
+        out_f = [False] * d
+        total = 0.0
+        outside = 0
+        for i in range(d):
+            xi = x[i]
+            lpi = lp[i]
+            if xi < lpi:
+                los[i] = xi
+                g = lpi - xi
+            else:
+                los[i] = lpi
+                g = xi - lpi
+            gaps[i] = g
+            total += g
+            if g > 0.0:
+                out_f[i] = True
+                outside += 1
         while True:
             factor = rng_random()
-            # --- random cut over box∪x (randomCut :153-240), one pass ----
-            # (also derives the 'x inside box' test from the same scan)
-            total = 0.0
-            inside = True
-            for i in range(d):
-                lo, hi, xi = bmin[i], bmax[i], x[i]
-                if xi < lo:
-                    lo = xi
-                    inside = False
-                elif xi > hi:
-                    hi = xi
-                    inside = False
-                g = hi - lo
-                los[i] = lo
-                gaps[i] = g
-                total += g
             bp = factor * total
             dim, value = _NULL, 0.0
             acc = 0.0
@@ -254,15 +259,32 @@ class _TreeOps:
                 saved_dim, saved_val = dim, value
                 saved_node, saved_parent = cur, par
                 saved_min, saved_max = bmin[:], bmax[:]
-            if inside or par == _NULL:
+            if outside == 0 or par == _NULL:
                 break
-            # grow to parent's subtree box by merging the sibling box
+            # grow to parent's subtree box by merging the sibling box;
+            # update lo/gap/total/outside only where the box changed
             sb_min, sb_max = bbmin[sibling], bbmax[sibling]
             for i in range(d):
-                if sb_min[i] < bmin[i]:
-                    bmin[i] = sb_min[i]
-                if sb_max[i] > bmax[i]:
-                    bmax[i] = sb_max[i]
+                changed = False
+                sm = sb_min[i]
+                if sm < bmin[i]:
+                    bmin[i] = sm
+                    if sm < los[i]:
+                        total += los[i] - sm
+                        gaps[i] += los[i] - sm
+                        los[i] = sm
+                    changed = True
+                sM = sb_max[i]
+                if sM > bmax[i]:
+                    hi_old = los[i] + gaps[i]
+                    if sM > hi_old:
+                        total += sM - hi_old
+                        gaps[i] += sM - hi_old
+                    bmax[i] = sM
+                    changed = True
+                if changed and out_f[i] and bmin[i] <= x[i] <= bmax[i]:
+                    out_f[i] = False
+                    outside -= 1
             idx -= 1
             cur, sibling = stack[idx][0], stack[idx][1]
             par = stack[idx - 1][0] if idx >= 1 else _NULL
@@ -288,15 +310,23 @@ class _TreeOps:
         else:
             right[saved_parent] = m
         a = saved_parent
+        boxes_live = True
         while a != _NULL:  # ancestors: +1 mass, grow boxes
             mass[a] += 1
-            bna, bxa = bbmin[a], bbmax[a]
-            for i in range(d):
-                xi = x[i]
-                if xi < bna[i]:
-                    bna[i] = xi
-                elif xi > bxa[i]:
-                    bxa[i] = xi
+            if boxes_live:
+                # once x grows nothing at a, every higher box (a superset)
+                # already contains x — only masses need bumping above
+                bna, bxa = bbmin[a], bbmax[a]
+                grown = False
+                for i in range(d):
+                    xi = x[i]
+                    if xi < bna[i]:
+                        bna[i] = xi
+                        grown = True
+                    elif xi > bxa[i]:
+                        bxa[i] = xi
+                        grown = True
+                boxes_live = grown
             a = parent[a]
         return new_leaf
 
@@ -328,16 +358,29 @@ class _TreeOps:
         self._free(p)
         d = self.d
         a = g
+        boxes_live = True
         while a != _NULL:  # shrink ancestor boxes bottom-up (in place:
             mass[a] -= 1  # internal-node box lists are never aliased)
-            ln, rn = left[a], right[a]
-            lmin, rmin, lmax, rmax = bbmin[ln], bbmin[rn], bbmax[ln], bbmax[rn]
-            ba, bxa = bbmin[a], bbmax[a]
-            for i in range(d):
-                lv, rv = lmin[i], rmin[i]
-                ba[i] = lv if lv <= rv else rv
-                lv, rv = lmax[i], rmax[i]
-                bxa[i] = lv if lv >= rv else rv
+            if boxes_live:
+                # once a recomputed box is unchanged, every ancestor box
+                # (child-union of unchanged boxes) is unchanged too —
+                # only masses need decrementing above
+                ln, rn = left[a], right[a]
+                lmin, rmin, lmax, rmax = bbmin[ln], bbmin[rn], bbmax[ln], bbmax[rn]
+                ba, bxa = bbmin[a], bbmax[a]
+                changed = False
+                for i in range(d):
+                    lv, rv = lmin[i], rmin[i]
+                    nv = lv if lv <= rv else rv
+                    if nv != ba[i]:
+                        ba[i] = nv
+                        changed = True
+                    lv, rv = lmax[i], rmax[i]
+                    nv = lv if lv >= rv else rv
+                    if nv != bxa[i]:
+                        bxa[i] = nv
+                        changed = True
+                boxes_live = changed
             a = parent[a]
 
 
@@ -612,23 +655,29 @@ class RCFForest:
         score = np.zeros(L)
         frozen = np.zeros(L, bool)
 
-        # --- descent ----------------------------------------------------
+        # --- descent (arrays sliced from the level's gathers, not
+        # re-gathered; children packed pairwise for one gather) ----------
+        lr = np.stack([left, right], axis=1)
+        base_off = ts * N
         active = np.arange(L)
+        a = addr[active]
+        cd = cutdim[a]
         while len(active):
-            a = addr[active]
-            cd = cutdim[a]
             at_leaf = cd < 0
-            stepping = active[~at_leaf]
+            keep = ~at_leaf
+            stepping = active[keep]
             if len(stepping):
-                a2 = addr[stepping]
-                cd2 = cutdim[a2].astype(np.int64)
+                a2 = a[keep]
+                cd2 = cd[keep].astype(np.int64)
                 xv = X32[qs[stepping], cd2]
-                goleft = xv <= cutval[a2]
-                child = np.where(goleft, left[a2], right[a2]).astype(np.int64)
-                addr[stepping] = ts[stepping] * N + child
+                child = lr[a2, (xv > cutval[a2]).astype(np.int8)].astype(np.int64)
+                a = base_off[stepping] + child
+                addr[stepping] = a
                 depth[stepping] += 1
+                cd = cutdim[a]
             active = stepping
 
+        default_unseen = score_unseen is None
         if score_seen is None:
             score_seen = lambda dep, m: 1.0 / (dep + np.log2(m + 1.0))  # noqa: E731
         if score_unseen is None:
@@ -650,24 +699,35 @@ class RCFForest:
         frozen = eq
 
         # --- leaf-to-root walk -------------------------------------------
+        # hot-loop layout: boxes pre-packed as [bbmin, -bbmax] so BOTH
+        # directional gaps come from ONE gather + one maximum + one sum
+        # (max(bmn-xv,0) and max(xv-bmx,0) = max(packed - [xv,-xv], 0)),
+        # and per-node range sums are precomputed once per call — per
+        # level this replaces 3 gathers + 5 reductions with 1 gather +
+        # 2 reductions (measured ~2x on the walk).
         up = parent[a].astype(np.int64)
         active = np.nonzero(~frozen & (up >= 0))[0]
         cur = np.where(up >= 0, ts * N + up, -1)
         d64 = d64 - 1.0
+        if len(active):
+            bb2 = np.concatenate([bbmin, -bbmax], axis=1)  # [T·N, 2d]
+            rsum = (bbmax - bbmin).sum(1, dtype=np.float64)
+            X2 = np.concatenate([X32, -X32], axis=1)  # [Q, 2d]
         while len(active):
             a = cur[active]
-            bmn = bbmin[a]
-            bmx = bbmax[a]
-            xv = X32[qs[active]]
-            dlt = (
-                np.maximum(bmn - xv, 0).sum(1, dtype=np.float64)
-                + np.maximum(xv - bmx, 0).sum(1, dtype=np.float64)
-            )
-            newr = (bmx - bmn).sum(1, dtype=np.float64) + dlt
+            gaps = bb2[a]
+            gaps -= X2[qs[active]]
+            np.maximum(gaps, 0, out=gaps)
+            dlt = gaps.sum(1, dtype=np.float64)
+            newr = rsum[a] + dlt
             p = np.where(newr > 0, dlt / np.maximum(newr, _F32_TINY), 0.0)
             pos = p > 0
             sa = score[active]
-            unseen_here = score_unseen(d64[active], mass[a].astype(np.float64))
+            unseen_here = (
+                1.0 / (d64[active] + 1.0)
+                if default_unseen  # skip the mass gather the default ignores
+                else score_unseen(d64[active], mass[a].astype(np.float64))
+            )
             score[active] = np.where(pos, p * unseen_here + (1.0 - p) * sa, sa)
             nxt = parent[a].astype(np.int64)
             keep = pos & (nxt >= 0)

@@ -512,8 +512,21 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
     ]
 
     def fn(key, pdf):
+        import time as _time
+
         import pandas as pd
 
+        # per-phase wall profiling (SPARK_GRAFT_DRIFT_PROFILE=<dir>): each
+        # task appends one JSON of accumulated phase seconds — the
+        # feedback loop for "where do drift's seconds go" (aggregated by
+        # scripts/profile_drift.py). Zero overhead when unset.
+        prof_dir = os.environ.get("SPARK_GRAFT_DRIFT_PROFILE")
+        prof: dict | None = {} if prof_dir else None
+
+        def _acc(name: str, t0: float) -> None:
+            prof[name] = prof.get(name, 0.0) + (_time.perf_counter() - t0)
+
+        t_all = _time.perf_counter() if prof is not None else 0.0
         pdf = pdf.sort_values(order_col, kind="mergesort")
         # range-blocked STREAMING_IMPUTE: the previous non-empty block's
         # last (seq, features) row travels with this block as a marked
@@ -683,9 +696,12 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
                 return
             chunk = X[lo:hi]
             imp = imputed[lo:hi]
+            t0 = _time.perf_counter() if prof is not None else 0.0
             base, real, xn, raw_last, updated = _transform_chunk(
                 tf, chunk, imp, norm, extras["tlast"]
             )
+            if prof is not None:
+                _acc("transform", t0)
             if (
                 cfg.mode == "streaming_impute"
                 and cfg.impute_method == "rcf"
@@ -738,6 +754,7 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
             imp_p = imp[row_map]
             seq_p = seqs[lo:hi][row_map]
             if forest.is_output_ready and len(pts):
+                t0 = _time.perf_counter() if prof is not None else 0.0
                 ds = None
                 if cfg.scoring == "distance":
                     # ScoringStrategy.DISTANCE: the directional-distance
@@ -753,6 +770,9 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
 
                         dres = _density_q(forest, pts)
                         ds = (dres["dist_high"] + dres["dist_low"]).sum(1)
+                if prof is not None:
+                    _acc("score", t0)
+                    t0 = _time.perf_counter()
                 flagged: list[tuple] = []
                 real_pos = np.flatnonzero(~imp_p)
                 rs = scores[real_pos]
@@ -791,6 +811,9 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
                             (int(real_pos[i]), float(rs[i]),
                              float(thr_arr[i]), float(grade_arr[i]))
                         )
+                if prof is not None:
+                    _acc("threshold", t0)
+                    t0 = _time.perf_counter()
                 if flagged:
                     if corrector is not None and s_sh > 1:
                         # slot-aware shingle analysis: the spike sliding
@@ -852,6 +875,9 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
                             anomalies.append(
                                 (int(seq_p[i]), s, threshold, grade)
                             )
+                if prof is not None:
+                    _acc("corrector", t0)
+            t0 = _time.perf_counter() if prof is not None else 0.0
             if do_stat and not updated and len(real):
                 norm.update(real)
             if imp.any():
@@ -874,6 +900,8 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
                     forest.update_batch(pts, seqs=seq_p)
             extras["n_rows"] += hi - lo
             extras["tlast"] = raw_last
+            if prof is not None:
+                _acc("update", t0)
 
         chunks = []
         pos = 0
@@ -901,6 +929,18 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
             process(tail_lo, B)
             if B:
                 extras["last_seq"] = int(seqs[-1])
+
+        if prof is not None:
+            prof["task_total"] = _time.perf_counter() - t_all
+            prof["n_rows"] = float(len(X))
+            os.makedirs(prof_dir, exist_ok=True)
+            tag = hashlib.blake2b(
+                "\x1f".join(str(k) for k in key).encode(), digest_size=6
+            ).hexdigest()
+            with open(os.path.join(prof_dir, f"task-{os.getpid()}-{tag}.json"), "w") as fh:
+                import json as _json
+
+                _json.dump(prof, fh)
 
         keyvals = list(key)
         rows = [
@@ -1032,37 +1072,81 @@ def drift_scores(
                     F.lit(cfg.max_buckets),
                     F.ceil(F.col("__group_rows") / F.lit(cfg.rows_per_bucket)),
                 ),
-            )
-            counts = df.groupBy(*gcols).agg(F.count(F.lit(1)).alias("__group_rows"))
-            bucketed = (
-                df.join(F.broadcast(counts), gcols, "left")
-                .select(
+            ).cast("long")
+            counts = df.groupBy(*gcols).agg(
+                F.count(F.lit(1)).alias("__group_rows")
+            ).select(*gcols, nb.alias("__nb")).cache()
+            # ONE tiny driver-side row over the AGGREGATED counts (never
+            # the fact table): the total bucket count sizes the explicit
+            # repartition below. Without it the CPU-bound grouped map
+            # hash-packs several forests per task (measured: 162 buckets
+            # into 64 partitions → 35s wall vs a 15s ideal makespan).
+            tot = counts.agg(
+                F.sum("__nb").alias("b"), F.count(F.lit(1)).alias("g")
+            ).first()
+            total_buckets, n_groups = int(tot["b"] or 0), int(tot["g"] or 0)
+            if n_groups and n_groups <= 1000 and len(gcols) == 1:
+                # small group cardinality (the common case: group = source
+                # with tens of values): inline the per-group bucket count
+                # as a literal map — no join, no second broadcast
+                rows = counts.collect()
+                kv: list = []
+                for r in rows:
+                    kv.extend([F.lit(r[gcols[0]]), F.lit(int(r["__nb"]))])
+                counts.unpersist()
+                # try_element_at: ANSI-safe on a missing/null key (the
+                # driver gate runs with spark.sql.ansi.enabled=true)
+                nb_col = F.coalesce(
+                    F.try_element_at(F.create_map(*kv), F.col(gcols[0])), F.lit(1)
+                )
+                bucketed = df.select(
                     *gcols,
-                    F.pmod(F.xxhash64(F.col(order_col), F.lit(cfg.seed)), nb)
+                    F.pmod(F.xxhash64(F.col(order_col), F.lit(cfg.seed)), nb_col)
                     .cast("int")
                     .alias("bucket"),
                     F.col(order_col),
                     F.col(feature_col),
                 )
-            )
+            else:
+                # high-cardinality groups: broadcast-join the aggregated
+                # counts (still no raw-row collect)
+                bucketed = (
+                    df.join(F.broadcast(counts), gcols, "left")
+                    .select(
+                        *gcols,
+                        F.pmod(
+                            F.xxhash64(F.col(order_col), F.lit(cfg.seed)),
+                            F.coalesce(F.col("__nb"), F.lit(1)),
+                        )
+                        .cast("int")
+                        .alias("bucket"),
+                        F.col(order_col),
+                        F.col(feature_col),
+                    )
+                )
+            cfg = replace(cfg, extra={**cfg.extra, "__total_buckets": total_buckets})
     key_cols = gcols + ["bucket"]
     # Explicit user repartition on the group key: the UDF is CPU-bound, so
     # we must NOT let AQE coalesce the (byte-wise tiny) shuffle into a few
     # fat Python tasks. A user-specified numPartitions is exempt from AQE
     # coalescing, and the grouped-map below reuses this exchange.
     #
-    # Partition-count sizing: with an explicit bucket count, 2·buckets
-    # spreads CPU-bound forests ~2 per task; in the adaptive path the
-    # bucket count is computed distributively (no driver action to read
-    # it), so the floor is 2·defaultParallelism — enough partitions to
-    # keep every core busy while hash-packing multiple buckets per task
-    # stays balanced on average. Workloads with extreme adaptive bucket
-    # counts (≫ 2·cores per wave) should pin cfg.extra['parallelism'].
+    # Partition-count sizing: the grouped map is CPU-bound, so the task
+    # granularity must approach one bucket per partition (hash-packing
+    # several forests into one task serializes them — measured 2.4× wall
+    # inflation at 162 buckets / 64 partitions). With B known (explicit
+    # buckets or the adaptive count read above), use 2·B capped at
+    # 8·defaultParallelism — beyond that, B/partition is large enough
+    # that hash averaging keeps tasks even (CV ≈ sqrt(P/B)).
     sc = df.sparkSession.sparkContext
-    explicit_buckets = cfg.buckets if cfg.buckets is not None else 0
-    n_part = cfg.extra.get("parallelism") or max(
-        sc.defaultParallelism * 2, 16, 2 * explicit_buckets
+    dp = sc.defaultParallelism
+    known_b = cfg.extra.get("__total_buckets") or (
+        cfg.buckets if cfg.buckets is not None else 0
     )
+    if known_b:
+        n_part = cfg.extra.get("parallelism") or max(16, min(2 * known_b, 8 * dp))
+    else:
+        n_part = cfg.extra.get("parallelism") or max(dp * 2, 16)
     bucketed = bucketed.repartition(n_part, *key_cols)
     schema_prefix = ", ".join(
         f"{c} {t}" for c, t in bucketed.select(*key_cols).dtypes
