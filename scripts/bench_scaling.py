@@ -49,11 +49,12 @@ def calibrate_cpu(n_procs: int, n_iters: int = 60_000_000) -> float:
     return n_procs * n_iters / wall
 
 
-def _stream(q, mb: int = 128, secs: float = 2.0) -> None:
+def _stream(q, mb: int = 64, secs: float = 3.0) -> None:
     import numpy as np
 
     a = np.ones(mb * 131072)  # mb MiB of float64, far beyond LLC
     b = np.empty_like(a)
+    np.add(a, 1.0, out=b)  # warm pass: fault in both buffers untimed
     t0 = time.time()
     n = 0
     while time.time() - t0 < secs:
@@ -62,18 +63,23 @@ def _stream(q, mb: int = 128, secs: float = 2.0) -> None:
     q.put(n * a.nbytes * 2 / (time.time() - t0))
 
 
-def calibrate_bw(n_procs: int) -> float:
+def calibrate_bw(n_procs: int, reps: int = 3) -> float:
     """Aggregate memory bandwidth (bytes/sec) with n_procs numpy STREAM
     processes — the resource the JVM columnar scans and numpy gathers
-    contend for, which the busy-loop CPU calibration cannot see."""
-    q: mp.Queue = mp.Queue()
-    ps = [mp.Process(target=_stream, args=(q,)) for _ in range(n_procs)]
-    for p in ps:
-        p.start()
-    total = sum(q.get() for _ in ps)
-    for p in ps:
-        p.join()
-    return total
+    contend for, which the busy-loop CPU calibration cannot see. Max of
+    ``reps`` trials: noisy-neighbor interference only ever depresses a
+    trial, so the max is the box's capacity at that width."""
+    best = 0.0
+    for _ in range(reps):
+        q: mp.Queue = mp.Queue()
+        ps = [mp.Process(target=_stream, args=(q,)) for _ in range(n_procs)]
+        for p in ps:
+            p.start()
+        total = sum(q.get() for _ in ps)
+        for p in ps:
+            p.join()
+        best = max(best, total)
+    return best
 
 
 def run_bench(cpus: int, bench_rows: int) -> dict:
@@ -125,7 +131,9 @@ def main() -> None:
     bw_low = calibrate_bw(args.low)
     bw_high = calibrate_bw(args.high)
     s_cpu = cal_high / cal_low
-    s_bw = bw_high / bw_low
+    # sanity clamp: a shared-bandwidth box cannot give MORE than
+    # proportional scaling, and more workers never reduce the aggregate
+    s_bw = min(max(bw_high / bw_low, 1.0), ratio)
     print(
         f"[scaling] raw-CPU calibration: {args.low}p={cal_low/1e6:.0f} Mops/s "
         f"{args.high}p={cal_high/1e6:.0f} Mops/s ceiling={ceiling:.3f}",
@@ -247,6 +255,16 @@ def main() -> None:
                 "post_cal": p[0].get("post_cal_mops"),
                 "tainted": bool(p[0].get("tainted")),
                 "eff_raw": round((p[1]["value"] / p[0]["value"]) / ratio, 3),
+                # per-check scaling decomposition: which phase limits the
+                # suite's single-box ratio
+                "phase_eff": {
+                    k.removeprefix("suite_phase_"): round(
+                        (p[0]["queries"][k] / p[1]["queries"][k]) / ratio, 3
+                    )
+                    for k in p[0].get("queries", {})
+                    if k.startswith("suite_phase_")
+                    and p[1].get("queries", {}).get(k, 0) > 0
+                },
             }
             for p in pairs
         ],
