@@ -1132,19 +1132,22 @@ def drift_scores(
     # coalescing, and the grouped-map below reuses this exchange.
     #
     # Partition-count sizing: the grouped map is CPU-bound, so the task
-    # granularity must approach one bucket per partition (hash-packing
-    # several forests into one task serializes them — measured 2.4× wall
-    # inflation at 162 buckets / 64 partitions). With B known (explicit
-    # buckets or the adaptive count read above), use 2·B capped at
-    # 8·defaultParallelism — beyond that, B/partition is large enough
-    # that hash averaging keeps tasks even (CV ≈ sqrt(P/B)).
+    # granularity must approach one bucket per partition. Hash-packing
+    # k≈2-5 buckets per task makes the stage makespan the MAX bucket
+    # load, ~2× the mean by Poisson imbalance (measured: the local[16]
+    # leg ran 2× its ideal makespan at 320 buckets / 128 partitions,
+    # while local[4] ran near-ideal — i.e. the imbalance itself read as
+    # a scaling-efficiency loss). With B known, use 2·B partitions up to
+    # a 30k task budget; past that, B/partition is large enough that
+    # hash averaging keeps tasks even (CV ≈ sqrt(P/B) ≤ 3%). Task
+    # scheduling costs ~ms — noise against CPU-bound forest tasks.
     sc = df.sparkSession.sparkContext
     dp = sc.defaultParallelism
     known_b = cfg.extra.get("__total_buckets") or (
         cfg.buckets if cfg.buckets is not None else 0
     )
     if known_b:
-        n_part = cfg.extra.get("parallelism") or max(16, min(2 * known_b, 8 * dp))
+        n_part = cfg.extra.get("parallelism") or max(16, min(2 * known_b, 30_000))
     else:
         n_part = cfg.extra.get("parallelism") or max(dp * 2, 16)
     bucketed = bucketed.repartition(n_part, *key_cols)
