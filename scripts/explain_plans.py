@@ -86,11 +86,17 @@ def main() -> None:
         ),
         "Exactly one exchange of the FACT rows: the explicit user\n"
         "repartition on (source, bucket) that the grouped map reuses (AQE\n"
-        "cannot coalesce it — the UDF is CPU-bound, not byte-bound).\n"
-        "Adaptive bucket counts come from a per-key aggregate joined back\n"
-        "via BroadcastHashJoin (no driver-side collect), so the extra\n"
-        "aggregate shuffles one row per key, not fact rows.\n"
-        "FlatMapGroupsInPandas is the only Python stage in the whole suite.",
+        "cannot coalesce it — the UDF is CPU-bound, not byte-bound),\n"
+        "sized at 2x the total bucket count (up to a 30k task budget) so\n"
+        "each CPU-bound forest gets its own task (hash-packing several\n"
+        "buckets per task makes the stage makespan the MAX load, ~2x the\n"
+        "mean by Poisson imbalance — measured as a scaling loss at 4N).\n"
+        "Adaptive bucket counts come from a per-group aggregate (never\n"
+        "the fact rows): for <=1000 group values the counts inline as a\n"
+        "literal map in the bucket expression (NO join in the plan below);\n"
+        "high-cardinality groups fall back to a broadcast-joined counts\n"
+        "table. FlatMapGroupsInPandas is the only Python stage in the\n"
+        "whole suite.",
     )
     add(
         "drift streaming_impute (range blocks + anchor rows)",
