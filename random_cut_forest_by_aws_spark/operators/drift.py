@@ -1049,6 +1049,17 @@ def drift_scores(
                 .withColumn("__anchor", F.lit(1))
             )
             bucketed = bucketed.unionByName(anchors.select(*bucketed.columns))
+            # task-granularity: total range-block count from one tiny
+            # driver row over the per-group order spans (same rationale
+            # as the standard path — CPU-bound blocks must not hash-pack)
+            span_row = df.groupBy(*gcols).agg(
+                (
+                    F.ceil((F.max(order_col) - F.min(order_col)) / F.lit(span)) + 1
+                ).alias("__blocks")
+            ).agg(F.sum("__blocks").alias("b")).first()
+            cfg = replace(
+                cfg, extra={**cfg.extra, "__total_buckets": int(span_row["b"] or 0)}
+            )
     else:
         # salt the (skewed) group key into bounded buckets. With buckets=
         # None the bucket count adapts per group value (ceil(rows/rows_per_
