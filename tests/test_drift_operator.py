@@ -196,3 +196,25 @@ def test_time_augmented_range_blocked_cadence(spark):
     assert int(sb.n_rows.sum()) == n
     # the cadence shift registers as drift in the block containing it
     assert int(sb.n_drifted_windows.sum()) >= 1
+
+
+def test_adaptive_bucketing_join_fallback_multi_group_cols(spark, seqs):
+    """Multi-column group keys take the broadcast-join counts path (the
+    literal-map inline only applies to single low-cardinality keys);
+    verdicts must match the single-column run's totals."""
+    from pyspark.sql import functions as F
+
+    from random_cut_forest_by_aws_spark.functions import token_features
+    from random_cut_forest_by_aws_spark.operators.drift import (
+        DriftConfig, drift_scores,
+    )
+
+    feat = seqs.withColumn("features", token_features()).withColumn(
+        "g2", F.lit("x")
+    ).select("source", "g2", "seq", "features")
+    cfg = DriftConfig(num_trees=5, sample_size=32, rows_per_bucket=2000)
+    raw = drift_scores(feat, "features", ("source", "g2"), "seq", cfg)
+    s = raw.filter(F.col("row_kind") == "summary")
+    agg = s.agg(F.sum("n_rows").alias("n"), F.sum("n_scored").alias("ns")).first()
+    assert agg["n"] == seqs.count()
+    assert agg["ns"] > 0
