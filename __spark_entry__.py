@@ -246,6 +246,25 @@ def _q_minhash_candidates(spark, sf_dir):
     )
 
 
+def _q_dup_cluster_docs(spark, sf_dir):
+    """Near-duplicate CLUSTER resolution: the verified candidate pairs
+    (jaccard ≥ 0.7 — the same pair set the minhash gate proves equal to
+    DuckDB's exhaustive computation) resolve into connected components
+    via min-label propagation; each doc gets its component's minimum id
+    as cluster_id plus the keep-one canonical flag. Oracle: DuckDB
+    recursive-CTE transitive closure over the same pairs."""
+    from random_cut_forest_by_aws_spark.operators.dedup import (
+        duplicate_clusters, minhash_candidates, ngram_jaccard,
+    )
+
+    docs = _docs(spark, sf_dir)
+    cand = minhash_candidates(docs, num_hashes=32, bands=16).select("id_a", "id_b")
+    pairs = ngram_jaccard(docs, cand, shingle_k=3).filter(
+        F.col("jaccard") >= 0.7
+    ).select("id_a", "id_b")
+    return duplicate_clusters(pairs)
+
+
 # ---- sketch-based ops: rows-only checks (no SQL equivalent) ----------- #
 def _q_simhash(spark, sf_dir):
     from random_cut_forest_by_aws_spark.operators.dedup import simhash
@@ -596,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_docs": _q_token_counts,
         "ann_cosine_topk": _q_ann_cosine,
         "minhash_candidates_docs": _q_minhash_candidates,
+        "dup_cluster_docs": _q_dup_cluster_docs,
         "simhash_docs": _q_simhash,
         "lsh_cosine_topk": _q_lsh_cosine,
         "lsh_cosine_full_probe": _q_lsh_cosine_full,
@@ -797,6 +817,34 @@ def oracle_sql() -> dict[str, str]:
             FROM s a JOIN s b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.sh, b.sh))
                   / greatest(len(list_distinct(a.sh || b.sh)), 1) >= 0.7
+        """,
+        "dup_cluster_docs": """
+            WITH RECURSIVE s AS (
+              SELECT doc_id,
+                     list_distinct(
+                       CASE WHEN len(string_split(text, ' ')) < 3
+                            THEN [text]
+                            ELSE [array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                                  FOR i IN range(1, len(string_split(text, ' ')) - 1)]
+                       END) AS sh
+              FROM documents),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.sh, b.sh))
+                    / greatest(len(list_distinct(a.sh || b.sh)), 1) >= 0.7),
+            e AS (
+              SELECT id_a AS src, id_b AS dst FROM p
+              UNION
+              SELECT id_b, id_a FROM p),
+            reach(src, dst) AS (
+              SELECT src, dst FROM e
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+            SELECT src AS doc_id,
+                   least(src, min(dst)) AS cluster_id,
+                   src = least(src, min(dst)) AS is_canonical
+            FROM reach GROUP BY src
         """,
         "lang_quality_docs": f"""
             WITH t AS (

@@ -250,3 +250,63 @@ def ngram_jaccard(
     return joined.select(
         "id_a", "id_b", (inter / F.greatest(union, F.lit(1.0))).alias("jaccard")
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Resolve near-duplicate candidate PAIRS into clusters: every doc in
+    the similarity graph gets ``cluster_id`` = the minimum doc id of its
+    connected component, plus ``is_canonical`` (the survivor a keep-one
+    dedup policy retains). The "choose one representative per duplicate
+    group" step the reference-scale pipelines run after candidate
+    generation (composes with ``minhash_candidates`` → ``ngram_jaccard``).
+
+    Implementation: iterative min-label propagation over the (tiny,
+    candidates-only) edge set — label'(v) = min(label(v), min over
+    neighbors) — with a distributed convergence test per round. Near-dup
+    components have tiny diameter (duplicate groups are near-cliques), so
+    rounds ≈ 2-4; every round shuffles only the EDGE set, never a corpus
+    table, so the operator scales with the number of candidate pairs.
+    Deterministic: labels are ids, no randomness."""
+    e = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionByName(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    ).distinct().cache()
+    labels = e.select(F.col("src").alias("id"), F.col("src").alias("cluster_id")) \
+        .distinct().cache()
+    for _ in range(max_iters):
+        # min over own label and every neighbor's label
+        neigh = (
+            e.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("n_min"))
+        )
+        new_labels = (
+            labels.join(neigh.withColumnRenamed("src", "id"), "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("n_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    e.unpersist()
+    return labels.withColumn("is_canonical", F.col("id") == F.col("cluster_id")) \
+        .select(F.col("id").alias("doc_id"), "cluster_id", "is_canonical")

@@ -113,3 +113,26 @@ def test_word_shingles_short_docs(spark):
     got = df.select(word_shingles("text", 3).alias("sh")).toPandas()["sh"]
     assert list(got[0]) == ["a b"]
     assert list(got[1]) == ["a b c", "b c d"]
+
+
+def test_duplicate_clusters_connected_components(spark):
+    """Min-label propagation resolves candidate pairs into connected
+    components: chains, triangles and isolated edges all get the
+    component-minimum id as cluster_id with exactly one canonical doc."""
+    from random_cut_forest_by_aws_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [("d", "c"), ("c", "b"), ("b", "a"),   # 4-chain (diameter 3)
+         ("x", "y"), ("y", "z"), ("z", "x"),   # triangle
+         ("q", "p")],                          # single edge
+        "id_a string, id_b string",
+    )
+    out = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+           for r in duplicate_clusters(pairs).collect()}
+    assert {k: v[0] for k, v in out.items()} == {
+        "a": "a", "b": "a", "c": "a", "d": "a",
+        "x": "x", "y": "x", "z": "x",
+        "p": "p", "q": "p",
+    }
+    canon = [k for k, v in out.items() if v[1]]
+    assert sorted(canon) == ["a", "p", "x"]
