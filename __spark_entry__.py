@@ -305,6 +305,28 @@ def _q_lsh_cosine(spark, sf_dir):
     )
 
 
+def _q_cosine_near_dups(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (the embedding-space dedup
+    family member). The gate fixture's embeddings are isotropic (top
+    pairwise cosine ≈ 0.37), so the gate runs the exact path at a 0.30
+    threshold to produce a non-trivial, oracle-checkable pair set; real
+    corpora use ≥ 0.95 with the LSH-bucketed scale path (bits > 0)."""
+    from random_cut_forest_by_aws_spark.operators.similarity import (
+        cosine_near_duplicates,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cosine_near_duplicates(emb, threshold=0.30)
+    return out.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        # 4 dp: the two engines fold the float32 dot product in different
+        # association orders (~1e-9 differences; 5 dp straddles a boundary
+        # on this fixture)
+        F.round("cosine", 4).alias("cosine"),
+    )
+
+
 def _q_lsh_cosine_full(spark, sf_dir):
     """LSH ANN with FULL probing (all 2^bits buckets): the candidate set
     is the whole corpus, so the bucket-join + re-score pipeline must equal
@@ -614,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile_docs": _q_text_profile,
         "token_counts_docs": _q_token_counts,
         "ann_cosine_topk": _q_ann_cosine,
+        "cosine_near_dup_pairs": _q_cosine_near_dups,
         "minhash_candidates_docs": _q_minhash_candidates,
         "dup_cluster_docs": _q_dup_cluster_docs,
         "simhash_docs": _q_simhash,
@@ -817,6 +840,20 @@ def oracle_sql() -> dict[str, str]:
             FROM s a JOIN s b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.sh, b.sh))
                   / greatest(len(list_distinct(a.sh || b.sh)), 1) >= 0.7
+        """,
+        "cosine_near_dup_pairs": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v)
+                         / greatest(sqrt(list_dot_product(a.v, a.v))
+                                    * sqrt(list_dot_product(b.v, b.v)),
+                                    1e-12), 4) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v)
+                  / greatest(sqrt(list_dot_product(a.v, a.v))
+                             * sqrt(list_dot_product(b.v, b.v)), 1e-12) >= 0.30
         """,
         "dup_cluster_docs": """
             WITH RECURSIVE s AS (

@@ -251,3 +251,46 @@ def lsh_cosine_topk(
         ).alias("cosine"),
     )  # probed buckets are distinct, so each (query, vec) joins at most once
     return _rank_topk(scored, k)
+
+
+def cosine_near_duplicates(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    dim: int | None = None,
+    bits: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS: (id_a, id_b, cosine) with
+    cosine ≥ threshold and id_a < id_b — the embedding-space member of
+    the dedup family (exact / MinHash / SimHash / n-gram Jaccard /
+    embedding-cosine).
+
+    ``bits`` > 0 is the scale path: a random-hyperplane sign sketch
+    buckets the self-join so only same-bucket pairs are scored —
+    candidates drop from N²/2 to Σ_b n_b²/2; truly angular-close pairs
+    (cosine ≥ 0.95 ⇒ angle ≤ 18°) collide with probability
+    (1 − θ/π)^bits per plane set, so small ``bits`` keeps recall high
+    while pruning. ``bits=0`` scores all pairs (exact — the oracle
+    path; N² inherent, use only for verification or small cohorts)."""
+    c = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    d = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    if bits > 0:
+        assert dim is not None, "dim required for the bucketed path"
+        sk = hyperplane_sketch(vec_col, dim, bits, seed)
+        c = corpus.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), sk.alias("_b")
+        )
+        d = corpus.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), sk.alias("_b")
+        )
+        joined = c.join(d, "_b").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        joined = c.crossJoin(d).filter(F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("_va"), F.col("_vb")) / F.greatest(
+        _norm(F.col("_va")) * _norm(F.col("_vb")), F.lit(1e-12)
+    )
+    return joined.select("id_a", "id_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )

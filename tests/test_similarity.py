@@ -115,3 +115,27 @@ def test_lsh_full_probe_equals_exact(emb, qset):
     b = full[cols + ["cosine"]].sort_values(cols).reset_index(drop=True)
     assert a[cols].equals(b[cols])
     np.testing.assert_allclose(a["cosine"], b["cosine"], rtol=0, atol=1e-12)
+
+
+def test_cosine_near_duplicates_bucketed_path(clustered):
+    """Embedding-cosine near-dup pairs: the exact path finds all pairs
+    above the threshold; the LSH-bucketed scale path (bits=4) keeps high
+    recall on angular-close pairs while pruning the self-join."""
+    import numpy as np
+
+    from random_cut_forest_by_aws_spark.operators.similarity import (
+        cosine_near_duplicates,
+    )
+
+    corpus = clustered
+    exact = cosine_near_duplicates(corpus, threshold=0.98).toPandas()
+    assert len(exact) > 0
+    assert (exact["id_a"] < exact["id_b"]).all()
+    assert (exact["cosine"] >= 0.98).all()
+    bucketed = cosine_near_duplicates(
+        corpus, threshold=0.98, dim=64, bits=4
+    ).toPandas()
+    key = lambda df: set(zip(df["id_a"], df["id_b"]))  # noqa: E731
+    recall = len(key(bucketed) & key(exact)) / len(key(exact))
+    assert recall >= 0.7, recall
+    assert key(bucketed) <= key(exact)  # bucketing only prunes, never adds
