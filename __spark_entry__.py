@@ -550,6 +550,34 @@ def _q_drift_multimode_events(spark, sf_dir):
     )
 
 
+def _q_drift_multimode_recall_events(spark, sf_dir):
+    """MULTI_MODE_RECALL scoring (ScoringStrategy.java:55-60;
+    PredictorCorrector.java:809-820): no distance veto; primary-grade-0
+    points are re-elevated by the warm distance thresholder when the gap
+    since the last significant anomaly >= shingle_size. Rows-only
+    (sketch); the re-elevation differential is pytest-asserted
+    (tests/test_drift_modes.py::test_multi_mode_recall_re_elevates)."""
+    from random_cut_forest_by_aws_spark.operators.drift import (
+        DriftConfig, drift_scores,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    seqd = e.withColumn("seq", F.row_number().over(w).cast("long")).select(
+        "event_type", "seq", F.array(F.col("value").cast("double")).alias("features")
+    )
+    cfg = DriftConfig(num_trees=10, sample_size=64, chunk_size=512,
+                      window=64, min_baseline_windows=3, buckets=1,
+                      scoring="multi_mode_recall")
+    raw = drift_scores(seqd, "features", ("event_type",), "seq", cfg)
+    return raw.filter(F.col("row_kind") == "summary").select(
+        "event_type",
+        F.col("n_scored").cast("bigint").alias("n_scored"),
+        F.col("n_anomalous").cast("bigint").alias("n_anomalous"),
+        F.round("mean_score", 4).alias("mean_score"),
+    )
+
+
 def _q_drift_autoadjust_events(spark, sf_dir):
     """autoAdjust drift (PredictorCorrector.java:905-962): per-dimension
     discounted deviations over the candidate stream suppress sustained
@@ -654,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_verdicts_sequences": _q_drift_sequences,
         "drift_shingled_events": _q_drift_shingled_events,
         "drift_multimode_events": _q_drift_multimode_events,
+        "drift_multimode_recall_events": _q_drift_multimode_recall_events,
         "drift_autoadjust_events": _q_drift_autoadjust_events,
         "drift_impute_events": _q_drift_impute_events,
         "validation_suite_verdicts": _q_suite_verdicts,

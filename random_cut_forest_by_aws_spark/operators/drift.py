@@ -82,6 +82,15 @@ class DriftConfig:
     # 'multi_mode' — both: the RCF grade is vetoed when the distance
     #   thresholder is warm and grades the point 0 (:785-792) — distance
     #   acts as a second opinion against inverse-depth false positives.
+    # 'multi_mode_recall' — both, optimized for recall instead
+    #   (ScoringStrategy.java:55-60; PredictorCorrector.java:809-820): no
+    #   veto; when the primary grade is 0 and the gap since the last
+    #   significant anomaly ≥ shingle_size, the warm distance thresholder
+    #   may RE-ELEVATE the point — score/threshold/grade flip to the
+    #   distance path (choice = DISTANCE_INDEX). Re-elevated rows skip the
+    #   inverse-depth expected-point corrector (its score/threshold
+    #   comparisons are scale-mismatched against distance grades), a
+    #   documented deviation from the reference's shared correction tail.
     scoring: str = "expected_inverse_depth"
     expected_step: int = 1  # expected order_col cadence between rows
     # ImputationMethod parity (config/ImputationMethod.java):
@@ -417,7 +426,8 @@ def _state_dict(
     )
     state["extras_sh"] = np.array(
         [float(extras.get("sh_last_seq", -(1 << 62))),
-         float(extras.get("sh_last_score", 0.0))]
+         float(extras.get("sh_last_score", 0.0)),
+         float(extras.get("rc_last_seq", -(1 << 62)))]
     )
     n_buf = len(buf_seqs)
     state["buf_X"] = (
@@ -490,6 +500,8 @@ def _load_group_state(path_or_file):
     if "extras_sh" in state:
         extras["sh_last_seq"] = int(state["extras_sh"][0])
         extras["sh_last_score"] = float(state["extras_sh"][1])
+        if len(state["extras_sh"]) > 2:
+            extras["rc_last_seq"] = int(state["extras_sh"][2])
     if "th2_params" in state:
         extras["th2"] = BasicThresholder.from_state(
             {
@@ -614,7 +626,7 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
         if "sh_tail" not in extras:
             extras["sh_tail"] = np.zeros((0, d), np.float32)
         th2 = extras.pop("th2", None)
-        if cfg.scoring == "multi_mode" and th2 is None:
+        if cfg.scoring in ("multi_mode", "multi_mode_recall") and th2 is None:
             th2 = BasicThresholder(z_factor=cfg.z_factor)
 
         if cfg.mode == "time_augmented" and emit_wm >= 0 and len(X) > n_buf:
@@ -765,7 +777,7 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
                     scores = (dres["dist_high"] + dres["dist_low"]).sum(1)
                 else:
                     scores = forest.score(pts)
-                    if cfg.scoring == "multi_mode":
+                    if cfg.scoring in ("multi_mode", "multi_mode_recall"):
                         from ..core.queries import density as _density_q
 
                         dres = _density_q(forest, pts)
@@ -774,6 +786,7 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
                     _acc("score", t0)
                     t0 = _time.perf_counter()
                 flagged: list[tuple] = []
+                recall_emit: list[tuple] = []
                 real_pos = np.flatnonzero(~imp_p)
                 rs = scores[real_pos]
                 if len(rs):
@@ -784,15 +797,41 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
                     else:
                         thr_arr, grade_arr = th.process_batch(rs, normalized=do_norm)
                     if ds is not None:
-                        # multi-mode veto (PredictorCorrector.java:785-792):
-                        # a warm distance thresholder grading the point 0
-                        # zeroes the inverse-depth grade
                         thr2_arr, g2_arr = th2.primary_process_batch(ds[real_pos])
-                        grade_arr = np.where(
-                            (grade_arr > 0) & (thr2_arr > 0) & (g2_arr == 0),
-                            0.0,
-                            grade_arr,
-                        )
+                        if cfg.scoring == "multi_mode":
+                            # multi-mode veto (PredictorCorrector.java:
+                            # 785-792): a warm distance thresholder grading
+                            # the point 0 zeroes the inverse-depth grade
+                            grade_arr = np.where(
+                                (grade_arr > 0) & (thr2_arr > 0) & (g2_arr == 0),
+                                0.0,
+                                grade_arr,
+                            )
+                        else:
+                            # MULTI_MODE_RECALL (PredictorCorrector.java:
+                            # 809-820): a primary-grade-0 point whose gap
+                            # since the last significant anomaly reaches
+                            # shingleSize is re-graded by the warm distance
+                            # thresholder; significant = primary-flagged or
+                            # re-elevated (lastSignificantDescriptor). The
+                            # scan touches only candidate rows (anomaly-
+                            # bounded, not row-bounded).
+                            last_sig = int(extras.get("rc_last_seq", -(1 << 62)))
+                            seq_real = seq_p[real_pos]
+                            ds_real = ds[real_pos]
+                            for i in np.flatnonzero(
+                                (grade_arr > 0) | ((thr2_arr > 0) & (g2_arr > 0))
+                            ):
+                                if grade_arr[i] > 0:
+                                    last_sig = int(seq_real[i])
+                                elif int(seq_real[i]) - last_sig >= s_sh:
+                                    last_sig = int(seq_real[i])
+                                    if g2_arr[i] >= cfg.min_emit_grade:
+                                        recall_emit.append(
+                                            (int(seq_real[i]), float(ds_real[i]),
+                                             float(thr2_arr[i]), float(g2_arr[i]))
+                                        )
+                            extras["rc_last_seq"] = last_sig
                     extras["n_scored"] += len(rs)
                     extras["score_sum"] += float(rs.sum())
                     # window accounting: segment sums between closures
@@ -875,6 +914,12 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
                             anomalies.append(
                                 (int(seq_p[i]), s, threshold, grade)
                             )
+                for seq, s2, t2, g2 in recall_emit:
+                    # distance-path re-elevations bypass the inverse-depth
+                    # corrector (scale-mismatched); replay watermark applies
+                    extras["n_anomalous"] += 1
+                    if seq > emit_wm:
+                        anomalies.append((seq, s2, t2, g2))
                 if prof is not None:
                     _acc("corrector", t0)
             t0 = _time.perf_counter() if prof is not None else 0.0
@@ -1002,7 +1047,9 @@ def drift_scores(
             "impute_method='rcf' is not supported with shingle_size > 1 "
             "(gap imputation runs in base space; use previous/linear/... )"
         )
-    if cfg.scoring not in ("expected_inverse_depth", "distance", "multi_mode"):
+    if cfg.scoring not in (
+        "expected_inverse_depth", "distance", "multi_mode", "multi_mode_recall"
+    ):
         raise ValueError(f"unknown ScoringStrategy {cfg.scoring!r}")
     gcols = list(group_cols)
     if cfg.mode in ("streaming_impute", "time_augmented"):

@@ -253,11 +253,93 @@ def lsh_cosine_topk(
     return _rank_topk(scored, k)
 
 
+def cosine_lsh_candidates(
+    corpus: DataFrame,
+    dim: int,
+    bits: int = 10,
+    bands: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """OR-amplified candidate pairs (id_a, id_b, n_shared_bands) from
+    ``bands`` independent random-hyperplane sign sketches of ``bits``
+    planes each — the angular analogue of ``minhash_candidates``'s
+    banding (operators/dedup.py).
+
+    A pair at angle θ collides in one band with p = (1 − θ/π)^bits and
+    is a candidate with P = 1 − (1 − p)^bands: AND within a band prunes
+    (uniform corpus pays ~bands/2^bits of all pairs), OR across bands
+    restores recall — at bits=10, bands=8 a cosine-0.95 pair (θ ≤ 18°)
+    survives with P ≈ 0.97 while background near-orthogonal pairs
+    collide at ~8/1024. Single-band LSH cannot do both: its recall
+    decays as 0.9^bits, so pruning harder at 100 TB collapses recall
+    exponentially (the round-4 defect this replaces).
+
+    Scale shape: bucket ids are JVM-side column expressions; pairs are
+    enumerated per (band, bucket) group and deduped on (id_a, id_b)
+    BEFORE any vector is shuffled — only integer ids move until the
+    caller re-scores. ``max_bucket`` guards degenerate mega-buckets
+    (an all-identical shard would otherwise enumerate n² pairs)."""
+    rng = np.random.default_rng(seed)
+    H = rng.standard_normal((bands * bits, dim))
+
+    def _proj_bit(plane_idx: int, weight: int) -> Column:
+        row = F.array(*[F.lit(float(v)) for v in H[plane_idx]])
+        proj = F.aggregate(
+            F.zip_with(F.col(vec_col), row, lambda x, h: x.cast("double") * h),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(proj >= 0, F.lit(weight)).otherwise(F.lit(0))
+
+    band_structs = []
+    for b in range(bands):
+        bucket = _proj_bit(b * bits, 1)
+        for i in range(1, bits):
+            bucket = bucket + _proj_bit(b * bits + i, 1 << i)
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), bucket.cast("long").alias("bucket"))
+        )
+    banded = corpus.select(
+        F.col(id_col).alias("_id"), F.explode(F.array(*band_structs)).alias("bb")
+    )
+    buckets = (
+        banded.groupBy("bb.band", "bb.bucket")
+        .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .filter(F.size("ids") <= max_bucket)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda a: F.transform(
+                            F.col("ids"),
+                            lambda b: F.when(
+                                a < b, F.struct(a.alias("id_a"), b.alias("id_b"))
+                            ),
+                        ),
+                    )
+                ),
+                lambda s: s.isNotNull(),
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(
+        F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
+    ).agg(F.count(F.lit(1)).alias("n_shared_bands"))
+
+
 def cosine_near_duplicates(
     corpus: DataFrame,
     threshold: float = 0.95,
     dim: int | None = None,
     bits: int = 0,
+    bands: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
@@ -267,29 +349,27 @@ def cosine_near_duplicates(
     the dedup family (exact / MinHash / SimHash / n-gram Jaccard /
     embedding-cosine).
 
-    ``bits`` > 0 is the scale path: a random-hyperplane sign sketch
-    buckets the self-join so only same-bucket pairs are scored —
-    candidates drop from N²/2 to Σ_b n_b²/2; truly angular-close pairs
-    (cosine ≥ 0.95 ⇒ angle ≤ 18°) collide with probability
-    (1 − θ/π)^bits per plane set, so small ``bits`` keeps recall high
-    while pruning. ``bits=0`` scores all pairs (exact — the oracle
-    path; N² inherent, use only for verification or small cohorts)."""
+    ``bits`` > 0 is the scale path: ``cosine_lsh_candidates`` (bands ×
+    bits OR-amplified hyperplane LSH) prunes the self-join to candidate
+    id pairs, then vectors are joined back for exact re-scoring — only
+    candidate ids shuffle, and each surviving pair is scored once.
+    ``bits=0`` scores all pairs (exact — the oracle path; N² inherent,
+    use only for verification or small cohorts)."""
     c = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     d = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     if bits > 0:
         assert dim is not None, "dim required for the bucketed path"
-        sk = hyperplane_sketch(vec_col, dim, bits, seed)
-        c = corpus.select(
-            F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), sk.alias("_b")
+        cand = cosine_lsh_candidates(
+            corpus, dim, bits=bits, bands=bands,
+            id_col=id_col, vec_col=vec_col, seed=seed,
         )
-        d = corpus.select(
-            F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), sk.alias("_b")
-        )
-        joined = c.join(d, "_b").filter(F.col("id_a") < F.col("id_b"))
+        joined = cand.join(c, "id_a").join(d, "id_b")
     else:
         joined = c.crossJoin(d).filter(F.col("id_a") < F.col("id_b"))
     cos = _dot(F.col("_va"), F.col("_vb")) / F.greatest(
-        _norm(F.col("_va")) * _norm(F.col("_vb")), F.lit(1e-12)
+        F.sqrt(_dot(F.col("_va"), F.col("_va")))
+        * F.sqrt(_dot(F.col("_vb"), F.col("_vb"))),
+        F.lit(1e-12),
     )
     return joined.select("id_a", "id_b", cos.alias("cosine")).filter(
         F.col("cosine") >= threshold

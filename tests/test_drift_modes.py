@@ -406,6 +406,65 @@ def test_multi_mode_checkpoint_resume(tmp_path):
     assert abs(f_sum.mean_score - r_sum.mean_score) < 1e-12
 
 
+def test_multi_mode_recall_re_elevates():
+    """MULTI_MODE_RECALL (ScoringStrategy.java:55-60; PredictorCorrector.
+    java:809-820): primary emissions are untouched (no veto), and points
+    the inverse-depth path grades 0 are re-elevated by the warm distance
+    thresholder when the gap since the last significant anomaly >=
+    shingle_size — the recall differential the other strategies miss.
+
+    Geometry: two tight alternating clusters at ±10. Inverse-depth
+    background scores are depth-noisy (cluster-edge points), so some
+    genuinely far points stay under the primary threshold; the distance
+    path (expected-point distances ≈ jitter for inliers) flags them."""
+    rng = np.random.default_rng(33)
+    n = 3000
+    X = rng.normal(0, 0.2, size=(n, 2))
+    X += np.where(np.arange(n) % 2 == 0, 1.0, -1.0)[:, None] * 10.0
+    base = dict(**BASE_KW, transform="none", normalize=False)
+    out_plain = _run(DriftConfig(**base), X)
+    out_recall = _run(DriftConfig(**base, scoring="multi_mode_recall"), X)
+    a_plain = set(out_plain[out_plain.row_kind == "anomaly"].seq)
+    a_recall = set(out_recall[out_recall.row_kind == "anomaly"].seq)
+    assert a_plain <= a_recall  # recall only ADDS alerts
+    extra = a_recall - a_plain
+    assert len(extra) >= 1  # inverse-depth missed, distance flagged
+    # re-elevated rows carry the DISTANCE-path score/threshold (absolute
+    # expected-point distances — far above inverse-depth's ~1 scale here)
+    an = out_recall[out_recall.row_kind == "anomaly"]
+    plain_scores = out_plain[out_plain.row_kind == "anomaly"].score
+    assert an[an.seq.isin(extra)].score.min() > plain_scores.max()
+
+
+def test_multi_mode_recall_checkpoint_resume(tmp_path):
+    """rc_last_seq (the recall gap anchor) and the distance thresholder
+    ride the checkpoint: a resumed recall run reproduces the
+    uninterrupted one exactly."""
+    rng = np.random.default_rng(33)
+    n = 3000
+    X = rng.normal(0, 0.2, size=(n, 2))
+    X += np.where(np.arange(n) % 2 == 0, 1.0, -1.0)[:, None] * 10.0
+    kw = dict(**BASE_KW, transform="none", normalize=False,
+              scoring="multi_mode_recall")
+    full = _run(DriftConfig(**kw), X)
+    cfg_ck = DriftConfig(**kw, checkpoint_dir=str(tmp_path))
+    _run(cfg_ck, X[:1700])
+    resumed = _run(cfg_ck, X)
+    f_an = full[full.row_kind == "anomaly"].sort_values("seq")
+    r_an = resumed[resumed.row_kind == "anomaly"].sort_values("seq")
+    f_sum = full[full.row_kind == "summary"].iloc[0]
+    r_sum = resumed[resumed.row_kind == "summary"].iloc[0]
+    for c in ["n_rows", "n_scored", "n_anomalous"]:
+        assert f_sum[c] == r_sum[c], c
+    assert abs(f_sum.mean_score - r_sum.mean_score) < 1e-12
+    # emitted anomalies after the resume point match bit-exactly
+    f_tail = f_an[f_an.seq >= 1700]
+    r_tail = r_an[r_an.seq >= 1700]
+    np.testing.assert_array_equal(f_tail["seq"].values, r_tail["seq"].values)
+    np.testing.assert_allclose(f_tail["score"].values, r_tail["score"].values,
+                               rtol=0, atol=0)
+
+
 # --------------------------------------------------------------------- #
 # round-4: vectorized gap-fill / EMA / zero-score guard / config guards
 # --------------------------------------------------------------------- #

@@ -139,3 +139,63 @@ def test_cosine_near_duplicates_bucketed_path(clustered):
     recall = len(key(bucketed) & key(exact)) / len(key(exact))
     assert recall >= 0.7, recall
     assert key(bucketed) <= key(exact)  # bucketing only prunes, never adds
+
+
+@pytest.fixture(scope="module")
+def neardup_corpus(spark):
+    """2000 vectors: 1800 isotropic background + 100 planted near-dup
+    pairs at cosine ≈ 0.97. True dups are ~100 of ~2M possible pairs —
+    the regime where banded LSH must prune ≥ 100× AND keep recall,
+    which single-band LSH cannot (recall 0.9^bits vs pruning 2^bits)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dim = 32
+    bg = rng.standard_normal((1800, dim))
+    bg /= np.linalg.norm(bg, axis=1, keepdims=True)
+    vecs = list(bg)
+    for _ in range(100):
+        a = rng.standard_normal(dim)
+        a /= np.linalg.norm(a)
+        b = a + 0.0443 * rng.standard_normal(dim)
+        b /= np.linalg.norm(b)
+        vecs.extend([a, b])
+    rows = [(i, v.astype("float32").tolist()) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>").cache()
+    df.count()
+    return df, np.stack([np.asarray(v, np.float64) for _, v in rows])
+
+
+def test_banded_cosine_neardup_recall_and_pruning(neardup_corpus):
+    """VERDICT r4 #1: OR-amplified multi-band LSH must reach recall
+    ≥ 0.95 at candidate pruning ≥ 100× on planted near-dups — the
+    round-4 single-band path decayed as 0.9^bits and could not."""
+    import numpy as np
+
+    from random_cut_forest_by_aws_spark.operators.similarity import (
+        cosine_lsh_candidates,
+        cosine_near_duplicates,
+    )
+
+    corpus, X = neardup_corpus
+    n = len(X)
+    # exhaustive ground truth (driver-side gram matrix on the fixture)
+    G = (X / np.linalg.norm(X, axis=1, keepdims=True)) @ (
+        X / np.linalg.norm(X, axis=1, keepdims=True)
+    ).T
+    ia, ib = np.triu_indices(n, k=1)
+    mask = G[ia, ib] >= 0.95
+    exact_pairs = set(zip(ia[mask].tolist(), ib[mask].tolist()))
+    assert len(exact_pairs) >= 90  # the planted pairs dominate
+
+    cand = cosine_lsh_candidates(corpus, dim=32, bits=11, bands=8).toPandas()
+    total_pairs = n * (n - 1) // 2
+    assert len(cand) <= total_pairs / 100, (len(cand), total_pairs)
+
+    banded = cosine_near_duplicates(
+        corpus, threshold=0.95, dim=32, bits=11, bands=8
+    ).toPandas()
+    got = set(zip(banded["id_a"].tolist(), banded["id_b"].tolist()))
+    recall = len(got & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.95, recall
+    assert got <= exact_pairs  # re-scoring keeps precision exact
