@@ -152,7 +152,7 @@ def main() -> None:
     # calibration for cross-run normalization.
     suite_cfg = SuiteConfig(drift=drift_cfg)
     suite_attempts = []
-    phase_rows = None
+    phase_rows_per_run: list[list] = []
     # default 2 back-to-back runs: run2/run1 bounds in-session variance
     # (contamination + window drift) inside ONE committed artifact
     for attempt in range(int(os.environ.get("SPARK_GRAFT_SUITE_RUNS", "2"))):
@@ -161,14 +161,24 @@ def main() -> None:
         res.verdicts.collect()
         res.violations.count()
         suite_attempts.append(round(time.time() - t0, 3))
-        if phase_rows is None:  # per-check durations of the FIRST (clean) run
-            phase_rows = res.metrics.select("check", "duration_sec").collect()
+        phase_rows_per_run.append(
+            res.metrics.select("check", "duration_sec").collect()
+        )
         spark.catalog.clearCache()  # suite-internal caches: same work next run
     suite_sec = min(suite_attempts)
     timings["suite_total"] = suite_sec
     for i, t in enumerate(suite_attempts):
         timings[f"suite_run{i + 1}"] = t
-    for r in phase_rows or []:
+        for r in phase_rows_per_run[i]:
+            timings[f"suite_run{i + 1}_phase_{r['check']}"] = round(
+                float(r["duration_sec"]), 3
+            )
+    # headline suite_phase_*: durations of the MIN run (the run suite_total
+    # quotes). Round-4 lesson: run1 can be a 2x cold outlier, so logging
+    # phases only from run1 misattributed the split that feeds the scaling
+    # ceiling weights and the README narrative; every run's phases are
+    # still recorded above as suite_run{N}_phase_*.
+    for r in phase_rows_per_run[suite_attempts.index(suite_sec)]:
         # phase split feeds the scaling ceiling math: drift = Python/NumPy
         # compute, the other checks = JVM columnar scan/aggregation
         timings[f"suite_phase_{r['check']}"] = round(float(r["duration_sec"]), 3)
