@@ -173,6 +173,15 @@ def main() -> None:
         hi_r = run_bench(args.high, args.rows)
         post = calibrate_cpu(32, 6_000_000) / 1e6 if args.min_host_mops > 0 else -1.0
         tainted = args.min_host_mops > 0 and post < 0.6 * args.min_host_mops
+        # mid/post-pair capacity collapse (round-4 run C pair 1: post 335
+        # vs legs 713/803): a leg measured while the host fell off a
+        # cliff poisons the ratio even when both leg calibrations agree
+        legs_cal = [
+            c for c in (lo_r.get("host_cal_mops"), hi_r.get("host_cal_mops"))
+            if c and c > 0
+        ]
+        if post > 0 and legs_cal and post < 0.6 * min(legs_cal):
+            tainted = True
         lo_r["post_cal_mops"] = hi_r["post_cal_mops"] = round(post, 1)
         lo_r["tainted"] = hi_r["tainted"] = tainted
         for tag, r in (("low", lo_r), ("high", hi_r)):
@@ -201,7 +210,11 @@ def main() -> None:
         p for p in pairs if cal_mismatch(p) <= 0.2 and not p[0].get("tainted")
     ] or [min(pairs, key=cal_mismatch)]
     by_eff = sorted(matched, key=lambda p: p[1]["value"] / p[0]["value"])
-    lo, hi = by_eff[len(by_eff) // 2]  # median pair
+    # LOWER median for even counts: round 4 published by_eff[n//2] of two
+    # matched pairs and called it a median when it was the max; the lower
+    # median under-reports efficiency, so the headline stays conservative
+    sel_idx = (len(by_eff) - 1) // 2
+    lo, hi = by_eff[sel_idx]
     eff = (hi["value"] / lo["value"]) / ratio
     eff_max = (by_eff[-1][1]["value"] / by_eff[-1][0]["value"]) / ratio
     eff_norm = eff / ceiling
@@ -237,6 +250,12 @@ def main() -> None:
         "high_tokens_per_sec": hi["tokens_per_sec"],
         "scaling_efficiency_raw": round(eff, 3),
         "scaling_efficiency_max_pair": round(eff_max, 3),
+        "n_pairs": len(pairs),
+        "n_matched": len(matched),
+        "headline_rule": (
+            "lower-median of calibration-matched untainted pairs"
+            if len(by_eff) > 1 else "only matched pair"
+        ),
         "hardware_ceiling": round(ceiling, 3),
         "scaling_efficiency_vs_ceiling": round(eff_norm, 3),
         "cal_cpu_mops": [round(cal_low / 1e6, 1), round(cal_high / 1e6, 1)],
@@ -321,11 +340,13 @@ token invariants + per-partition RCF drift sketches over the
 deterministic tokenized-sequence table
 ({lo["bench_rows"]:,} rows, {lo["bench_tokens"]:,} tokens, seed 42), bench.py,
 identical config at both levels. Levels run as back-to-back pairs
-({args.repeats} pairs); the pair below is the MEDIAN-efficiency pair
-among calibration-matched pairs (max-pair efficiency {eff_max:.3f} —
-noise is one-sided, so the max is an upper estimate, but it also
-preferentially selects straggling low legs; all pairs:
-{json.dumps(report["all_pairs"])}).
+({args.repeats} pairs); the published pair is the
+**{report["headline_rule"]}** — {len(matched)} of {len(pairs)} pairs
+matched (<= 20% leg-calibration mismatch, no post-pair capacity
+collapse). Max-pair efficiency {eff_max:.3f} for context: noise is
+one-sided (legs only slow down) but the max preferentially selects
+straggling low legs, so the median is the headline. All pairs:
+{json.dumps(report["all_pairs"])}.
 
 | parallelism | validated rows/sec | tokens/sec | suite wall (s) | host Mops at 32p |
 |---|---|---|---|---|
