@@ -173,14 +173,20 @@ def main() -> None:
         hi_r = run_bench(args.high, args.rows)
         post = calibrate_cpu(32, 6_000_000) / 1e6 if args.min_host_mops > 0 else -1.0
         tainted = args.min_host_mops > 0 and post < 0.6 * args.min_host_mops
-        # mid/post-pair capacity collapse (round-4 run C pair 1: post 335
-        # vs legs 713/803): a leg measured while the host fell off a
-        # cliff poisons the ratio even when both leg calibrations agree
-        legs_cal = [
-            c for c in (lo_r.get("host_cal_mops"), hi_r.get("host_cal_mops"))
-            if c and c > 0
-        ]
-        if post > 0 and legs_cal and post < 0.6 * min(legs_cal):
+        # mid-leg capacity collapse: each leg's bench JSON carries its own
+        # PRE and POST subprocess calibrations (same scale — the in-
+        # session `post` probe above reads ~2-3x lower than subprocess
+        # cals and must never be compared against them); a >35% swing
+        # within one leg means the suite ran across a capacity cliff and
+        # the ratio is unreliable even when the two legs' cals agree
+        def _leg_collapsed(r: dict) -> bool:
+            pre = r.get("host_cal_pre_mops") or 0.0
+            pst = r.get("host_cal_mops") or 0.0
+            if pre <= 0 or pst <= 0:
+                return False
+            return abs(pre - pst) / max(pre, pst) > 0.35
+
+        if _leg_collapsed(lo_r) or _leg_collapsed(hi_r):
             tainted = True
         lo_r["post_cal_mops"] = hi_r["post_cal_mops"] = round(post, 1)
         lo_r["tainted"] = hi_r["tainted"] = tainted
@@ -271,6 +277,8 @@ def main() -> None:
                 "low": p[0]["value"], "high": p[1]["value"],
                 "low_cal": p[0].get("host_cal_mops"),
                 "high_cal": p[1].get("host_cal_mops"),
+                "low_cal_pre": p[0].get("host_cal_pre_mops"),
+                "high_cal_pre": p[1].get("host_cal_pre_mops"),
                 "post_cal": p[0].get("post_cal_mops"),
                 "tainted": bool(p[0].get("tainted")),
                 "eff_raw": round((p[1]["value"] / p[0]["value"]) / ratio, 3),
