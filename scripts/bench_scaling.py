@@ -172,7 +172,13 @@ def main() -> None:
         wait_capacity(f"pair{i} pre-high")
         hi_r = run_bench(args.high, args.rows)
         post = calibrate_cpu(32, 6_000_000) / 1e6 if args.min_host_mops > 0 else -1.0
-        tainted = args.min_host_mops > 0 and post < 0.6 * args.min_host_mops
+        # pair validity requires the capacity window to HOLD through the
+        # pair: entry gated at min_host_mops, exit must stay within 80%
+        # of it (in-session probe scale). Round-5 pair evidence: a pair
+        # whose post probe fell to 74% of the gate read eff 0.47 with
+        # perfectly matched leg calibrations — the mid-suite dip is
+        # invisible to per-leg cals and only the exit probe catches it.
+        tainted = args.min_host_mops > 0 and post < 0.8 * args.min_host_mops
         # mid-leg capacity collapse: each leg's bench JSON carries its own
         # PRE and POST subprocess calibrations (same scale — the in-
         # session `post` probe above reads ~2-3x lower than subprocess
