@@ -642,14 +642,40 @@ class RCFForest:
         live_trees = np.nonzero(self.root >= 0)[0]
         if Q == 0 or len(live_trees) == 0:
             return out
-        cutdim, cutval, left, right, parent, bbmin, bbmax, mass = self._flat()
+        flats = self._flat()
+        mass = flats[7]
         tm_all = np.zeros(T)
         tm_all[live_trees] = mass[live_trees * N + self.root[live_trees]]
-        log_tm = np.log2(tm_all + 1.0)
 
-        L = Q * len(live_trees)
         qs = np.repeat(np.arange(Q, dtype=np.int64), len(live_trees))
         ts = np.tile(live_trees.astype(np.int64), Q)
+        lane_scores = self._score_lanes(
+            X32, qs, ts, flats, tm_all, score_seen, score_unseen, damp,
+            normalizer,
+        )
+        np.add.at(out, qs, lane_scores)
+        return out / T
+
+    def _score_lanes(
+        self,
+        X32: np.ndarray,
+        qs: np.ndarray,
+        ts: np.ndarray,
+        flats: tuple,
+        tm_all: np.ndarray,
+        score_seen=None,
+        score_unseen=None,
+        damp=None,
+        normalizer=None,
+    ) -> np.ndarray:
+        """Normalized per-(query, tree) scores for an explicit lane set
+        (``qs[i]`` row index into X32, ``ts[i]`` tree index) — the packed
+        single-gather walk shared by ``score`` (all lanes at once) and
+        ``score_approximate`` (block lanes with converged-row dropout)."""
+        cutdim, cutval, left, right, parent, bbmin, bbmax, mass = flats
+        N = self.N
+
+        L = len(qs)
         addr = ts * N + self.root[ts].astype(np.int64)
         depth = np.zeros(L, np.int64)
         score = np.zeros(L)
@@ -735,8 +761,90 @@ class RCFForest:
             d64[active] -= 1.0
             active = active[keep]
 
-        np.add.at(out, qs, normalizer(score, tm_all[ts]))
-        return out / T
+        return normalizer(score, tm_all[ts])
+
+    def score_approximate(
+        self,
+        X: np.ndarray,
+        precision: float = 0.1,
+        min_accepted: int = 5,
+        block: int = 16,
+        high_is_critical: bool = True,
+        return_accepted: bool = False,
+    ):
+        """Early-convergence anomaly score (``getApproximateAnomalyScore``,
+        RandomCutForest.java:858-873): trees are evaluated in order and
+        each per-tree normalized score feeds a one-sided converging
+        accumulator (returntypes/OneSidedStDevAccumulator.java:108-205,
+        OneSidedConvergingDoubleAccumulator.java): after ``min_accepted``
+        trees, a tree is a *witness* when sign·(v − mean) + 1e-6 >
+        0.5·dev (mean and Bessel-corrected dev include the current
+        value); the row converges at ``int(1/precision)`` witnesses (all
+        trees when precision < 1/T) and later trees are not evaluated.
+        Result = sum(accepted scores)/n_accepted — within
+        (1 ± precision)·score ± precision of the full score.
+
+        Vectorized shape: rows × trees in ``block``-tree slabs through
+        the same packed lane walk as ``score``; the accumulator replay
+        is exact per tree, and converged rows drop out of later slabs
+        (lane compaction across blocks) — confident rows stop after a
+        slab or two, so compute tracks the reference's early stopping at
+        block granularity. ``precision <= 0`` disables stopping, which
+        must reproduce ``score`` exactly (the equivalence test).
+        """
+        X32 = np.ascontiguousarray(np.atleast_2d(X), np.float32)
+        Q, T, N = X32.shape[0], self.T, self.N
+        live = np.nonzero(self.root >= 0)[0]
+        if Q == 0 or len(live) == 0:
+            z = np.zeros(Q)
+            return (z, np.zeros(Q, np.int64)) if return_accepted else z
+        flats = self._flat()
+        mass = flats[7]
+        tm_all = np.zeros(T)
+        tm_all[live] = mass[live * N + self.root[live]]
+
+        t_live = len(live)
+        threshold = (
+            t_live if precision < 1.0 / t_live else int(1.0 / precision)
+        )
+        min_acc = min(min_accepted, t_live)
+        sign = 1.0 if high_is_critical else -1.0
+
+        out_sum = np.zeros(Q)
+        n_acc = np.zeros(Q, np.int64)
+        witnesses = np.zeros(Q, np.int64)
+        sum_v = np.zeros(Q)
+        sum_sq = np.zeros(Q)
+        active_rows = np.arange(Q, dtype=np.int64)
+        for b0 in range(0, t_live, block):
+            bt = live[b0 : b0 + block].astype(np.int64)
+            nr, nb = len(active_rows), len(bt)
+            qs = np.repeat(active_rows, nb)
+            ts = np.tile(bt, nr)
+            lane = self._score_lanes(X32, qs, ts, flats, tm_all).reshape(nr, nb)
+            for j in range(nb):
+                alive = witnesses[active_rows] < threshold
+                m = active_rows[alive]
+                if not len(m):
+                    break
+                v = lane[alive, j]
+                sum_v[m] += v
+                sum_sq[m] += v * v
+                n_acc[m] += 1
+                out_sum[m] += v
+                na = n_acc[m].astype(np.float64)
+                mean = sum_v[m] / na
+                var = np.maximum(0.0, sum_sq[m] / na - mean * mean)
+                dev = np.sqrt(
+                    np.where(na > 1, na * var / np.maximum(na - 1.0, 1.0), 0.0)
+                )
+                wit = (na >= min_acc) & (sign * (v - mean) + 1e-6 > 0.5 * dev)
+                witnesses[m] += wit.astype(np.int64)
+            active_rows = active_rows[witnesses[active_rows] < threshold]
+            if not len(active_rows):
+                break
+        scores = out_sum / np.maximum(n_acc, 1)
+        return (scores, n_acc) if return_accepted else scores
 
     def transductive_score(
         self,

@@ -30,9 +30,16 @@ def rcf_group_scores(
     sample_size: int = 128,
     seed: int = 42,
     with_density: bool = False,
+    approximate: float | None = None,
 ) -> DataFrame:
     """Train one forest per group on its vectors; emit per-row anomaly
-    score (and optionally density) — per-cohort outlier ranking."""
+    score (and optionally density) — per-cohort outlier ranking.
+
+    ``approximate`` (a precision, e.g. 0.1) switches scoring to the
+    early-converging accumulator (``RCFForest.score_approximate``,
+    RandomCutForest.java:858-873): confident rows stop after a few tree
+    slabs, trading the (1±p)·score ± p band for less compute on large
+    cohorts."""
     gcols = list(group_cols)
     schema_prefix = ", ".join(f"{c} {t}" for c, t in df.select(*gcols, id_col).dtypes)
     out_schema = f"{schema_prefix}, score double" + (
@@ -49,7 +56,11 @@ def rcf_group_scores(
         )
         forest.update_batch(X)
         out = pdf[gcols + [id_col]].copy()
-        out["score"] = forest.score(X)
+        out["score"] = (
+            forest.score_approximate(X, precision=approximate)
+            if approximate is not None
+            else forest.score(X)
+        )
         if with_density:
             out["density"] = _density(forest, X)["density"]
         return pd.DataFrame(out)

@@ -294,3 +294,60 @@ def test_duplicate_heavy_attribution_sum_invariant():
     hi, lo = f.attribution(Q)
     np.testing.assert_allclose(hi.sum(1) + lo.sum(1), s, rtol=1e-8)
     assert (hi >= -1e-12).all() and (lo >= -1e-12).all()
+
+
+def test_score_approximate_equals_full_when_disabled():
+    """precision <= 0 disables early stopping: every tree is accepted,
+    so score_approximate must reproduce score() up to summation-order
+    float noise (the refactor-safety equivalence for _score_lanes)."""
+    rng = np.random.default_rng(5)
+    X = rng.normal(0, 1, size=(800, 3)).astype(np.float32)
+    f = RCFForest(3, num_trees=40, sample_size=128, time_decay=0.0, seed=2)
+    f.update_batch(X)
+    q = np.vstack([X[:30], np.array([[6, 6, 6], [-7, 0, 7]], np.float32)])
+    full = f.score(q)
+    approx, n_acc = f.score_approximate(
+        q, precision=0.0, return_accepted=True
+    )
+    assert (n_acc == 40).all()
+    np.testing.assert_allclose(approx, full, rtol=1e-12, atol=1e-12)
+
+
+def test_score_approximate_early_stops_within_band():
+    """getApproximateAnomalyScore parity (RandomCutForest.java:858-873):
+    with the default precision 0.1 most points converge well before the
+    full forest (the whole point of the accumulator), and the result
+    stays inside the documented (1±p)·score ± p band."""
+    rng = np.random.default_rng(11)
+    X = rng.normal(0, 1, size=(1500, 3)).astype(np.float32)
+    f = RCFForest(3, num_trees=100, sample_size=128, time_decay=0.0, seed=8)
+    f.update_batch(X)
+    q = np.vstack([
+        rng.normal(0, 1, size=(60, 3)),
+        np.array([[8, 8, 8], [-9, 9, 0], [0, 0, 12]]),
+    ]).astype(np.float32)
+    full = f.score(q)
+    approx, n_acc = f.score_approximate(q, precision=0.1, return_accepted=True)
+    # early stopping is real: average trees evaluated well under T
+    assert n_acc.mean() < 60, n_acc.mean()
+    assert n_acc.min() >= 5  # min_accepted honored
+    p = 0.1
+    lo = (1 - p) * full - p
+    hi = (1 + p) * full + p
+    assert ((approx >= lo) & (approx <= hi)).all(), (
+        approx[(approx < lo) | (approx > hi)], full[(approx < lo) | (approx > hi)]
+    )
+
+
+def test_score_approximate_block_invariance():
+    """The accumulator replay is exact per TREE, so the block size (a
+    pure lane-batching knob) cannot change results."""
+    rng = np.random.default_rng(21)
+    X = rng.normal(0, 1, size=(600, 2)).astype(np.float32)
+    f = RCFForest(2, num_trees=50, sample_size=64, time_decay=0.0, seed=4)
+    f.update_batch(X)
+    q = np.vstack([X[:20], np.array([[5, -5]], np.float32)])
+    a8, n8 = f.score_approximate(q, block=8, return_accepted=True)
+    a32, n32 = f.score_approximate(q, block=32, return_accepted=True)
+    np.testing.assert_array_equal(n8, n32)
+    np.testing.assert_allclose(a8, a32, rtol=0, atol=0)
