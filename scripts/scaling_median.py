@@ -35,8 +35,12 @@ def main() -> None:
     rows = []
     for path in sorted(glob.glob(os.path.join(REPO, "BENCH", "r5", "scaling_report_*.json"))):
         run = os.path.basename(path).split("_")[-1].split(".")[0]
-        with open(path) as fh:
-            d = json.load(fh)
+        try:
+            with open(path) as fh:
+                d = json.load(fh)
+        except json.JSONDecodeError:
+            print(f"skipping incomplete {path}", file=sys.stderr)
+            continue
         for i, p in enumerate(d["all_pairs"]):
             lo_s, hi_s = 4e6 / p["low"], 4e6 / p["high"]
             cal_mm = abs(p["low_cal"] - p["high_cal"]) / max(p["low_cal"], p["high_cal"])
