@@ -152,6 +152,9 @@ def main() -> None:
     # calibration for cross-run normalization.
     suite_cfg = SuiteConfig(drift=drift_cfg)
     suite_attempts = []
+    suite_windows: list[list[float]] = []  # [epoch_start, epoch_end] per run,
+    # so an external capacity tracer (scripts/bench_scaling.py) can window
+    # its samples to exactly the measured suite interval
     phase_rows_per_run: list[list] = []
     # default 2 back-to-back runs: run2/run1 bounds in-session variance
     # (contamination + window drift) inside ONE committed artifact
@@ -161,6 +164,7 @@ def main() -> None:
         res.verdicts.collect()
         res.violations.count()
         suite_attempts.append(round(time.time() - t0, 3))
+        suite_windows.append([round(t0, 3), round(time.time(), 3)])
         phase_rows_per_run.append(
             res.metrics.select("check", "duration_sec").collect()
         )
@@ -248,6 +252,8 @@ def main() -> None:
         "suite_sec": round(suite_sec, 3),
         "host_cal_mops": round(cal, 1),
         "host_cal_pre_mops": round(cal_pre, 1),
+        "suite_windows": suite_windows,
+        "suite_min_window": suite_windows[suite_attempts.index(suite_sec)],
     }
     print(json.dumps(result))
     spark.stop()

@@ -21,6 +21,7 @@ Usage: python scripts/bench_scaling.py [--low 4] [--high 16] [--repeats 2]
 from __future__ import annotations
 
 import argparse
+import atexit
 import json
 import multiprocessing as mp
 import os
@@ -82,6 +83,59 @@ def calibrate_bw(n_procs: int, reps: int = 3) -> float:
     return best
 
 
+def _trace_loop(path: str, procs: int, iters: int, interval: float) -> None:
+    """Daemon: burst-sample aggregate CPU capacity (procs busy workers for
+    ~0.2-0.6s) every `interval` seconds, appending JSONL {t0,t1,mops}.
+
+    Round-5 motivation: 18 committed pairs across 4 harness runs show the
+    host collapsing MID-LEG (high-leg sec x Mops cost 2-3.5x the observed
+    clean floor) while every endpoint probe — entry gate, per-leg pre/post
+    subprocess calibrations, exit probe — reads normal. Endpoint probes
+    cannot see a dip that starts and ends inside one leg; a continuous
+    trace can. The burst duty cycle (~0.2s busy / ~2.5s interval, 4 procs
+    on a 32-cpu box) perturbs both legs equally by well under 5%.
+    """
+    while True:
+        t0 = time.time()
+        mops = calibrate_cpu(procs, iters) / 1e6
+        t1 = time.time()
+        with open(path, "a") as fh:
+            fh.write(
+                json.dumps(
+                    {"t0": round(t0, 3), "t1": round(t1, 3), "mops": round(mops, 1)}
+                )
+                + "\n"
+            )
+        time.sleep(max(0.0, interval - (t1 - t0)))
+
+
+def trace_stats(path: str, window) -> dict | None:
+    """Mean/min capacity over trace bursts whose midpoint falls inside
+    [t0, t1]. Bursts fire on a fixed cadence (the loop sleeps off its own
+    burst time) so equal weights approximate time weighting. None if the
+    window has fewer than 3 samples — too sparse to normalize honestly."""
+    if not window or not os.path.exists(path):
+        return None
+    t0, t1 = window
+    samples = []
+    with open(path) as fh:
+        for line in fh:
+            try:
+                s = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            mid = (s["t0"] + s["t1"]) / 2
+            if t0 <= mid <= t1:
+                samples.append(s["mops"])
+    if len(samples) < 3:
+        return None
+    return {
+        "mean": round(sum(samples) / len(samples), 1),
+        "min": round(min(samples), 1),
+        "n": len(samples),
+    }
+
+
 def run_bench(cpus: int, bench_rows: int) -> dict:
     env = dict(
         os.environ,
@@ -112,6 +166,10 @@ def main() -> None:
     ap.add_argument(
         "--rows", type=int,
         default=int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "8000000")),
+    )
+    ap.add_argument(
+        "--no-trace", action="store_true",
+        help="disable the continuous capacity tracer (legacy endpoint-probe mode)",
     )
     ap.add_argument(
         "--min-host-mops", type=float, default=0.0,
@@ -161,6 +219,27 @@ def main() -> None:
                 return
             time.sleep(60)
 
+    # continuous capacity trace for the whole pair campaign (started AFTER
+    # the ceiling calibrations above so they stay unperturbed). Each leg's
+    # bench JSON carries its suite window (suite_min_window); the leg's
+    # effective capacity is the trace mean over exactly that interval, and
+    #   eff_trace = eff_raw * (low_trace_mean / high_trace_mean)
+    # i.e. the ratio of capacity-integrated costs (wall x capacity), which
+    # NORMALIZES mid-leg host dips instead of trying (and failing) to
+    # detect them with endpoint probes. PRE-REGISTERED headline: the
+    # lower-median of eff_trace across all pairs with >=3 trace samples in
+    # both legs' windows; pairs without a valid trace fall back to the
+    # endpoint rules and are excluded from the trace median. Committed
+    # before any run-E data existed.
+    trace_path = os.path.join(REPO, "BENCH", "r5", "capacity_trace.jsonl")
+    os.makedirs(os.path.dirname(trace_path), exist_ok=True)
+    # non-daemon (its burn bursts are themselves child processes, which
+    # daemons may not spawn); atexit guarantees teardown on any exit path
+    tracer = mp.Process(target=_trace_loop, args=(trace_path, 4, 3_000_000, 2.5))
+    if not args.no_trace:
+        tracer.start()
+        atexit.register(lambda: tracer.terminate() if tracer.is_alive() else None)
+
     pairs: list[tuple[dict, dict]] = []
     for i in range(args.repeats):
         # gate EACH leg on capacity, and probe after the pair too: a leg
@@ -196,6 +275,8 @@ def main() -> None:
             tainted = True
         lo_r["post_cal_mops"] = hi_r["post_cal_mops"] = round(post, 1)
         lo_r["tainted"] = hi_r["tainted"] = tainted
+        for r in (lo_r, hi_r):
+            r["trace"] = trace_stats(trace_path, r.get("suite_min_window"))
         for tag, r in (("low", lo_r), ("high", hi_r)):
             print(
                 f"[scaling] pair{i} {tag} cpus={r['cpus']}: {r['value']} rows/sec "
@@ -218,17 +299,43 @@ def main() -> None:
     # biasing the ratio upward — the median is robust to both directions.
     # The max is still reported (one-sided-noise argument) for context,
     # as are all pairs.
+    def eff_trace_of(p) -> float | None:
+        lo_t, hi_t = p[0].get("trace"), p[1].get("trace")
+        if not lo_t or not hi_t:
+            return None
+        raw = (p[1]["value"] / p[0]["value"]) / ratio
+        return raw * lo_t["mean"] / hi_t["mean"]
+
     matched = [
         p for p in pairs if cal_mismatch(p) <= 0.2 and not p[0].get("tainted")
     ] or [min(pairs, key=cal_mismatch)]
-    by_eff = sorted(matched, key=lambda p: p[1]["value"] / p[0]["value"])
-    # LOWER median for even counts: round 4 published by_eff[n//2] of two
-    # matched pairs and called it a median when it was the max; the lower
-    # median under-reports efficiency, so the headline stays conservative
-    sel_idx = (len(by_eff) - 1) // 2
-    lo, hi = by_eff[sel_idx]
-    eff = (hi["value"] / lo["value"]) / ratio
-    eff_max = (by_eff[-1][1]["value"] / by_eff[-1][0]["value"]) / ratio
+    # PRE-REGISTERED round-5 rule: when the capacity tracer produced valid
+    # windows (>=3 samples per leg), the headline is the LOWER-median of
+    # the trace-normalized efficiencies across ALL pairs — normalization
+    # replaces exclusion, so no pair is dropped for window mismatch.
+    # Without traces, fall back to the endpoint rules (round-4 behavior).
+    trace_pairs = [p for p in pairs if eff_trace_of(p) is not None]
+    if trace_pairs:
+        by_eff = sorted(trace_pairs, key=eff_trace_of)
+        sel_idx = (len(by_eff) - 1) // 2
+        lo, hi = by_eff[sel_idx]
+        eff = eff_trace_of(by_eff[sel_idx])
+        eff_max = eff_trace_of(by_eff[-1])
+        headline_rule = "lower-median of trace-normalized pairs"
+    else:
+        by_eff = sorted(matched, key=lambda p: p[1]["value"] / p[0]["value"])
+        # LOWER median for even counts: round 4 published by_eff[n//2] of
+        # two matched pairs and called it a median when it was the max; the
+        # lower median under-reports efficiency, so the headline stays
+        # conservative
+        sel_idx = (len(by_eff) - 1) // 2
+        lo, hi = by_eff[sel_idx]
+        eff = (hi["value"] / lo["value"]) / ratio
+        eff_max = (by_eff[-1][1]["value"] / by_eff[-1][0]["value"]) / ratio
+        headline_rule = (
+            "lower-median of calibration-matched untainted pairs"
+            if len(by_eff) > 1 else "only matched pair"
+        )
     eff_norm = eff / ceiling
 
     # combined ceiling: split the LOW leg's suite wall into a CPU-scaling
@@ -260,14 +367,13 @@ def main() -> None:
         "high_rows_per_sec": hi["value"],
         "low_tokens_per_sec": lo["tokens_per_sec"],
         "high_tokens_per_sec": hi["tokens_per_sec"],
-        "scaling_efficiency_raw": round(eff, 3),
+        "scaling_efficiency_raw": round((hi["value"] / lo["value"]) / ratio, 3),
+        "scaling_efficiency_headline": round(eff, 3),
         "scaling_efficiency_max_pair": round(eff_max, 3),
         "n_pairs": len(pairs),
         "n_matched": len(matched),
-        "headline_rule": (
-            "lower-median of calibration-matched untainted pairs"
-            if len(by_eff) > 1 else "only matched pair"
-        ),
+        "n_trace_valid": len(trace_pairs),
+        "headline_rule": headline_rule,
         "hardware_ceiling": round(ceiling, 3),
         "scaling_efficiency_vs_ceiling": round(eff_norm, 3),
         "cal_cpu_mops": [round(cal_low / 1e6, 1), round(cal_high / 1e6, 1)],
@@ -288,6 +394,24 @@ def main() -> None:
                 "post_cal": p[0].get("post_cal_mops"),
                 "tainted": bool(p[0].get("tainted")),
                 "eff_raw": round((p[1]["value"] / p[0]["value"]) / ratio, 3),
+                "trace_low": p[0].get("trace"),
+                "trace_high": p[1].get("trace"),
+                "eff_trace": (
+                    round(eff_trace_of(p), 3)
+                    if eff_trace_of(p) is not None else None
+                ),
+                # capacity-integrated cost receipts (suite wall x trace-mean
+                # capacity, k sec x Mops): deterministic work => these should
+                # be level-constant across pairs; their spread validates (or
+                # falsifies) the trace normalization itself
+                "cost_low_kso": (
+                    round(p[0]["suite_sec"] * p[0]["trace"]["mean"] / 1e3, 2)
+                    if p[0].get("trace") else None
+                ),
+                "cost_high_kso": (
+                    round(p[1]["suite_sec"] * p[1]["trace"]["mean"] / 1e3, 2)
+                    if p[1].get("trace") else None
+                ),
                 # per-check scaling decomposition: which phase limits the
                 # suite's single-box ratio
                 "phase_eff": {
@@ -367,7 +491,8 @@ straggling low legs, so the median is the headline. All pairs:
 | local[{args.low}] (N) | {lo["value"]:,.0f} | {lo["tokens_per_sec"]:,.0f} | {lo["suite_sec"]} | {lo.get("host_cal_mops", "n/a")} |
 | local[{args.high}] (4N) | {hi["value"]:,.0f} | {hi["tokens_per_sec"]:,.0f} | {hi["suite_sec"]} | {hi.get("host_cal_mops", "n/a")} |
 
-* raw scaling efficiency: **{eff:.3f}**
+* headline scaling efficiency ({headline_rule}): **{eff:.3f}**
+  (headline pair raw: {(hi["value"] / lo["value"]) / ratio:.3f})
 * pure-CPU ceiling at {ratio:.0f}x on this box: {ceiling:.3f} (efficiency vs it: {eff_norm:.3f})
 * combined CPU+bandwidth ceiling (derivation above): {ceiling_combined:.3f}
 * **efficiency vs combined ceiling: {eff_vs_combined:.3f}** (target >= 0.8)

@@ -55,8 +55,11 @@ def main() -> None:
             rows.append({
                 "pair": f"{run}{i}",
                 "eff": p["eff_raw"],
+                "eff_trace": p.get("eff_trace"),
                 "low_cost_kso": round(lo_s * p["low_cal"] / 1e3),
                 "high_cost_kso": round(hi_s * p["high_cal"] / 1e3),
+                "tcost_low": p.get("cost_low_kso"),
+                "tcost_high": p.get("cost_high_kso"),
                 "cal_mm_pct": round(100 * cal_mm, 1),
                 "swing_pct": round(100 * swing, 1),
                 "post": p["post_cal"],
@@ -66,19 +69,27 @@ def main() -> None:
     for r in rows:
         print(json.dumps(r))
     surv = sorted(r["eff"] for r in rows if r["valid"])
-    if not surv:
-        print("no surviving pairs", file=sys.stderr)
-        return
-    med = surv[(len(surv) - 1) // 2]  # lower median (conservative)
-    print(
-        json.dumps({
-            "n_pairs": len(rows),
+    summary = {"n_pairs": len(rows)}
+    if surv:
+        summary.update({
             "n_valid": len(surv),
             "valid_effs": surv,
-            "lower_median_eff": med,
+            "lower_median_eff": surv[(len(surv) - 1) // 2],  # lower median
             "mean_valid_eff": round(statistics.mean(surv), 3),
         })
-    )
+    # trace-era reports (run E onward): pre-registered headline is the
+    # lower-median of trace-normalized efficiencies over pairs with valid
+    # traces — capacity dips are normalized by the mid-leg trace rather
+    # than filtered by endpoint probes, so nothing is excluded.
+    traced = sorted(r["eff_trace"] for r in rows if r.get("eff_trace") is not None)
+    if traced:
+        summary.update({
+            "n_traced": len(traced),
+            "traced_effs": traced,
+            "trace_lower_median_eff": traced[(len(traced) - 1) // 2],
+            "trace_mean_eff": round(statistics.mean(traced), 3),
+        })
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
