@@ -388,6 +388,27 @@ def _q_glad_scores_embeddings(spark, sf_dir):
     )
 
 
+def _q_rcf_attribution_embeddings(spark, sf_dir):
+    """Per-label anomaly attribution DiVectors over the embeddings table
+    (getAnomalyAttribution / getApproximateAnomalyAttribution,
+    RandomCutForest.java:891-936): score plus directional per-dimension
+    high/low arrays whose sum reproduces the score. Rows-only (RCF
+    sketch output — no SQL equivalent)."""
+    from random_cut_forest_by_aws_spark.operators.rcf_batch import (
+        rcf_group_attributions,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = rcf_group_attributions(
+        emb, "embedding", ("label",), "vec_id", approximate=0.1
+    )
+    return out.select(
+        "label", "vec_id", F.round("score", 6).alias("score"),
+        F.transform("high", lambda v: F.round(v, 6)).alias("high"),
+        F.transform("low", lambda v: F.round(v, 6)).alias("low"),
+    )
+
+
 def _q_rcf_forecast_events(spark, sf_dir):
     """Per-series forecast with TimedRangeVector parity: each horizon step
     carries (ts, ts_upper, ts_lower) epoch-millis timestamps derived from
@@ -674,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_quality_docs": _q_lang_quality,
         "rcf_scores_embeddings": _q_rcf_scores_embeddings,
         "glad_scores_embeddings": _q_glad_scores_embeddings,
+        "rcf_attribution_embeddings": _q_rcf_attribution_embeddings,
         "rcf_forecast_events": _q_rcf_forecast_events,
         "sessionize_events": _q_sessionize_events,
         "media_decode_features": _q_media_features,

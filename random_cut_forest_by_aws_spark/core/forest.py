@@ -1000,6 +1000,8 @@ class RCFForest:
         score_unseen=None,
         damp=None,
         normalizer=None,
+        _lanes=None,
+        _per_row_div=None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """DiVector (high[Q,d], low[Q,d]); high+low sums to score(X).
 
@@ -1007,7 +1009,13 @@ class RCFForest:
         ``getDynamicAttribution`` (RandomCutForest.java:1644-1660): the
         same vectorized callables drive both, so any dynamic score has a
         matching dimension attribution with the sum invariant preserved
-        by construction. Defaults are the standard CommonUtils formulas."""
+        by construction. Defaults are the standard CommonUtils formulas.
+
+        ``_lanes=(qs, ts)`` (internal, used by ``attribution_approximate``)
+        restricts evaluation to an explicit (row, tree) lane set instead
+        of all rows × all live trees; ``_per_row_div[Q]`` then replaces
+        the uniform 1/T averaging (the reference's converging-accumulator
+        finisher divides by values accepted, not numberOfTrees)."""
         if score_seen is None:
             score_seen = lambda dep, m: 1.0 / (dep + np.log2(m + 1.0))  # noqa: E731
         if score_unseen is None:
@@ -1028,9 +1036,12 @@ class RCFForest:
         tm_all[live_trees] = mass[live_trees * N + self.root[live_trees]]
         log_tm = np.log2(tm_all + 1.0)
 
-        L = Q * len(live_trees)
-        qs = np.repeat(np.arange(Q, dtype=np.int64), len(live_trees))
-        ts = np.tile(live_trees.astype(np.int64), Q)
+        if _lanes is None:
+            qs = np.repeat(np.arange(Q, dtype=np.int64), len(live_trees))
+            ts = np.tile(live_trees.astype(np.int64), Q)
+        else:
+            qs, ts = _lanes
+        L = len(qs)
         addr = ts * N + self.root[ts].astype(np.int64)
         depth = np.zeros(L, np.int64)
 
@@ -1155,7 +1166,57 @@ class RCFForest:
         tmv_all = tm_all[ts]
         np.add.at(hi_out, qs, normalizer(high, tmv_all[:, None]))
         np.add.at(lo_out, qs, normalizer(low, tmv_all[:, None]))
+        if _per_row_div is not None:
+            div = np.maximum(_per_row_div, 1).astype(np.float64)[:, None]
+            return hi_out / div, lo_out / div
         return hi_out / T, lo_out / T
+
+    def attribution_approximate(
+        self,
+        X: np.ndarray,
+        precision: float = 0.1,
+        min_accepted: int = 5,
+        block: int = 16,
+        high_is_critical: bool = True,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Early-convergence attribution (``getApproximateAnomalyAttribution``,
+        RandomCutForest.java:915-936, OneSidedConvergingDiVectorAccumulator.
+        java:24-72): the accumulator's converging statistic is the
+        DiVector's high-low sum — exactly the per-tree scalar score — so
+        the set of trees accepted before convergence is identical to
+        ``score_approximate``'s. We therefore replay that accumulator once
+        (per-row accepted count n_acc over live trees in order), evaluate
+        the attribution walk only on the accepted (row, tree) lanes, and
+        divide per row by n_acc (the reference finisher scales by values
+        accepted, not numberOfTrees).
+
+        Invariant: high.sum(1) + low.sum(1) == ``score_approximate`` with
+        the same parameters; ``precision <= 0`` accepts every live tree
+        and must reproduce ``attribution`` exactly.
+        """
+        X32 = np.ascontiguousarray(np.atleast_2d(X), np.float32)
+        Q, d = X32.shape[0], self.d
+        live = np.nonzero(self.root >= 0)[0].astype(np.int64)
+        if Q == 0 or len(live) == 0:
+            return np.zeros((Q, d)), np.zeros((Q, d))
+        _, n_acc = self.score_approximate(
+            X32,
+            precision=precision,
+            min_accepted=min_accepted,
+            block=block,
+            high_is_critical=high_is_critical,
+            return_accepted=True,
+        )
+        # lanes = first n_acc[i] live trees for row i (accumulator order)
+        max_acc = int(n_acc.max())
+        cols = np.arange(max_acc, dtype=np.int64)
+        mask = cols[None, :] < n_acc[:, None]
+        rows = np.repeat(np.arange(Q, dtype=np.int64), max_acc).reshape(Q, max_acc)
+        qs = rows[mask]
+        ts = live[np.broadcast_to(cols, (Q, max_acc))[mask]]
+        return self.attribution(
+            X32, _lanes=(qs, ts), _per_row_div=n_acc
+        )
 
     # ------------------------------------------------------------------ #
     # checkpoint (state/RandomCutForestMapper.java analogue)

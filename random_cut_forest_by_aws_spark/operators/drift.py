@@ -1250,3 +1250,49 @@ def drift_anomalies(raw: DataFrame) -> DataFrame:
     return raw.filter(F.col("row_kind") == "anomaly").drop(
         "row_kind", "n_rows", "n_scored", "n_anomalous", "n_imputed", "mean_score"
     )
+
+
+def drift_lineage(
+    raw: DataFrame,
+    group_cols=("source",),
+    cfg: DriftConfig | None = None,
+) -> DataFrame:
+    """Per-partition lineage: one row per (group, bucket) processing unit.
+
+    The north-star contract records "per-partition lineage and metrics to
+    an Iceberg metrics table": which physical slices of the stream were
+    processed, how many rows each contributed, and what the drift sketch
+    concluded there. ``drift_verdicts`` aggregates buckets away; this
+    keeps the bucket grain — the same grain as the resume checkpoints
+    (one npz per (group, bucket)), so a lineage row is the audit record
+    for exactly one checkpointable unit of work.
+
+    Pure reshape of the summary rows the grouped map already emits — no
+    extra shuffle (reuses the cached raw plan) and no hot-path change.
+    ``config_digest`` fingerprints the DriftConfig so re-runs with
+    different hyperparameters are distinguishable in the metrics table.
+    """
+    import hashlib
+
+    cfg = cfg or DriftConfig()
+    core = {
+        k: v for k, v in vars(cfg).items() if k != "extra" and not callable(v)
+    }
+    digest = hashlib.blake2b(
+        repr(sorted(core.items(), key=lambda kv: kv[0])).encode(), digest_size=8
+    ).hexdigest()
+    s = raw.filter(F.col("row_kind") == "summary")
+    rate = F.col("n_anomalous").cast("double") / F.greatest(F.col("n_scored"), F.lit(1))
+    return s.select(
+        *group_cols,
+        "bucket",
+        "n_rows",
+        "n_scored",
+        "n_anomalous",
+        "n_windows",
+        "n_drifted_windows",
+        "n_imputed",
+        "mean_score",
+    ).withColumn("anomaly_rate", rate).withColumn(
+        "config_digest", F.lit(digest)
+    )

@@ -72,6 +72,57 @@ def rcf_group_scores(
     return grouped.groupBy(*gcols).applyInPandas(fn, out_schema)
 
 
+def rcf_group_attributions(
+    df: DataFrame,
+    vec_col: str,
+    group_cols: tuple[str, ...],
+    id_col: str,
+    num_trees: int = 30,
+    sample_size: int = 128,
+    seed: int = 42,
+    approximate: float | None = None,
+) -> DataFrame:
+    """Per-row anomaly attribution DiVector per cohort: score plus the
+    directional per-dimension split (``getAnomalyAttribution``,
+    RandomCutForest.java:891-905) as ``high``/``low`` array columns —
+    which dimensions pushed the score, and from which side.
+
+    ``approximate`` (a precision, e.g. 0.1) uses the converging DiVector
+    accumulator (``getApproximateAnomalyAttribution``,
+    RandomCutForest.java:915-936): the high+low sum still equals the
+    approximate score by construction."""
+    gcols = list(group_cols)
+    schema_prefix = ", ".join(f"{c} {t}" for c, t in df.select(*gcols, id_col).dtypes)
+    out_schema = (
+        f"{schema_prefix}, score double, high array<double>, low array<double>"
+    )
+
+    def fn(key, pdf):
+        import pandas as pd
+
+        X = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
+        forest = RCFForest(
+            X.shape[1], num_trees=num_trees, sample_size=sample_size,
+            time_decay=0.0, seed=_group_seed(tuple(key), seed),
+        )
+        forest.update_batch(X)
+        if approximate is not None:
+            hi, lo = forest.attribution_approximate(X, precision=approximate)
+        else:
+            hi, lo = forest.attribution(X)
+        out = pdf[gcols + [id_col]].copy()
+        out["score"] = hi.sum(1) + lo.sum(1)
+        out["high"] = list(hi)
+        out["low"] = list(lo)
+        return pd.DataFrame(out)
+
+    sc = df.sparkSession.sparkContext
+    grouped = df.select(*gcols, id_col, vec_col).repartition(
+        max(sc.defaultParallelism * 2, 16), *gcols
+    )
+    return grouped.groupBy(*gcols).applyInPandas(fn, out_schema)
+
+
 def rcf_group_forecast(
     df: DataFrame,
     value_col: str,

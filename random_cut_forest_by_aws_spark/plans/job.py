@@ -56,6 +56,7 @@ def main(argv=None) -> int:
     res.violations.write.mode("overwrite").parquet(f"{args.output}/violations")
     res.metrics.write.mode("overwrite").parquet(f"{args.output}/metrics")
     res.stats.write.mode("overwrite").parquet(f"{args.output}/stats")
+    res.lineage.write.mode("overwrite").parquet(f"{args.output}/lineage")
     n_fail = res.verdicts.filter("passed = false").count()
     print(f"validation finished in {time.time()-t0:.1f}s; failing checks: {n_fail}")
     return 0 if n_fail == 0 else 2

@@ -31,7 +31,13 @@ from pyspark.sql import functions as F
 
 from ..functions.features import token_features
 from ..operators.constraints import token_equality_violations
-from ..operators.drift import DriftConfig, drift_anomalies, drift_scores, drift_verdicts
+from ..operators.drift import (
+    DriftConfig,
+    drift_anomalies,
+    drift_lineage,
+    drift_scores,
+    drift_verdicts,
+)
 from ..operators.stats import column_stats
 from ..operators.uniqueness import uniqueness_violations
 
@@ -60,6 +66,9 @@ class ValidationResult:
     violations: DataFrame
     metrics: DataFrame
     stats: DataFrame
+    #: per-(group, bucket) drift lineage — the audit grain of the resume
+    #: checkpoints (north-star "per-partition lineage and metrics")
+    lineage: DataFrame = None
 
 
 VERDICT_SCHEMA = "check string, scope string, passed boolean, violation_count long, detail string"
@@ -290,4 +299,5 @@ class ValidationSuite:
             metrics_rows, "check string, duration_sec double, output_rows long, wall_sec double"
         )
         _ = (n_dup, n_inv, n_drifted)  # counted above; verdicts carry them
-        return ValidationResult(verdicts, violations, metrics, stats)
+        lineage = drift_lineage(raw, (cfg.group_col,), cfg.drift)
+        return ValidationResult(verdicts, violations, metrics, stats, lineage)

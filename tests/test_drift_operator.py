@@ -218,3 +218,33 @@ def test_adaptive_bucketing_join_fallback_multi_group_cols(spark, seqs):
     agg = s.agg(F.sum("n_rows").alias("n"), F.sum("n_scored").alias("ns")).first()
     assert agg["n"] == seqs.count()
     assert agg["ns"] > 0
+
+
+def test_drift_lineage_bucket_grain_consistent_with_verdicts(feat_df):
+    """Lineage keeps the (group, bucket) grain — one row per checkpoint
+    unit — and its counters aggregate exactly to the verdict table."""
+    from random_cut_forest_by_aws_spark.operators.drift import (
+        drift_lineage, drift_scores, drift_verdicts,
+    )
+
+    cfg = _cfg(buckets=None, rows_per_bucket=2000)
+    raw = drift_scores(feat_df, "features", ("source",), "seq", cfg).cache()
+    lin = drift_lineage(raw, ("source",), cfg).toPandas()
+    dv = drift_verdicts(raw, ("source",), cfg).toPandas().set_index("source")
+
+    # grain: one row per (source, bucket), matching the summary rows
+    assert not lin.duplicated(["source", "bucket"]).any()
+    n_sum = raw.filter("row_kind = 'summary'").count()
+    assert len(lin) == n_sum
+    # hot-source split: at least one group spans multiple buckets
+    assert lin.groupby("source")["bucket"].nunique().max() > 1
+
+    g = lin.groupby("source")[
+        ["n_rows", "n_scored", "n_anomalous", "n_windows", "n_drifted_windows"]
+    ].sum()
+    for src, row in g.iterrows():
+        for c in g.columns:
+            assert int(row[c]) == int(dv.loc[src][c]), (src, c)
+    # config fingerprint is present and constant per run
+    assert lin["config_digest"].nunique() == 1
+    raw.unpersist()

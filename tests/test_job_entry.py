@@ -47,11 +47,17 @@ def test_job_main_end_to_end(spark, job_io):
         f"SELECT count(*) FROM '{out}/violations/*.parquet'"
     ).fetchone()[0]
     assert n_viol > 0  # planted violations surfaced as rows
-    for t in ["metrics", "stats"]:
+    for t in ["metrics", "stats", "lineage"]:
         assert (
             con.execute(f"SELECT count(*) FROM '{out}/{t}/*.parquet'").fetchone()[0]
             > 0
         )
+    # lineage accounts for every input row exactly once across buckets
+    n_in = con.execute(f"SELECT count(*) FROM '{inp}/*.parquet'").fetchone()[0]
+    n_lin = con.execute(
+        f"SELECT sum(n_rows) FROM '{out}/lineage/*.parquet'"
+    ).fetchone()[0]
+    assert int(n_lin) == n_in
 
     # the CLI result must equal a direct suite run with the same config
     cfg = SuiteConfig(

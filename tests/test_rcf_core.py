@@ -351,3 +351,39 @@ def test_score_approximate_block_invariance():
     a32, n32 = f.score_approximate(q, block=32, return_accepted=True)
     np.testing.assert_array_equal(n8, n32)
     np.testing.assert_allclose(a8, a32, rtol=0, atol=0)
+
+
+def test_attribution_approximate_matches_full_when_disabled():
+    """precision <= 0 accepts all live trees, so attribution_approximate
+    must reproduce attribution() (same lanes, uniform 1/T divisor)."""
+    rng = np.random.default_rng(31)
+    X = rng.normal(0, 1, size=(700, 3)).astype(np.float32)
+    f = RCFForest(3, num_trees=30, sample_size=96, time_decay=0.0, seed=6)
+    f.update_batch(X)
+    q = np.vstack([X[:15], np.array([[7, -7, 0]], np.float32)])
+    hi_f, lo_f = f.attribution(q)
+    hi_a, lo_a = f.attribution_approximate(q, precision=0.0)
+    np.testing.assert_allclose(hi_a, hi_f, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(lo_a, lo_f, rtol=1e-12, atol=1e-12)
+
+
+def test_attribution_approximate_sum_equals_approximate_score():
+    """The converging statistic IS the DiVector high-low sum
+    (OneSidedConvergingDiVectorAccumulator.getConvergingValue), so the
+    approximate attribution accepts exactly score_approximate's trees and
+    its high+low sum must equal the approximate score — the reference's
+    documented invariant ('the high-low sum in the result should be the
+    same as the scalar score', RandomCutForest.java:908-911)."""
+    rng = np.random.default_rng(33)
+    X = rng.normal(0, 1, size=(1200, 3)).astype(np.float32)
+    f = RCFForest(3, num_trees=80, sample_size=128, time_decay=0.0, seed=9)
+    f.update_batch(X)
+    q = np.vstack([
+        rng.normal(0, 1, size=(40, 3)),
+        np.array([[9, 9, 9], [0, -10, 4]]),
+    ]).astype(np.float32)
+    s_a, n_acc = f.score_approximate(q, precision=0.1, return_accepted=True)
+    hi, lo = f.attribution_approximate(q, precision=0.1)
+    assert n_acc.mean() < 50  # early stopping engaged on most rows
+    np.testing.assert_allclose(hi.sum(1) + lo.sum(1), s_a, rtol=1e-9, atol=1e-12)
+    assert (hi >= -1e-12).all() and (lo >= -1e-12).all()
