@@ -363,6 +363,7 @@ def main() -> None:
     report = {
         "low_cpus": args.low,
         "high_cpus": args.high,
+        "bench_rows": args.rows,
         "low_rows_per_sec": lo["value"],
         "high_rows_per_sec": hi["value"],
         "low_tokens_per_sec": lo["tokens_per_sec"],

@@ -41,8 +41,9 @@ def main() -> None:
         except json.JSONDecodeError:
             print(f"skipping incomplete {path}", file=sys.stderr)
             continue
+        rows_n = float(d.get("bench_rows") or 4e6)
         for i, p in enumerate(d["all_pairs"]):
-            lo_s, hi_s = 4e6 / p["low"], 4e6 / p["high"]
+            lo_s, hi_s = rows_n / p["low"], rows_n / p["high"]
             cal_mm = abs(p["low_cal"] - p["high_cal"]) / max(p["low_cal"], p["high_cal"])
             swing = max(
                 abs(p["low_cal"] - (p.get("low_cal_pre") or p["low_cal"]))
