@@ -150,7 +150,15 @@ def main() -> None:
     # capacity — suite time tracks host_cal_mops almost exactly (63.9s at
     # 827 Mops vs 133.8s at 397 Mops) — so the JSON carries the
     # calibration for cross-run normalization.
-    suite_cfg = SuiteConfig(drift=drift_cfg)
+    # SPARK_GRAFT_SUITE_CONCURRENT=1 materializes independent checks from
+    # concurrent driver threads (SuiteConfig.concurrent — the real-cluster
+    # default): overlaps the fixed-cost JVM scan phases with the Python
+    # drift stage, which matters at high parallelism where those fixed
+    # seconds are the Amdahl term in the scaling measurement.
+    suite_cfg = SuiteConfig(
+        drift=drift_cfg,
+        concurrent=os.environ.get("SPARK_GRAFT_SUITE_CONCURRENT", "0") == "1",
+    )
     suite_attempts = []
     suite_windows: list[list[float]] = []  # [epoch_start, epoch_end] per run,
     # so an external capacity tracer (scripts/bench_scaling.py) can window

@@ -1219,15 +1219,82 @@ class RCFForest:
         )
 
     # ------------------------------------------------------------------ #
+    # shared point store (store/PointStore.java:69,197-255 analogue)
+    # ------------------------------------------------------------------ #
+    def _slots(self) -> tuple[np.ndarray, np.ndarray]:
+        """Canonical (tree, leaf-node) pairs for every live sampler slot,
+        in row-major (t, slot) order. A tree's live leaves are exactly its
+        sampler entries (duplicate values share one leaf id via leaf
+        mass, so a node id may repeat across slots of the same tree)."""
+        sizes = self.ssize.astype(np.int64)
+        slot_tree = np.repeat(np.arange(self.T, dtype=np.int64), sizes)
+        mask = np.arange(self.K)[None, :] < sizes[:, None]
+        slot_leaf = self.sleaf[mask].astype(np.int64)
+        return slot_tree, slot_leaf
+
+    def point_store(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Cross-tree deduplicated point storage with reference counts —
+        the reference's shared PointStore view (store/PointStore.java:69:
+        one copy per distinct point, ``refCount`` = number of sampler
+        references across ALL trees; ours is computed from the per-tree
+        leaf storage rather than maintained on the hot path, which keeps
+        the packed score walk free of an extra indirection).
+
+        Returns ``(points [P, d] float32, refcount [P] int32,
+        slot_idx [S] int64)`` where S = sum(ssize): ``points[slot_idx]``
+        reproduces every sampler slot's point in canonical (tree, slot)
+        order and ``refcount == bincount(slot_idx)``.
+        """
+        slot_tree, slot_leaf = self._slots()
+        pts = np.ascontiguousarray(self.bbmin[slot_tree, slot_leaf])
+        if len(pts) == 0:
+            return (
+                np.zeros((0, self.d), np.float32),
+                np.zeros(0, np.int32),
+                np.zeros(0, np.int64),
+            )
+        view = pts.view(np.dtype((np.void, pts.dtype.itemsize * self.d))).ravel()
+        _, first, inv, counts = np.unique(
+            view, return_index=True, return_inverse=True, return_counts=True
+        )
+        return pts[first], counts.astype(np.int32), inv.astype(np.int64)
+
+    # ------------------------------------------------------------------ #
     # checkpoint (state/RandomCutForestMapper.java analogue)
     # ------------------------------------------------------------------ #
     _ARRAY_FIELDS = (
         "parent left right cutdim cutval mass bbmin bbmax root freelist "
         "freetop sweight sleaf sseq ssize"
     ).split()
+    # compact format: bounding boxes are derivable state — leaf boxes ARE
+    # the points (stored once, cross-tree deduplicated, PointStore-style)
+    # and internal boxes are exact child unions (maintained as such by
+    # insert/delete, property-tested in tests/test_forest_properties.py)
+    _COMPACT_DROP = ("bbmin", "bbmax")
 
-    def to_state(self) -> dict:
-        state = {f: getattr(self, f).copy() for f in self._ARRAY_FIELDS}
+    def to_state(self, compact: bool = True) -> dict:
+        """Checkpoint dict (NumPy arrays only, npz-safe).
+
+        ``compact=True`` (default) replaces the dense per-tree box arrays
+        (2·T·2K·d float32 — the dominant term) with the shared point
+        store: distinct leaf points stored ONCE across all trees plus an
+        int index per sampler slot and the reference counts
+        (store/PointStore.java:69,197-255). Internal-node boxes are
+        rebuilt bit-exactly on load as bottom-up child unions.
+        """
+        fields = [f for f in self._ARRAY_FIELDS if not (compact and f in self._COMPACT_DROP)]
+        state = {f: getattr(self, f).copy() for f in fields}
+        if compact:
+            points, refcount, slot_idx = self.point_store()
+            state["ps_points"] = points
+            state["ps_refcount"] = refcount
+            state["ps_slot_idx"] = slot_idx.astype(np.int32)
+            if self.N <= np.iinfo(np.int16).max:
+                # node ids < N and masses <= K fit int16; from_state's
+                # array assignment upcasts back to the in-memory int32
+                for name in ("parent", "left", "right", "cutdim", "mass",
+                             "freelist", "sleaf", "root", "freetop", "ssize"):
+                    state[name] = state[name].astype(np.int16)
         rng_states = []
         for g in self._rngs:
             s = g.bit_generator.state["state"]
@@ -1270,11 +1337,52 @@ class RCFForest:
         if len(mf) > 3:  # dynamic-decay fields (older states: defaults)
             f.paused = mf[3] > 0
             f._decay_acc, f._decay_rel0, f._last_rel = mf[4], mf[5], mf[6]
+        compact = "bbmin" not in state  # PointStore format (vs legacy dense)
         for name in cls._ARRAY_FIELDS:
+            if compact and name in cls._COMPACT_DROP:
+                continue
             getattr(f, name)[...] = state[name]
+        if compact:
+            f._rebuild_boxes(
+                np.asarray(state["ps_points"], np.float32),
+                np.asarray(state["ps_slot_idx"], np.int64),
+            )
         for g, (s, inc) in zip(f._rngs, state["rng_state"]):
             st = g.bit_generator.state
             st["state"]["state"] = int(s)
             st["state"]["inc"] = int(inc)
             g.bit_generator.state = st
         return f
+
+    def _rebuild_boxes(self, points: np.ndarray, slot_idx: np.ndarray) -> None:
+        """Rebuild bbmin/bbmax from the shared point store: scatter leaf
+        points (leaf box == point), then union children into parents one
+        BFS level at a time, deepest first. Bit-exact: min/max unions are
+        exact in float32 and insert/delete maintain internal boxes as
+        exactly the child unions (invariant property-tested)."""
+        slot_tree, slot_leaf = self._slots()
+        pts = points[slot_idx]
+        self.bbmin[slot_tree, slot_leaf] = pts
+        self.bbmax[slot_tree, slot_leaf] = pts
+        T, N, d = self.T, self.N, self.d
+        cutdim = self.cutdim.reshape(T * N)
+        left = self.left.reshape(T * N)
+        right = self.right.reshape(T * N)
+        bbmin = self.bbmin.reshape(T * N, d)
+        bbmax = self.bbmax.reshape(T * N, d)
+        live = np.nonzero(self.root >= 0)[0]
+        frontier = live * N + self.root[live].astype(np.int64)
+        levels = []
+        while len(frontier):
+            internal = frontier[cutdim[frontier] >= 0]
+            if len(internal) == 0:
+                break
+            levels.append(internal)
+            base = (internal // N) * N
+            frontier = np.concatenate([base + left[internal], base + right[internal]])
+        for internal in reversed(levels):
+            base = (internal // N) * N
+            ln = base + left[internal]
+            rn = base + right[internal]
+            bbmin[internal] = np.minimum(bbmin[ln], bbmin[rn])
+            bbmax[internal] = np.maximum(bbmax[ln], bbmax[rn])
