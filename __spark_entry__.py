@@ -654,6 +654,37 @@ def _q_drift_impute_events(spark, sf_dir):
     )
 
 
+def _q_drift_lineage_events(spark, sf_dir):
+    """Per-partition lineage table over the range-blocked event stream:
+    one audit row per (group, bucket) checkpoint unit (the north-star
+    "per-partition lineage and metrics" surface, drift_lineage()). The
+    bucket is a deterministic order-range block (floor(seq/span)), so
+    the row accounting — which physical slice was processed and how many
+    rows it contributed — is exactly SQL-reproducible: the oracle checks
+    the engine's per-checkpoint-unit bookkeeping against a plain
+    GROUP BY. Sketch metrics (mean_score etc.) stay on the operator's
+    full output, covered by the job e2e test."""
+    from random_cut_forest_by_aws_spark.operators.drift import (
+        DriftConfig, drift_lineage, drift_scores,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    seqd = e.withColumn("seq", F.row_number().over(w).cast("long")).select(
+        "event_type", "seq", F.array(F.col("value").cast("double")).alias("features")
+    )
+    cfg = DriftConfig(num_trees=10, sample_size=64, chunk_size=512,
+                      window=64, min_baseline_windows=3,
+                      mode="time_augmented", rows_per_bucket=1000)
+    raw = drift_scores(seqd, "features", ("event_type",), "seq", cfg)
+    lin = drift_lineage(raw, ("event_type",), cfg=cfg)
+    return lin.select(
+        "event_type",
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+    )
+
+
 def _q_suite_verdicts(spark, sf_dir):
     from random_cut_forest_by_aws_spark.operators.drift import DriftConfig
     from random_cut_forest_by_aws_spark.plans import SuiteConfig, ValidationSuite
@@ -707,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_multimode_recall_events": _q_drift_multimode_recall_events,
         "drift_autoadjust_events": _q_drift_autoadjust_events,
         "drift_impute_events": _q_drift_impute_events,
+        "drift_lineage_events": _q_drift_lineage_events,
         "validation_suite_verdicts": _q_suite_verdicts,
     }
 
@@ -1023,5 +1055,19 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN (SELECT unnest(range(16)) AS pos) j
             WHERE length(d.text) > 0
               AND length(d.text) = octet_length(encode(d.text))
+        """,
+        "drift_lineage_events": """
+            WITH seqd AS (
+                SELECT event_type,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY event_type ORDER BY ts, event_id
+                       ) AS seq
+                FROM events
+            )
+            SELECT event_type,
+                   CAST(FLOOR(seq / 1000.0) AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM seqd
+            GROUP BY 1, 2
         """,
     }
