@@ -654,6 +654,61 @@ def _q_drift_impute_events(spark, sf_dir):
     )
 
 
+def _q_repetition_docs(spark, sf_dir):
+    """Gopher-style repetition quality signals: duplicate word / 2-gram /
+    3-gram fractions per document (Rae et al. 2021 §A1.1 filters). Pure
+    JVM expressions fused into the scan; oracle = the same arithmetic in
+    DuckDB list functions."""
+    from random_cut_forest_by_aws_spark.operators.textqc import repetition_profile
+
+    d = _t(spark, sf_dir, "documents")
+    r = repetition_profile(d)
+    return r.select(
+        "doc_id",
+        F.round("dup_word_frac", 6).alias("dup_word_frac"),
+        F.round("dup_2gram_frac", 6).alias("dup_2gram_frac"),
+        F.round("dup_3gram_frac", 6).alias("dup_3gram_frac"),
+    )
+
+
+def _q_contamination_docs(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing word 3-grams with
+    the held-out eval slice (doc_id % 97 == 0). Runs the production
+    hashed-n-gram path (broadcast eval grams, map-side-combined per-doc
+    counts); the oracle recomputes the overlap on gram STRINGS in DuckDB
+    — equality also certifies the xxhash64 join is collision-free
+    here."""
+    from random_cut_forest_by_aws_spark.operators.contamination import (
+        ngram_contamination,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    evals = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    out = ngram_contamination(corpus, evals, n=3)
+    return out.select(
+        "doc_id",
+        F.col("n_overlap").cast("bigint").alias("n_overlap"),
+        F.col("n_ngrams").cast("bigint").alias("n_ngrams"),
+        F.round("overlap_frac", 6).alias("overlap_frac"),
+    )
+
+
+def _q_mixture_sample_docs(spark, sf_dir):
+    """Deterministic domain-mixture sampling: per-source keep fractions
+    decided by an engine-portable multiplicative hash of doc_id — the
+    oracle replays the identical integer arithmetic, so the sampled row
+    set must match exactly (reproducible across engines and reruns,
+    which is what makes mixture backfills consistent)."""
+    from random_cut_forest_by_aws_spark.operators.mixing import mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    w = {"src0": 0.9, "src1": 0.5, "src2": 0.2, "src3": 0.0}
+    return mixture_sample(
+        d, w, seed=42, default_weight=0.25
+    ).select("doc_id", "source")
+
+
 def _q_drift_lineage_events(spark, sf_dir):
     """Per-partition lineage table over the range-blocked event stream:
     one audit row per (group, bucket) checkpoint unit (the north-star
@@ -737,6 +792,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_multimode_events": _q_drift_multimode_events,
         "drift_multimode_recall_events": _q_drift_multimode_recall_events,
         "drift_autoadjust_events": _q_drift_autoadjust_events,
+        "repetition_docs": _q_repetition_docs,
+        "contamination_docs": _q_contamination_docs,
+        "mixture_sample_docs": _q_mixture_sample_docs,
         "drift_impute_events": _q_drift_impute_events,
         "drift_lineage_events": _q_drift_lineage_events,
         "validation_suite_verdicts": _q_suite_verdicts,
@@ -1055,6 +1113,70 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN (SELECT unnest(range(16)) AS pos) j
             WHERE length(d.text) > 0
               AND length(d.text) = octet_length(encode(d.text))
+        """,
+        "repetition_docs": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            g AS (
+                SELECT doc_id, ws,
+                       CASE WHEN len(ws) >= 2 THEN list_transform(
+                           range(1, len(ws)),
+                           i -> ws[i] || ' ' || ws[i+1]
+                       ) ELSE CAST([] AS VARCHAR[]) END AS g2,
+                       CASE WHEN len(ws) >= 3 THEN list_transform(
+                           range(1, len(ws) - 1),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                       ) ELSE CAST([] AS VARCHAR[]) END AS g3
+                FROM w
+            )
+            SELECT doc_id,
+                   round(CASE WHEN len(ws) > 0 THEN
+                       (len(ws) - len(list_distinct(ws)))::DOUBLE / len(ws)
+                       ELSE 0 END, 6) AS dup_word_frac,
+                   round(CASE WHEN len(g2) > 0 THEN
+                       (len(g2) - len(list_distinct(g2)))::DOUBLE / len(g2)
+                       ELSE 0 END, 6) AS dup_2gram_frac,
+                   round(CASE WHEN len(g3) > 0 THEN
+                       (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3)
+                       ELSE 0 END, 6) AS dup_3gram_frac
+            FROM g
+        """,
+        "contamination_docs": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, len(ws) - 1),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                       )) AS gram
+                FROM w WHERE len(ws) >= 3
+            ),
+            ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+            hits AS (
+                SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+                FROM g JOIN ev USING (gram)
+                WHERE g.doc_id % 97 != 0
+                GROUP BY 1
+            )
+            SELECT w.doc_id,
+                   hits.n_overlap,
+                   CAST(greatest(len(w.ws) - 2, 0) AS BIGINT) AS n_ngrams,
+                   round(hits.n_overlap::DOUBLE /
+                         greatest(greatest(len(w.ws) - 2, 0), 1), 6) AS overlap_frac
+            FROM hits JOIN w ON hits.doc_id = w.doc_id
+        """,
+        "mixture_sample_docs": """
+            SELECT doc_id, source FROM documents
+            WHERE (((doc_id % 2147483648) * 2654435761 + 42) % 2147483648)
+                  / 2147483648.0 <
+                  CASE source WHEN 'src0' THEN 0.9
+                              WHEN 'src1' THEN 0.5
+                              WHEN 'src2' THEN 0.2
+                              WHEN 'src3' THEN 0.0
+                              ELSE 0.25 END
         """,
         "drift_lineage_events": """
             WITH seqd AS (

@@ -1,0 +1,52 @@
+"""Deterministic domain-mixture sampling: downsample each source to a
+target mixture weight (the "data mixing" step that turns a raw crawl
+into a training distribution — cf. The Pile / LLaMA mixture tables).
+
+Spark shape: a per-row keep decision from a multiplicative-congruential
+hash of the document id — a pure JVM expression fused into the scan (no
+shuffle, no RNG state, no sampling skew across partitions), reproducible
+across engines (the gate oracle replays the identical arithmetic in
+DuckDB) and across reruns/backfills (the same doc always makes the same
+decision, which is what makes incremental pipelines consistent).
+
+The hash is ANSI-safe at any id magnitude: the id is folded into
+[0, 2^31) BEFORE the Knuth multiply, so the product stays under 2^63.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_M = 2_147_483_648  # 2^31
+_KNUTH = 2_654_435_761
+
+
+def sample_hash(id_col: str = "doc_id", seed: int = 42) -> Column:
+    """Deterministic uniform in [0, 1): ((id mod 2^31)·K + seed) mod 2^31
+    scaled — engine-portable integer arithmetic (no xxhash dependency)."""
+    folded = F.pmod(F.col(id_col), F.lit(_M))
+    return (
+        F.pmod(folded * F.lit(_KNUTH) + F.lit(seed), F.lit(_M)).cast("double")
+        / F.lit(float(_M))
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    seed: int = 42,
+    default_weight: float = 0.0,
+) -> DataFrame:
+    """Keep each row of ``source`` s with probability ``weights[s]``,
+    decided by the deterministic per-id hash. Sources absent from
+    ``weights`` keep ``default_weight`` (0 ⇒ dropped). The weight lookup
+    is a literal CASE chain — mixtures have tens of domains, so no map
+    literal or join is needed; for high-cardinality mixes join a
+    broadcast weights table against ``sample_hash`` instead."""
+    w: Column = F.lit(float(default_weight))
+    for src, frac in sorted(weights.items()):
+        w = F.when(F.col(source_col) == F.lit(src), F.lit(float(frac))).otherwise(w)
+    return df.filter(sample_hash(id_col, seed) < w)
