@@ -457,19 +457,32 @@ class RCFForest:
             int(_splitmix64(np.array([(seed * 40503 + 104729 * t + 2) & mask], np.uint64))[0])
             for t in range(T)
         ]
+        # persistent per-tree update mirrors: creating a _TreeOps costs
+        # ~11 array→list conversions per tree; the drift loop calls
+        # update_batch once per chunk, so reusing the mirror across calls
+        # (canonical arrays are only ever written through writeback)
+        # halves that overhead. Anything that mutates the canonical
+        # arrays NOT through a mirror must clear this cache.
+        self._mirrors: dict[int, _TreeOps] = {}
 
     # ------------------------------------------------------------------ #
     # single-op helpers (unit tests / small flows); batch path uses the
     # same _TreeOps surgery without per-op mirror round-trips
     # ------------------------------------------------------------------ #
+    def _ops(self, t: int) -> _TreeOps:
+        ops = self._mirrors.get(t)
+        if ops is None:
+            ops = self._mirrors[t] = _TreeOps(self, t)
+        return ops
+
     def _insert(self, t: int, x) -> int:
-        ops = _TreeOps(self, t)
+        ops = self._ops(t)
         leaf = ops.insert([float(np.float32(v)) for v in x])
         ops.writeback(self)
         return leaf
 
     def _delete(self, t: int, leaf: int) -> None:
-        ops = _TreeOps(self, t)
+        ops = self._ops(t)
         ops.delete(int(leaf))
         ops.writeback(self)
 
@@ -512,7 +525,7 @@ class RCFForest:
         rel = (seqs - self.seq0).astype(np.float64)
         xs = X.astype(np.float64).tolist()  # float32-exact python floats
         for t in range(self.T):
-            ops = _TreeOps(self, t)
+            ops = self._ops(t)
             self._update_tree(t, ops, xs, seqs, rel)
             ops.writeback(self)
         self.entries += B
