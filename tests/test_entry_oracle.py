@@ -115,6 +115,7 @@ def hostile_sf(spark, tmp_path_factory):
     "media_decode_features", "media_resize_plan",
     "lang_quality_docs", "minhash_candidates_docs",
     "text_profile_docs", "token_counts_docs",
+    "repetition_docs", "contamination_docs", "mixture_sample_docs",
 ])
 def test_text_oracles_survive_hostile_docs(spark, hostile_sf, name):
     """The text/media oracles must match DuckDB even with non-ASCII and
