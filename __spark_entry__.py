@@ -709,6 +709,22 @@ def _q_mixture_sample_docs(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+def _q_mixture_resample_docs(spark, sf_dir):
+    """Mixture construction WITH upsampling (epoch factors > 1,
+    LLaMA-style): floor(w) guaranteed replicas per row plus one
+    hash-decided extra, emitted with a replica index. Deterministic and
+    engine-portable — the oracle replays the arithmetic and UNNESTs the
+    same replica ranges, so the full (doc, replica) multiset must match
+    exactly."""
+    from random_cut_forest_by_aws_spark.operators.mixing import mixture_resample
+
+    d = _t(spark, sf_dir, "documents")
+    w = {"src0": 2.5, "src1": 1.0, "src2": 0.4}
+    return mixture_resample(d, w, seed=42).select(
+        "doc_id", "source", F.col("replica").cast("bigint").alias("replica")
+    )
+
+
 def _q_drift_lineage_events(spark, sf_dir):
     """Per-partition lineage table over the range-blocked event stream:
     one audit row per (group, bucket) checkpoint unit (the north-star
@@ -795,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_docs": _q_repetition_docs,
         "contamination_docs": _q_contamination_docs,
         "mixture_sample_docs": _q_mixture_sample_docs,
+        "mixture_resample_docs": _q_mixture_resample_docs,
         "drift_impute_events": _q_drift_impute_events,
         "drift_lineage_events": _q_drift_lineage_events,
         "validation_suite_verdicts": _q_suite_verdicts,
@@ -1177,6 +1194,29 @@ def oracle_sql() -> dict[str, str]:
                               WHEN 'src2' THEN 0.2
                               WHEN 'src3' THEN 0.0
                               ELSE 0.25 END
+        """,
+        "mixture_resample_docs": """
+            WITH w AS (
+                SELECT doc_id, source,
+                       CASE source WHEN 'src0' THEN 2.5
+                                   WHEN 'src1' THEN 1.0
+                                   WHEN 'src2' THEN 0.4
+                                   ELSE 0.0 END AS wt,
+                       (((doc_id % 2147483648) * 2654435761 + 42)
+                        % 2147483648) / 2147483648.0 AS u
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, source,
+                       CAST(FLOOR(wt) +
+                            CASE WHEN u < wt - FLOOR(wt) THEN 1 ELSE 0 END
+                            AS BIGINT) AS copies
+                FROM w
+            )
+            SELECT doc_id, source,
+                   CAST(unnest(range(1, copies + 1)) AS BIGINT) AS replica
+            FROM c
+            WHERE copies > 0
         """,
         "drift_lineage_events": """
             WITH seqd AS (

@@ -50,3 +50,32 @@ def mixture_sample(
     for src, frac in sorted(weights.items()):
         w = F.when(F.col(source_col) == F.lit(src), F.lit(float(frac))).otherwise(w)
     return df.filter(sample_hash(id_col, seed) < w)
+
+
+def mixture_resample(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    seed: int = 42,
+    default_weight: float = 0.0,
+) -> DataFrame:
+    """Mixture construction with UPSAMPLING: weights may exceed 1
+    (epoch factors — e.g. books×2.5, web×0.4 in LLaMA-style mixes). A
+    row of weight w emits ``floor(w)`` guaranteed replicas plus one more
+    when its deterministic hash falls under ``frac(w)``; the emitted
+    ``replica`` column (1..copies) distinguishes the copies downstream.
+    Still a stateless scan-fused generator: no shuffle, no RNG state,
+    and reruns produce the identical replica set. The explode is guarded
+    so copies == 0 drops the row (Spark ``sequence(1, 0)`` would
+    silently produce a DESCENDING range, not an empty one)."""
+    w: Column = F.lit(float(default_weight))
+    for src, frac in sorted(weights.items()):
+        w = F.when(F.col(source_col) == F.lit(src), F.lit(float(frac))).otherwise(w)
+    base = F.floor(w).cast("long")
+    extra = (sample_hash(id_col, seed) < (w - F.floor(w))).cast("long")
+    copies = base + extra
+    reps = F.when(copies > 0, F.sequence(F.lit(1).cast("long"), copies)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    return df.withColumn("replica", F.explode(reps))

@@ -99,6 +99,41 @@ def test_mixture_sample_deterministic_and_proportional(spark):
     assert sorted(ids) == expect
 
 
+def test_mixture_resample_upsampling(spark):
+    from random_cut_forest_by_aws_spark.operators.mixing import mixture_resample
+    from pyspark.sql import functions as F
+
+    n = 9_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "books")
+        .when(F.col("id") % 3 == 1, "web")
+        .otherwise("junk")
+        .alias("source"),
+    )
+    w = {"books": 2.5, "web": 0.4}          # junk → default 0 → dropped
+    out = mixture_resample(df, w, seed=7)
+    pdf = out.groupBy("source").count().collect()
+    got = {r["source"]: r["count"] for r in pdf}
+    assert "junk" not in got
+    assert got["books"] / (n / 3) == pytest.approx(2.5, abs=0.06)
+    assert got["web"] / (n / 3) == pytest.approx(0.4, abs=0.04)
+    # replica indexes are 1..copies per doc, and deterministic on rerun
+    per_doc = (
+        out.groupBy("doc_id")
+        .agg(F.count("*").alias("c"), F.max("replica").alias("mx"),
+             F.min("replica").alias("mn"))
+        .collect()
+    )
+    assert all(r.mn == 1 and r.mx == r.c for r in per_doc)
+    again = sorted(map(tuple, out.select("doc_id", "replica").collect()))
+    assert again == sorted(map(tuple, out.select("doc_id", "replica").collect()))
+    # exact integer weight → exactly w copies, no hash dependence
+    exact = mixture_resample(df, {"books": 2.0}, seed=99)
+    cnt = exact.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 2 for r in cnt)
+
+
 def test_mixture_sample_large_ids_ansi_safe(spark):
     """ids near 2^62 must not overflow under ANSI mode (the fold-first
     arithmetic is the point)."""
