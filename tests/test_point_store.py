@@ -109,6 +109,21 @@ def test_compact_state_is_much_smaller():
     assert compact * 2 < dense, (compact, dense)
 
 
+def test_point_store_degenerate_all_identical():
+    """Every stream point identical → ONE stored point, refcount == all
+    sampler slots, and the round-trip still reproduces scores."""
+    d = 4
+    X = np.tile(np.float32([1.5, -2.25, 0.5, 3.0]), (400, 1))
+    f = RCFForest(d, num_trees=6, sample_size=32, seed=3)
+    f.update_batch(X)
+    points, refcount, slot_idx = f.point_store()
+    assert len(points) == 1
+    assert refcount[0] == int(f.ssize.sum()) == len(slot_idx)
+    g = RCFForest.from_state(f.to_state())
+    q = np.vstack([X[:2], np.zeros((1, d), np.float32)])
+    np.testing.assert_array_equal(f.score(q), g.score(q))
+
+
 def test_legacy_dense_state_still_loads():
     f, X = _forest_with_history(n=500, trees=4, k=32)
     legacy = f.to_state(compact=False)
