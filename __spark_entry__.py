@@ -1186,8 +1186,12 @@ def oracle_sql() -> dict[str, str]:
             FROM hits JOIN w ON hits.doc_id = w.doc_id
         """,
         "mixture_sample_docs": """
+            -- ((x % M) + M) % M: Spark pmod is non-negative, DuckDB %
+            -- follows the dividend's sign — fold twice so negative ids
+            -- (if ever present) replay identically
             SELECT doc_id, source FROM documents
-            WHERE (((doc_id % 2147483648) * 2654435761 + 42) % 2147483648)
+            WHERE (((((doc_id % 2147483648) + 2147483648) % 2147483648)
+                    * 2654435761 + 42) % 2147483648)
                   / 2147483648.0 <
                   CASE source WHEN 'src0' THEN 0.9
                               WHEN 'src1' THEN 0.5
@@ -1202,8 +1206,10 @@ def oracle_sql() -> dict[str, str]:
                                    WHEN 'src1' THEN 1.0
                                    WHEN 'src2' THEN 0.4
                                    ELSE 0.0 END AS wt,
-                       (((doc_id % 2147483648) * 2654435761 + 42)
-                        % 2147483648) / 2147483648.0 AS u
+                       -- double fold: pmod-compatible for negative ids
+                       ((((((doc_id % 2147483648) + 2147483648)
+                           % 2147483648) * 2654435761 + 42)
+                        % 2147483648)) / 2147483648.0 AS u
                 FROM documents
             ),
             c AS (

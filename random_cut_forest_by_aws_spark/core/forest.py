@@ -1298,10 +1298,18 @@ class RCFForest:
         fields = [f for f in self._ARRAY_FIELDS if not (compact and f in self._COMPACT_DROP)]
         state = {f: getattr(self, f).copy() for f in fields}
         if compact:
-            points, refcount, slot_idx = self.point_store()
+            points, _refcount, slot_idx = self.point_store()
             state["ps_points"] = points
-            state["ps_refcount"] = refcount
+            # refcounts are NOT serialized: derivable as
+            # bincount(ps_slot_idx), and every byte here ships in one
+            # checkpoint per (group, bucket) — point_store() returns
+            # them for callers who want the explicit view
             state["ps_slot_idx"] = slot_idx.astype(np.int32)
+            # a state snapshot is a natural residency boundary: drop the
+            # cached update mirrors (tens of MB at large T·d) so
+            # checkpointed-then-idle forests don't pin them; the next
+            # update_batch rebuilds lazily (once per task tail)
+            self._mirrors.clear()
             if self.N <= np.iinfo(np.int16).max:
                 # node ids < N and masses <= K fit int16; from_state's
                 # array assignment upcasts back to the in-memory int32
@@ -1373,6 +1381,7 @@ class RCFForest:
         BFS level at a time, deepest first. Bit-exact: min/max unions are
         exact in float32 and insert/delete maintain internal boxes as
         exactly the child unions (invariant property-tested)."""
+        self._mirrors.clear()  # boxes are mutated below NOT via a mirror
         slot_tree, slot_leaf = self._slots()
         pts = points[slot_idx]
         self.bbmin[slot_tree, slot_leaf] = pts

@@ -24,12 +24,28 @@ _KNUTH = 2_654_435_761
 
 def sample_hash(id_col: str = "doc_id", seed: int = 42) -> Column:
     """Deterministic uniform in [0, 1): ((id mod 2^31)·K + seed) mod 2^31
-    scaled — engine-portable integer arithmetic (no xxhash dependency)."""
+    scaled — engine-portable integer arithmetic (no xxhash dependency).
+
+    Spark's ``pmod`` is always non-negative; an engine whose ``%``
+    follows the dividend's sign (DuckDB, Python) must replay negative
+    ids as ``((id % M) + M) % M`` to match (the gate oracles do)."""
     folded = F.pmod(F.col(id_col), F.lit(_M))
     return (
         F.pmod(folded * F.lit(_KNUTH) + F.lit(seed), F.lit(_M)).cast("double")
         / F.lit(float(_M))
     )
+
+
+def _weight_col(
+    weights: dict[str, float], source_col: str, default_weight: float
+) -> Column:
+    """Literal CASE chain resolving a source to its mixture weight —
+    mixtures have tens of domains; high-cardinality mixes should
+    broadcast-join a weights table instead."""
+    w: Column = F.lit(float(default_weight))
+    for src, frac in sorted(weights.items()):
+        w = F.when(F.col(source_col) == F.lit(src), F.lit(float(frac))).otherwise(w)
+    return w
 
 
 def mixture_sample(
@@ -42,14 +58,8 @@ def mixture_sample(
 ) -> DataFrame:
     """Keep each row of ``source`` s with probability ``weights[s]``,
     decided by the deterministic per-id hash. Sources absent from
-    ``weights`` keep ``default_weight`` (0 ⇒ dropped). The weight lookup
-    is a literal CASE chain — mixtures have tens of domains, so no map
-    literal or join is needed; for high-cardinality mixes join a
-    broadcast weights table against ``sample_hash`` instead."""
-    w: Column = F.lit(float(default_weight))
-    for src, frac in sorted(weights.items()):
-        w = F.when(F.col(source_col) == F.lit(src), F.lit(float(frac))).otherwise(w)
-    return df.filter(sample_hash(id_col, seed) < w)
+    ``weights`` keep ``default_weight`` (0 ⇒ dropped)."""
+    return df.filter(sample_hash(id_col, seed) < _weight_col(weights, source_col, default_weight))
 
 
 def mixture_resample(
@@ -69,9 +79,7 @@ def mixture_resample(
     and reruns produce the identical replica set. The explode is guarded
     so copies == 0 drops the row (Spark ``sequence(1, 0)`` would
     silently produce a DESCENDING range, not an empty one)."""
-    w: Column = F.lit(float(default_weight))
-    for src, frac in sorted(weights.items()):
-        w = F.when(F.col(source_col) == F.lit(src), F.lit(float(frac))).otherwise(w)
+    w = _weight_col(weights, source_col, default_weight)
     base = F.floor(w).cast("long")
     extra = (sample_hash(id_col, seed) < (w - F.floor(w))).cast("long")
     copies = base + extra
