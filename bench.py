@@ -241,6 +241,30 @@ def main() -> None:
 
         timed("minhash_dedup", run_minhash)
 
+        def run_pipeline_qc():
+            # repetition + decontamination + mixture construction in one
+            # pass shape over documents (the pretraining-filter chain)
+            from random_cut_forest_by_aws_spark.operators.contamination import (
+                ngram_contamination,
+            )
+            from random_cut_forest_by_aws_spark.operators.mixing import (
+                mixture_resample,
+            )
+            from random_cut_forest_by_aws_spark.operators.textqc import (
+                repetition_profile,
+            )
+
+            n = repetition_profile(docs).count()
+            evals = docs.filter(F.col("doc_id") % 97 == 0)
+            corpus = docs.filter(F.col("doc_id") % 97 != 0)
+            n += ngram_contamination(corpus, evals, n=3).count()
+            n += mixture_resample(
+                docs, {"src0": 2.0, "src1": 0.5}, default_weight=0.3
+            ).count()
+            return n
+
+        timed("pipeline_qc", run_pipeline_qc)
+
     # bracketing calibration: the window the suite ran in is bounded by
     # (cal_pre, cal_post); host_cal_mops stays the post value for
     # continuity with earlier rounds' JSONs.
