@@ -55,6 +55,7 @@ sequential==parallel consistency tests
 
 from __future__ import annotations
 
+import os
 import struct
 
 import numpy as np
@@ -93,6 +94,27 @@ def _f32(v: float) -> float:
     struct round-trip is bit-identical to np.float32 and ~2.5× faster
     (this sits on the per-cut-proposal hot path)."""
     return _F32_UNPACK(_F32_PACK(v))[0]
+
+
+_CK_MOD: object = None  # unset → try import on first update
+
+
+def _ckernel():
+    """Lazily load the optional C update kernel (core/ckernel.py):
+    compiled+self-checked on first use, None when unavailable or
+    RCF_FORCE_PY=1 — the pure-Python path is always kept and tested."""
+    global _CK_MOD
+    if _CK_MOD is None:
+        if os.environ.get("RCF_FORCE_PY") == "1":
+            _CK_MOD = False
+        else:
+            try:
+                from . import ckernel as _ck
+
+                _CK_MOD = _ck if _ck.AVAILABLE else False
+            except Exception:
+                _CK_MOD = False
+    return _CK_MOD or None
 
 
 class _TreeOps:
@@ -523,11 +545,34 @@ class RCFForest:
         if self.seq0 is None:
             self.seq0 = int(seqs[0])
         rel = (seqs - self.seq0).astype(np.float64)
-        xs = X.astype(np.float64).tolist()  # float32-exact python floats
-        for t in range(self.T):
-            ops = self._ops(t)
-            self._update_tree(t, ops, xs, seqs, rel)
-            ops.writeback(self)
+        ck = _ckernel()
+        if ck is not None:
+            # C kernel path: same per-tree weights/uniforms precomputed
+            # vectorized (pure functions of (key, seq) — identical to the
+            # Python path's lazy evaluation), surgery + PCG64 cut draws
+            # run in C directly on the canonical arrays, bit-identically
+            # (tests/test_ckernel_parity.py)
+            X64 = X.astype(np.float64)  # contiguous, float32-exact values
+            seqs64 = np.ascontiguousarray(seqs, np.int64)
+            W = np.empty((self.T, B))
+            base = -((rel - self._decay_rel0) * self.lam + self._decay_acc)
+            for t in range(self.T):
+                u = _u01(self._wkeys[t], seqs64)
+                W[t] = base + np.log(-np.log(u))
+            if self.initial_accept_fraction >= 1.0:
+                IU = np.zeros((self.T, B))
+            else:
+                IU = np.vstack(
+                    [_u01(self._ikeys[t], seqs64) for t in range(self.T)]
+                )
+            self._mirrors.clear()  # C mutates canonical arrays directly
+            ck.update_batch_c(self, X64, seqs64, W, IU)
+        else:
+            xs = X.astype(np.float64).tolist()  # float32-exact python floats
+            for t in range(self.T):
+                ops = self._ops(t)
+                self._update_tree(t, ops, xs, seqs, rel)
+                ops.writeback(self)
         self.entries += B
         self._last_rel = max(self._last_rel, float(rel[-1]))
 
