@@ -338,6 +338,103 @@ static void t_delete(Tree *t, int leaf) {
     }
 }
 
+/* numpy pairwise_sum_DOUBLE over float32 input (the exact reduction
+   order of gaps.sum(1, dtype=float64) — verified empirically for
+   n = 1..1000); bit-exactness of the score walk depends on this */
+static double pw_sum_f32(const float *a, long n) {
+    if (n < 8) {
+        double r = 0.0;
+        for (long i = 0; i < n; i++) r += (double)a[i];
+        return r;
+    } else if (n <= 128) {
+        double r[8];
+        for (int j = 0; j < 8; j++) r[j] = (double)a[j];
+        long i = 8;
+        for (; i < n - (n % 8); i += 8)
+            for (int j = 0; j < 8; j++) r[j] += (double)a[i + j];
+        double res = ((r[0] + r[1]) + (r[2] + r[3]))
+                   + ((r[4] + r[5]) + (r[6] + r[7]));
+        for (; i < n; i++) res += (double)a[i];
+        return res;
+    } else {
+        long n2 = n / 2;
+        n2 -= n2 % 8;
+        return pw_sum_f32(a, n2) + pw_sum_f32(a + n2, n - n2);
+    }
+}
+
+/* forest.py _score_lanes, default kernels only (CommonUtils.java:148-181
+   formulas): per-lane root-to-leaf descent + leaf-to-root gap walk.
+   log2 is table-driven (log2tab[k] = numpy log2(k), masses are ints
+   <= K) and the 2d-gap sum replicates numpy's pairwise order, so every
+   double matches the vectorized Python path bit-for-bit. */
+void rcf_score_lanes(
+    int64_t L, int N, int d,
+    const int32_t *cutdim, const float *cutval,
+    const int32_t *left, const int32_t *right, const int32_t *parent,
+    const float *bbmin, const float *bbmax, const int32_t *mass,
+    const int32_t *root, const float *X,
+    const int64_t *qs, const int64_t *ts,
+    const double *rsum, const double *log2tab, const double *tm_all,
+    double tiny, double *out)
+{
+    float *gbuf = (float *)malloc(sizeof(float) * (size_t)(2 * d));
+    for (int64_t l = 0; l < L; l++) {
+        int64_t q = qs[l];
+        int t = (int)ts[l];
+        size_t base = (size_t)t * N;
+        const float *xq = X + (size_t)q * d;
+        size_t a = base + (size_t)root[t];
+        long depth = 0;
+        while (cutdim[a] >= 0) {
+            float xv = xq[cutdim[a]];
+            int child = xv > cutval[a] ? right[a] : left[a];
+            a = base + (size_t)child;
+            depth++;
+        }
+        const float *lp = bbmin + a * d;
+        int eq = 1;
+        for (int i = 0; i < d; i++)
+            if (xq[i] != lp[i]) { eq = 0; break; }
+        double lm = (double)mass[a];
+        double dd = (double)depth;
+        double tm = tm_all[t];
+        double score;
+        if (eq) {
+            double dampv = 1.0 - lm / (2.0 * (tm >= 1.0 ? tm : 1.0));
+            score = dampv * (1.0 / (dd + log2tab[(long)lm + 1]));
+        } else {
+            score = 1.0 / (dd + 1.0);
+            double d64 = dd - 1.0;
+            int up = parent[a];
+            while (up >= 0) {
+                size_t an = base + (size_t)up;
+                const float *bn = bbmin + an * d;
+                const float *bx = bbmax + an * d;
+                for (int i = 0; i < d; i++) {
+                    float g = bn[i] - xq[i];
+                    gbuf[i] = g > 0.0f ? g : 0.0f;
+                }
+                for (int i = 0; i < d; i++) {
+                    float g = xq[i] - bx[i];
+                    gbuf[d + i] = g > 0.0f ? g : 0.0f;
+                }
+                double dlt = pw_sum_f32(gbuf, 2 * (long)d);
+                double newr = rsum[an] + dlt;
+                double p = 0.0;
+                if (newr > 0.0) p = dlt / (newr > tiny ? newr : tiny);
+                if (!(p > 0.0)) break; /* inside the box: ancestors too */
+                double unseen = 1.0 / (d64 + 1.0);
+                score = p * unseen + (1.0 - p) * score;
+                d64 -= 1.0;
+                up = parent[an];
+            }
+        }
+        out[l] = score * log2tab[(long)tm + 1];
+    }
+    free(gbuf);
+}
+
 /* forest.py _update_tree: ramp-accept fill, then replace-max steady state */
 void rcf_update_batch(
     int T, int N, int K, int d, int B,
@@ -497,6 +594,13 @@ def _load():
         u64p, u64p, u64p, u64p,
         f64p, i64p, f64p, f64p, ctypes.c_double,
     ]
+    lib.rcf_score_lanes.restype = None
+    lib.rcf_score_lanes.argtypes = [
+        ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        i32p, f32p, i32p, i32p, i32p, f32p, f32p, i32p,
+        i32p, f32p, i64p, i64p,
+        f64p, f64p, f64p, ctypes.c_double, f64p,
+    ]
     lib.pcg_selftest.restype = None
     lib.pcg_selftest.argtypes = [
         ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64,
@@ -525,6 +629,52 @@ AVAILABLE = _LIB is not None
 
 def _ptr(arr: np.ndarray, ctype):
     return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+_LOG2TABS: dict[int, np.ndarray] = {}
+
+
+def _log2tab(K: int) -> np.ndarray:
+    """log2tab[k] = np.log2(k) for k = 0..K+1 — the same ufunc loop the
+    Python path applies to (mass + 1.0) arrays, so table lookups are
+    bit-identical to its np.log2 results (masses are integers <= K)."""
+    tab = _LOG2TABS.get(K)
+    if tab is None:
+        with np.errstate(divide="ignore"):
+            tab = np.log2(np.arange(K + 2, dtype=np.float64))
+        _LOG2TABS[K] = tab
+    return tab
+
+
+def score_lanes_c(forest, X32: np.ndarray, qs: np.ndarray, ts: np.ndarray,
+                  flats: tuple, tm_all: np.ndarray) -> np.ndarray:
+    """Default-kernel `_score_lanes` through the C walk; returns the
+    normalized per-(query, tree) score vector, bit-identical to the
+    vectorized Python path (tests/test_ckernel_parity.py)."""
+    cutdim, cutval, left, right, parent, bbmin, bbmax, mass = flats
+    f = forest
+    L = len(qs)
+    out = np.empty(L)
+    if L == 0:
+        return out
+    rsum = (bbmax - bbmin).sum(1, dtype=np.float64)
+    tab = _log2tab(f.K)
+    c = ctypes
+    _LIB.rcf_score_lanes(
+        L, f.N, f.d,
+        _ptr(cutdim, c.c_int32), _ptr(cutval, c.c_float),
+        _ptr(left, c.c_int32), _ptr(right, c.c_int32),
+        _ptr(parent, c.c_int32),
+        _ptr(bbmin, c.c_float), _ptr(bbmax, c.c_float),
+        _ptr(mass, c.c_int32), _ptr(f.root, c.c_int32),
+        _ptr(X32, c.c_float),
+        _ptr(np.ascontiguousarray(qs, np.int64), c.c_int64),
+        _ptr(np.ascontiguousarray(ts, np.int64), c.c_int64),
+        _ptr(rsum, c.c_double), _ptr(tab, c.c_double),
+        _ptr(np.ascontiguousarray(tm_all, np.float64), c.c_double),
+        float(np.finfo(np.float32).tiny), _ptr(out, c.c_double),
+    )
+    return out
 
 
 def update_batch_c(forest, X64: np.ndarray, seqs: np.ndarray, W: np.ndarray,

@@ -730,6 +730,13 @@ class RCFForest:
         (``qs[i]`` row index into X32, ``ts[i]`` tree index) — the packed
         single-gather walk shared by ``score`` (all lanes at once) and
         ``score_approximate`` (block lanes with converged-row dropout)."""
+        if score_seen is None and score_unseen is None and damp is None \
+                and normalizer is None:
+            ck = _ckernel()
+            if ck is not None:
+                # C walk (core/ckernel.py): bit-identical to the
+                # vectorized path below for the default kernels
+                return ck.score_lanes_c(self, X32, qs, ts, flats, tm_all)
         cutdim, cutval, left, right, parent, bbmin, bbmax, mass = flats
         N = self.N
 

@@ -33,6 +33,16 @@ def _update_py(f: RCFForest, X, seqs=None):
         fmod._CK_MOD = saved
 
 
+def _py_path(fn, *a, **kw):
+    """Run any forest call with the C kernel disabled."""
+    saved = fmod._CK_MOD
+    fmod._CK_MOD = False
+    try:
+        return fn(*a, **kw)
+    finally:
+        fmod._CK_MOD = saved
+
+
 def _assert_identical(a: RCFForest, b: RCFForest):
     for name in RCFForest._ARRAY_FIELDS:
         np.testing.assert_array_equal(
@@ -69,9 +79,9 @@ def test_chunked_streams_bit_identical(n, d, k, dup_every, seed, chunk):
         fc.update_batch(X[sl], seqs)
         _update_py(fp, X[sl], seqs)
         _assert_identical(fc, fp)
-    # queries on the identical state agree bit-for-bit
+    # C scoring vs forced-Python scoring on the identical state
     q = rng.normal(0, 2, size=(25, d)).astype(np.float32)
-    np.testing.assert_array_equal(fc.score(q), fp.score(q))
+    np.testing.assert_array_equal(fc.score(q), _py_path(fp.score, q))
 
 
 def test_initial_accept_ramp_parity():
@@ -121,6 +131,73 @@ def test_dynamic_decay_and_pause_parity():
     fc.update_batch(X[250:], np.arange(250, 300))
     _update_py(fp, X[250:], np.arange(250, 300))
     _assert_identical(fc, fp)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    n=st.integers(80, 500),
+    d=st.integers(1, 9),
+    k=st.sampled_from([16, 64, 256]),
+    seed=st.integers(0, 99_999),
+)
+def test_score_lanes_bit_identical(n, d, k, seed):
+    """C score walk vs vectorized Python walk on the same state: exact
+    duplicates of sampled points (eq/damp path), in-distribution points
+    (partial walks) and far outliers (full root walks)."""
+    rng = np.random.default_rng(seed)
+    X = rng.normal(0, 1, size=(n, d)).astype(np.float32)
+    f = RCFForest(d, num_trees=7, sample_size=k, time_decay=0.01, seed=seed)
+    f.update_batch(X)
+    q = np.vstack([
+        X[:20],                                   # seen points
+        rng.normal(0, 1, (20, d)),                # near
+        rng.normal(0, 8, (10, d)),                # far outside every box
+        np.zeros((1, d)),
+    ]).astype(np.float32)
+    c_scores = f.score(q)
+    py_scores = _py_path(f.score, q)
+    np.testing.assert_array_equal(c_scores, py_scores)
+
+
+def test_score_high_dim_pairwise_recursion():
+    """d=70 makes the 2d-gap sum length 140 > 128 — exercises the
+    recursive split branch of the pairwise sum."""
+    rng = np.random.default_rng(77)
+    d = 70
+    X = rng.normal(0, 1, size=(300, d)).astype(np.float32)
+    f = RCFForest(d, num_trees=4, sample_size=64, time_decay=0.0, seed=3)
+    f.update_batch(X)
+    q = np.vstack([X[:10], rng.normal(0, 4, (30, d))]).astype(np.float32)
+    np.testing.assert_array_equal(f.score(q), _py_path(f.score, q))
+
+
+def test_score_integer_grid_duplicates():
+    """Heavy duplication → large leaf masses, zero-gap dims, eq paths."""
+    rng = np.random.default_rng(13)
+    X = rng.integers(-2, 3, size=(600, 3)).astype(np.float32)
+    f = RCFForest(3, num_trees=5, sample_size=128, time_decay=0.02, seed=8)
+    f.update_batch(X)
+    q = np.vstack([X[:30], rng.integers(-6, 7, (30, 3))]).astype(np.float32)
+    np.testing.assert_array_equal(f.score(q), _py_path(f.score, q))
+
+
+def test_score_approximate_parity():
+    """score_approximate routes its block lanes through the same C walk;
+    sums and accepted counts must match the Python path exactly."""
+    rng = np.random.default_rng(29)
+    X = rng.normal(0, 1, size=(400, 4)).astype(np.float32)
+    f = RCFForest(4, num_trees=20, sample_size=64, time_decay=0.01, seed=5)
+    f.update_batch(X)
+    q = np.vstack([X[:15], rng.normal(0, 5, (15, 4))]).astype(np.float32)
+    sc, nc = f.score_approximate(q, precision=0.2, return_accepted=True)
+    sp, npy = _py_path(f.score_approximate, q, precision=0.2,
+                       return_accepted=True)
+    np.testing.assert_array_equal(sc, sp)
+    np.testing.assert_array_equal(nc, npy)
+    # precision<=0 must reproduce score() exactly on both paths
+    np.testing.assert_array_equal(
+        f.score_approximate(q, precision=0.0), f.score(q)
+    )
 
 
 def test_checkpoint_roundtrip_crosses_paths():
