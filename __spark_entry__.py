@@ -438,6 +438,44 @@ def _q_sessionize_events(spark, sf_dir):
     )
 
 
+def _q_tumbling_window_events(spark, sf_dir):
+    """Tumbling-window aggregation (SURVEY §2.6 window semantics; the
+    batch analogue of the streaming windowed aggregates): 1-hour
+    epoch-aligned windows per event_type via Spark's native window()
+    grouping — Catalyst turns this into a single hash aggregate over a
+    projected bucket column, no shuffle beyond the groupBy exchange."""
+    e = _t(spark, sf_dir, "events")
+    w = F.window(F.col("ts"), "1 hour")
+    return (
+        e.groupBy(w.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"),
+             F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(
+            F.unix_millis(F.col("w.start").cast("timestamp")).alias("ws"),
+            "event_type", "n_events", "sum_value", "avg_value",
+        )
+    )
+
+
+def _q_hopping_window_events(spark, sf_dir):
+    """Hopping (sliding) window aggregation: 1-hour windows sliding every
+    15 minutes — each event lands in exactly 4 windows. Spark's window()
+    expands rows JVM-side before one hash aggregate; the DuckDB oracle
+    replays the expansion with an UNNEST of the 4 hop offsets."""
+    e = _t(spark, sf_dir, "events")
+    w = F.window(F.col("ts"), "1 hour", "15 minutes")
+    return (
+        e.groupBy(w.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_millis(F.col("w.start").cast("timestamp")).alias("ws"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
 def _q_media_features(spark, sf_dir):
     """Media decode plumbing over the documents table (payload = utf-8
     bytes of text): posexploded scalar features, DuckDB-oracle-checkable
@@ -800,6 +838,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rcf_attribution_embeddings": _q_rcf_attribution_embeddings,
         "rcf_forecast_events": _q_rcf_forecast_events,
         "sessionize_events": _q_sessionize_events,
+        "tumbling_window_events": _q_tumbling_window_events,
+        "hopping_window_events": _q_hopping_window_events,
         "media_decode_features": _q_media_features,
         "media_resize_plan": _q_media_resize_plan,
         "media_metadata_check": _q_media_metadata_check,
@@ -933,6 +973,24 @@ def oracle_sql() -> dict[str, str]:
                             ) > 1800000 THEN 1 ELSE 0 END AS new_sess
                 FROM events))
             GROUP BY user_id, session_id
+        """,
+        "tumbling_window_events": """
+            SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS ws,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value,
+                   round(avg(value), 4) AS avg_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "hopping_window_events": """
+            SELECT epoch_ms(time_bucket(INTERVAL '15 minutes', ts)
+                            - k * INTERVAL '15 minutes') AS ws,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) hops
+            GROUP BY 1, 2
         """,
         "lsh_cosine_full_probe": """
             SELECT query_id, vec_id, round(cosine, 5) AS cosine, rank FROM (
