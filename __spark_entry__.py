@@ -476,6 +476,28 @@ def _q_hopping_window_events(spark, sf_dir):
     )
 
 
+def _q_asof_events_orders(spark, sf_dir):
+    """Point-in-time alignment (as-of join): attach each event's most
+    recent at-or-before order per customer — the feature-as-of-event
+    shape every training pipeline needs. Spark has no native as-of join;
+    operators/joins.asof_join uses the union + keyed-window
+    carry-forward (one exchange on the key, no row blow-up). The oracle
+    is DuckDB's native ASOF LEFT JOIN, so the gate certifies the
+    distributed rewrite against a reference implementation."""
+    from random_cut_forest_by_aws_spark.operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("last_orderkey"),
+             F.round(F.sum("o_totalprice"), 2).alias("last_order_total"))
+    )
+    j = asof_join(e, o, "user_id", "o_custkey", "ts", "o_orderdate",
+                  ["last_orderkey", "last_order_total"])
+    return j.select("event_id", "user_id", "last_orderkey", "last_order_total")
+
+
 def _q_media_features(spark, sf_dir):
     """Media decode plumbing over the documents table (payload = utf-8
     bytes of text): posexploded scalar features, DuckDB-oracle-checkable
@@ -840,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _q_sessionize_events,
         "tumbling_window_events": _q_tumbling_window_events,
         "hopping_window_events": _q_hopping_window_events,
+        "asof_events_orders": _q_asof_events_orders,
         "media_decode_features": _q_media_features,
         "media_resize_plan": _q_media_resize_plan,
         "media_metadata_check": _q_media_metadata_check,
@@ -991,6 +1014,16 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS sum_value
             FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) hops
             GROUP BY 1, 2
+        """,
+        "asof_events_orders": """
+            SELECT e.event_id, e.user_id, o.last_orderkey, o.last_order_total
+            FROM events e
+            ASOF LEFT JOIN (
+                SELECT o_custkey, o_orderdate,
+                       max(o_orderkey) AS last_orderkey,
+                       round(sum(o_totalprice), 2) AS last_order_total
+                FROM orders GROUP BY 1, 2) o
+            ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         """,
         "lsh_cosine_full_probe": """
             SELECT query_id, vec_id, round(cosine, 5) AS cosine, rank FROM (
