@@ -61,7 +61,16 @@ def asof_join(
         *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
         F.lit(None).cast("timestamp").alias(_RTS),
     )
-    r_tagged = right.select(
+    # SQL equality semantics: a right row with a null key or null timestamp
+    # can never match (null = x is not true). Spark's window would instead
+    # group null keys together and fill them — drop those rows up front.
+    # Left rows with null key/ts stay, and get null value columns: their
+    # partition contains no right rows (or, for null ts, nulls sort first so
+    # the frame holds no right rows either).
+    right_matchable = right.where(
+        F.col(key_right).isNotNull() & F.col(ts_right).isNotNull()
+    )
+    r_tagged = right_matchable.select(
         F.col(key_right).alias("__asof_key"),
         F.col(ts_right).cast("timestamp").alias("__asof_ts"),
         F.lit(0).alias(_MARK),

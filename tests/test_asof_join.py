@@ -94,6 +94,40 @@ def test_asof_join_tolerance(spark):
     assert ref["rv"].isna().sum() > ref_unbounded["rv"].isna().sum()
 
 
+def test_asof_join_null_keys_and_timestamps_never_match(spark):
+    """SQL equality semantics: null keys/timestamps match nothing — unlike
+    a naive Spark window, which groups null keys into one partition."""
+    base = pd.Timestamp("2026-01-01")
+    left = pd.DataFrame(
+        {
+            "k": pd.array([1, 1, None, 2], dtype="Int64"),
+            "t": [base, pd.NaT, base, base],
+            "lval": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rk": pd.array([1, None, 2], dtype="Int64"),
+            "rt": [base - pd.Timedelta("1 hour"), base - pd.Timedelta("1 hour"), pd.NaT],
+            "rv": [10.0, 20.0, 30.0],
+        }
+    )
+    got = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        key_left="k", key_right="rk", ts_left="t", ts_right="rt",
+        value_cols=["rv"],
+    ).toPandas().sort_values("lval").reset_index(drop=True)
+    # row 0: k=1, valid ts -> matches rv=10
+    # row 1: k=1, null ts  -> no match
+    # row 2: null key      -> no match (right's null-key row must not fill it)
+    # row 3: k=2           -> right's only k=2 row has null ts -> no match
+    assert got.loc[0, "rv"] == 10.0
+    assert pd.isna(got.loc[1, "rv"])
+    assert pd.isna(got.loc[2, "rv"])
+    assert pd.isna(got.loc[3, "rv"])
+
+
 def test_asof_join_preserves_left_rowcount_and_schema(spark):
     left, right = _frames(4, n_left=50, n_right=20)
     ldf = spark.createDataFrame(left)
