@@ -476,6 +476,47 @@ def _q_hopping_window_events(spark, sf_dir):
     )
 
 
+def _pii_oracle_sql() -> str:
+    """DuckDB recomputation of pii_profile: counts via regexp_extract_all
+    on the original text, redaction via the same ordered global
+    regexp_replace chain. Built from the SAME pattern constants — the
+    patterns are the spec; the engines' regex implementations are the
+    independent variables under test."""
+    from random_cut_forest_by_aws_spark.operators.scrub import (
+        PII_PATTERNS,
+        REDACT_ORDER,
+    )
+
+    counts = ",\n                   ".join(
+        f"CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_{name}"
+        for name, p in PII_PATTERNS.items()
+    )
+    redacted = "text"
+    for name in REDACT_ORDER:
+        redacted = (
+            f"regexp_replace({redacted}, '{PII_PATTERNS[name]}', "
+            f"'<{name.upper()}>', 'g')"
+        )
+    return f"""
+            SELECT doc_id,
+                   {counts},
+                   {redacted} AS redacted_text
+            FROM documents
+        """
+
+
+def _q_pii_profile_docs(spark, sf_dir):
+    """PII / structural-pattern scrub over documents: per-pattern hit
+    counts on the original text plus the fully redacted text, all
+    JVM-side regex fused into the scan (operators/scrub.py). Patterns
+    are written in the Java-regex ∩ RE2 dialect subset so DuckDB
+    recomputes counts (regexp_extract_all) and redaction
+    (regexp_replace 'g') byte-for-byte."""
+    from random_cut_forest_by_aws_spark.operators.scrub import pii_profile
+
+    return pii_profile(_t(spark, sf_dir, "documents"))
+
+
 def _q_asof_events_orders(spark, sf_dir):
     """Point-in-time alignment (as-of join): attach each event's most
     recent at-or-before order per customer — the feature-as-of-event
@@ -863,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_window_events": _q_tumbling_window_events,
         "hopping_window_events": _q_hopping_window_events,
         "asof_events_orders": _q_asof_events_orders,
+        "pii_profile_docs": _q_pii_profile_docs,
         "media_decode_features": _q_media_features,
         "media_resize_plan": _q_media_resize_plan,
         "media_metadata_check": _q_media_metadata_check,
@@ -1025,6 +1067,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders GROUP BY 1, 2) o
             ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         """,
+        "pii_profile_docs": _pii_oracle_sql(),
         "lsh_cosine_full_probe": """
             SELECT query_id, vec_id, round(cosine, 5) AS cosine, rank FROM (
               SELECT q.vec_id AS query_id, c.vec_id AS vec_id,

@@ -104,7 +104,10 @@ def hostile_sf(spark, tmp_path_factory):
     extra = spark.createDataFrame(
         [(9001, "héllo wörld multi ™ bytes and more words for shingles",
           "xx", "srcX", 25),
-         (9002, "", "xx", "srcX", 0)],
+         (9002, "", "xx", "srcX", 0),
+         (9003, "contact jörg at jorg.müller+x@example.de or 555-123-4567, "
+                "sée https://exämple.com/p?q=1 from 192.168.0.1 id 9876543210",
+          "xx", "srcX", 120)],
         "doc_id bigint, text string, lang string, source string, n_chars bigint",
     )
     src.unionByName(extra).coalesce(1).write.parquet(f"{root}/documents.parquet")
@@ -116,6 +119,7 @@ def hostile_sf(spark, tmp_path_factory):
     "lang_quality_docs", "minhash_candidates_docs",
     "text_profile_docs", "token_counts_docs",
     "repetition_docs", "contamination_docs", "mixture_sample_docs",
+    "pii_profile_docs",
 ])
 def test_text_oracles_survive_hostile_docs(spark, hostile_sf, name):
     """The text/media oracles must match DuckDB even with non-ASCII and
