@@ -517,6 +517,29 @@ def _q_pii_profile_docs(spark, sf_dir):
     return pii_profile(_t(spark, sf_dir, "documents"))
 
 
+def _q_pack_sequences_docs(spark, sf_dir):
+    """Concat-and-chunk sequence packing: per-source documents laid
+    end-to-end in doc_id order and split into 512-token training packs
+    (operators/packing.py — hierarchical bucketed prefix sum, no
+    whole-key window partition). n_tok is the BPE-ish regex token count
+    shared with token_counts_docs. bucket_width=64 so the gate actually
+    exercises the multi-bucket offset path (~8 buckets per source)."""
+    from random_cut_forest_by_aws_spark.operators.packing import pack_sequences
+    from random_cut_forest_by_aws_spark.operators.textqc import BPE_ISH_PATTERN
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN))
+        .cast("bigint")
+        .alias("n_tok"),
+    )
+    return pack_sequences(
+        docs, 512, "n_tok", key_col="source", order_col="doc_id",
+        bucket_width=64,
+    )
+
+
 def _q_asof_events_orders(spark, sf_dir):
     """Point-in-time alignment (as-of join): attach each event's most
     recent at-or-before order per customer — the feature-as-of-event
@@ -905,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hopping_window_events": _q_hopping_window_events,
         "asof_events_orders": _q_asof_events_orders,
         "pii_profile_docs": _q_pii_profile_docs,
+        "pack_sequences_docs": _q_pack_sequences_docs,
         "media_decode_features": _q_media_features,
         "media_resize_plan": _q_media_resize_plan,
         "media_metadata_check": _q_media_metadata_check,
@@ -1068,6 +1092,32 @@ def oracle_sql() -> dict[str, str]:
             ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         """,
         "pii_profile_docs": _pii_oracle_sql(),
+        "pack_sequences_docs": """
+            WITH toks AS (
+              SELECT source, doc_id,
+                     CAST(len(regexp_extract_all(text,
+                          '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tok
+              FROM documents),
+            cum AS (
+              SELECT source, doc_id, n_tok,
+                     CAST(COALESCE(SUM(n_tok) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS cum_before
+              FROM toks WHERE n_tok > 0),
+            packs AS (
+              SELECT source, doc_id, n_tok, cum_before,
+                     unnest(range(CAST(cum_before // 512 AS BIGINT),
+                                  CAST((cum_before + n_tok - 1) // 512 + 1
+                                       AS BIGINT))) AS pack_id
+              FROM cum)
+            SELECT source, doc_id, n_tok, CAST(pack_id AS BIGINT) AS pack_id,
+                   CAST(GREATEST(0, cum_before - pack_id * 512) AS BIGINT)
+                     AS tok_begin,
+                   CAST(LEAST(512, cum_before + n_tok - pack_id * 512)
+                        AS BIGINT) AS tok_end
+            FROM packs
+        """,
         "lsh_cosine_full_probe": """
             SELECT query_id, vec_id, round(cosine, 5) AS cosine, rank FROM (
               SELECT q.vec_id AS query_id, c.vec_id AS vec_id,

@@ -1,0 +1,128 @@
+"""Sequence packing: pure-Python reference parity, tiling invariants,
+and bucket-width independence of the hierarchical prefix sum."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from random_cut_forest_by_aws_spark.operators.packing import (
+    doc_token_offsets,
+    pack_sequences,
+)
+
+# (source, doc_id, n_tok): out-of-order ids, a zero-token doc, a doc
+# spanning several budgets, and a second key.
+DOCS = [
+    ("web", 11, 7),
+    ("web", 3, 5),
+    ("web", 42, 0),
+    ("web", 7, 23),  # spans multiple packs at budget 8
+    ("web", 29, 1),
+    ("books", 2, 8),  # exactly one full pack
+    ("books", 9, 9),
+    ("books", 100, 2),
+]
+BUDGET = 8
+
+
+def _reference_pack(docs, budget):
+    """Concat-and-chunk by hand: walk each key's docs in id order,
+    tracking the global token cursor."""
+    rows = []
+    by_key = {}
+    for key, did, n in docs:
+        by_key.setdefault(key, []).append((did, n))
+    for key, items in by_key.items():
+        cursor = 0
+        for did, n in sorted(items):
+            if n <= 0:
+                continue
+            first, last = cursor // budget, (cursor + n - 1) // budget
+            for p in range(first, last + 1):
+                begin = max(0, cursor - p * budget)
+                end = min(budget, cursor + n - p * budget)
+                rows.append((key, did, n, p, begin, end))
+            cursor += n
+    return pd.DataFrame(
+        rows,
+        columns=["source", "doc_id", "n_tok", "pack_id", "tok_begin", "tok_end"],
+    ).sort_values(["source", "doc_id", "pack_id"]).reset_index(drop=True)
+
+
+def _spark_pack(spark, bucket_width):
+    df = spark.createDataFrame(
+        pd.DataFrame(DOCS, columns=["source", "doc_id", "n_tok"])
+    )
+    return (
+        pack_sequences(
+            df, BUDGET, "n_tok", bucket_width=bucket_width
+        )
+        .toPandas()
+        .astype({"n_tok": "int64", "pack_id": "int64",
+                 "tok_begin": "int64", "tok_end": "int64"})
+        .sort_values(["source", "doc_id", "pack_id"])
+        .reset_index(drop=True)
+    )
+
+
+def test_matches_reference(spark):
+    got = _spark_pack(spark, bucket_width=1 << 20)
+    exp = _reference_pack(DOCS, BUDGET)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@pytest.mark.parametrize("bucket_width", [1, 3, 16, 1 << 40])
+def test_bucket_width_invariance(spark, bucket_width):
+    """The hierarchical prefix sum must give identical offsets at any
+    bucket granularity — including width 1 (every doc its own bucket)
+    and a width larger than every id (one bucket per key)."""
+    got = _spark_pack(spark, bucket_width=bucket_width)
+    exp = _reference_pack(DOCS, BUDGET)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_tiling_invariants(spark):
+    """Within each (key, pack) the doc ranges tile [0, budget) with no
+    gaps or overlaps; every pack except each key's last is full."""
+    got = _spark_pack(spark, bucket_width=4)
+    for (key, pack), grp in got.groupby(["source", "pack_id"]):
+        grp = grp.sort_values("tok_begin")
+        assert grp["tok_begin"].iloc[0] == 0, (key, pack)
+        ends = grp["tok_end"].to_numpy()
+        begins = grp["tok_begin"].to_numpy()
+        assert (begins[1:] == ends[:-1]).all(), (key, pack)
+        last_pack = got.loc[got["source"] == key, "pack_id"].max()
+        if pack < last_pack:
+            assert ends[-1] == BUDGET, (key, pack)
+    # total packed tokens == total input tokens (zero-token docs drop out)
+    assert (got["tok_end"] - got["tok_begin"]).sum() == sum(
+        n for _, _, n in DOCS
+    )
+
+
+def test_offsets_only(spark):
+    """doc_token_offsets is the exclusive per-key prefix sum in id
+    order, with zero-token docs removed."""
+    df = spark.createDataFrame(
+        pd.DataFrame(DOCS, columns=["source", "doc_id", "n_tok"])
+    )
+    got = (
+        doc_token_offsets(df, "n_tok", bucket_width=3)
+        .toPandas()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    web = got[got["source"] == "web"]
+    assert web["doc_id"].tolist() == [3, 7, 11, 29]
+    assert web["cum_before"].tolist() == [0, 5, 28, 35]
+    books = got[got["source"] == "books"]
+    assert books["cum_before"].tolist() == [0, 8, 17]
+
+
+def test_budget_validation(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(DOCS, columns=["source", "doc_id", "n_tok"])
+    )
+    with pytest.raises(ValueError):
+        pack_sequences(df, 0, "n_tok")
