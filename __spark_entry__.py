@@ -540,6 +540,21 @@ def _q_pack_sequences_docs(spark, sf_dir):
     )
 
 
+def _q_quota_sample_docs(spark, sf_dir):
+    """Exact-quota deterministic sampling: exactly min(7, n) documents
+    per source under the engine-portable (hash(id), id) order
+    (operators/sampling.py — two-phase salted top-K, no whole-key window
+    partition; salt_buckets=8 so the gate exercises the bucketed path).
+    The oracle replays the fold-multiply hash arithmetic and the rank in
+    DuckDB."""
+    from random_cut_forest_by_aws_spark.operators.sampling import quota_sample
+
+    docs = _t(spark, sf_dir, "documents").select("source", "doc_id")
+    return quota_sample(docs, 7, salt_buckets=8).withColumn(
+        "sample_rank", F.col("sample_rank").cast("bigint")
+    )
+
+
 def _q_asof_events_orders(spark, sf_dir):
     """Point-in-time alignment (as-of join): attach each event's most
     recent at-or-before order per customer — the feature-as-of-event
@@ -929,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_events_orders": _q_asof_events_orders,
         "pii_profile_docs": _q_pii_profile_docs,
         "pack_sequences_docs": _q_pack_sequences_docs,
+        "quota_sample_docs": _q_quota_sample_docs,
         "media_decode_features": _q_media_features,
         "media_resize_plan": _q_media_resize_plan,
         "media_metadata_check": _q_media_metadata_check,
@@ -1368,6 +1384,22 @@ def oracle_sql() -> dict[str, str]:
                    round(hits.n_overlap::DOUBLE /
                          greatest(greatest(len(w.ws) - 2, 0), 1), 6) AS overlap_frac
             FROM hits JOIN w ON hits.doc_id = w.doc_id
+        """,
+        "quota_sample_docs": """
+            -- same double-fold hash arithmetic as mixture_sample_docs,
+            -- kept as the integer rank key (exact comparisons)
+            WITH h AS (
+              SELECT source, doc_id,
+                     (((((doc_id % 2147483648) + 2147483648) % 2147483648)
+                       * 2654435761 + 42) % 2147483648) AS qh
+              FROM documents),
+            r AS (
+              SELECT source, doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY qh, doc_id) AS sample_rank
+              FROM h)
+            SELECT source, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
+            FROM r WHERE sample_rank <= 7
         """,
         "mixture_sample_docs": """
             -- ((x % M) + M) % M: Spark pmod is non-negative, DuckDB %
