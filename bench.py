@@ -265,6 +265,44 @@ def main() -> None:
 
         timed("pipeline_qc", run_pipeline_qc)
 
+        def run_pipeline_scrub_pack():
+            # scrub + pack + quota-sample (the corpus-shaping chain).
+            # .count() would prune the computed columns, so each step is
+            # forced through an aggregate that references its outputs.
+            from random_cut_forest_by_aws_spark.operators.packing import (
+                pack_sequences,
+            )
+            from random_cut_forest_by_aws_spark.operators.sampling import (
+                quota_sample,
+            )
+            from random_cut_forest_by_aws_spark.operators.scrub import (
+                pii_profile,
+            )
+            from random_cut_forest_by_aws_spark.operators.textqc import (
+                BPE_ISH_PATTERN,
+            )
+
+            prof = pii_profile(docs)
+            forced = (
+                F.sum("n_email") + F.sum("n_phone") + F.sum("n_ipv4")
+                + F.sum("n_url") + F.sum("n_digit_run")
+                + F.sum(F.length("redacted_text"))
+            )
+            n = int(prof.agg(forced.alias("x")).collect()[0]["x"])
+            toks = docs.select(
+                "source", "doc_id",
+                F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN))
+                .cast("bigint").alias("n_tok"),
+            )
+            packed = pack_sequences(toks, 2048, "n_tok")
+            n += int(
+                packed.agg(F.sum("tok_end").alias("x")).collect()[0]["x"]
+            )
+            n += quota_sample(docs.select("source", "doc_id"), 100).count()
+            return n
+
+        timed("pipeline_scrub_pack", run_pipeline_scrub_pack)
+
     # bracketing calibration: the window the suite ran in is bounded by
     # (cal_pre, cal_post); host_cal_mops stays the post value for
     # continuity with earlier rounds' JSONs.
