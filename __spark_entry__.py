@@ -540,6 +540,20 @@ def _q_pack_sequences_docs(spark, sf_dir):
     )
 
 
+def _q_lm_logprob_docs(spark, sf_dir):
+    """Corpus-LM quality scoring (perplexity proxy): per-document mean
+    add-one-smoothed unigram log-probability under the corpus's own
+    word-frequency model (operators/lm_quality.py — two-pass: Zipf-
+    bounded frequency aggregate, broadcast scoring join). The oracle
+    replays the identical model in DuckDB from the same raw space-split
+    tokens."""
+    from random_cut_forest_by_aws_spark.operators.lm_quality import (
+        unigram_logprob,
+    )
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"), min_count=5)
+
+
 def _q_quota_sample_docs(spark, sf_dir):
     """Exact-quota deterministic sampling: exactly min(7, n) documents
     per source under the engine-portable (hash(id), id) order
@@ -945,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_profile_docs": _q_pii_profile_docs,
         "pack_sequences_docs": _q_pack_sequences_docs,
         "quota_sample_docs": _q_quota_sample_docs,
+        "lm_logprob_docs": _q_lm_logprob_docs,
         "media_decode_features": _q_media_features,
         "media_resize_plan": _q_media_resize_plan,
         "media_metadata_check": _q_media_metadata_check,
@@ -1384,6 +1399,28 @@ def oracle_sql() -> dict[str, str]:
                    round(hits.n_overlap::DOUBLE /
                          greatest(greatest(len(w.ws) - 2, 0), 1), 6) AS overlap_frac
             FROM hits JOIN w ON hits.doc_id = w.doc_id
+        """,
+        "lm_logprob_docs": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents),
+            freq AS (
+              SELECT word, COUNT(*) AS cnt FROM tok
+              GROUP BY word HAVING COUNT(*) >= 5),
+            stats AS (
+              SELECT (SELECT COUNT(*) FROM tok) AS n_total,
+                     (SELECT COUNT(*) FROM freq) AS v),
+            scored AS (
+              SELECT t.doc_id, COALESCE(f.cnt, 0) AS cnt
+              FROM tok t LEFT JOIN freq f USING (word))
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tok,
+                   CAST(SUM(CASE WHEN cnt = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_oov,
+                   ROUND(AVG(LN((cnt + 1.0) / (n_total + v + 1.0))), 4)
+                     AS logprob
+            FROM scored, stats
+            GROUP BY doc_id
         """,
         "quota_sample_docs": """
             -- same double-fold hash arithmetic as mixture_sample_docs,

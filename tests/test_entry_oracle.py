@@ -120,6 +120,7 @@ def hostile_sf(spark, tmp_path_factory):
     "text_profile_docs", "token_counts_docs",
     "repetition_docs", "contamination_docs", "mixture_sample_docs",
     "pii_profile_docs", "pack_sequences_docs", "quota_sample_docs",
+    "lm_logprob_docs",
 ])
 def test_text_oracles_survive_hostile_docs(spark, hostile_sf, name):
     """The text/media oracles must match DuckDB even with non-ASCII and
