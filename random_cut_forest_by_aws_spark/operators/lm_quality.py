@@ -53,13 +53,22 @@ def unigram_logprob(
     tok = docs.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
     )
-    freq = (
-        tok.groupBy("word")
+    # Unfiltered frequency table FIRST: the vocabulary (HAVING), the
+    # total token count N (sum of all counts) and the vocab size V all
+    # derive from it, so the three consumers hang off ONE exchange
+    # (ReuseExchange) and the model pass explodes the corpus once — not
+    # three times. The explicit isnotnull(word) mirrors the null-
+    # rejection the scoring join infers on its build side; without it
+    # that branch's canonicalized subtree diverges and the reuse breaks
+    # (split() elements are never null, so semantics are unchanged).
+    freq_all = (
+        tok.filter(F.col("word").isNotNull())
+        .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") >= min_count)
     )
+    freq = freq_all.filter(F.col("cnt") >= min_count)
     # N counts ALL tokens (in- and out-of-vocabulary); V is vocab size.
-    stats = tok.agg(F.count(F.lit(1)).alias("n_total")).crossJoin(
+    stats = freq_all.agg(F.sum("cnt").alias("n_total")).crossJoin(
         freq.agg(F.count(F.lit(1)).alias("v"))
     )
     scored = (
