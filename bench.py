@@ -303,6 +303,17 @@ def main() -> None:
 
         timed("pipeline_scrub_pack", run_pipeline_scrub_pack)
 
+        def run_lm_quality():
+            from random_cut_forest_by_aws_spark.operators.lm_quality import (
+                unigram_logprob,
+            )
+
+            return unigram_logprob(docs, min_count=5).agg(
+                F.sum("n_oov").alias("a"), F.sum("logprob").alias("b")
+            ).collect()
+
+        timed("lm_quality", run_lm_quality)
+
     # bracketing calibration: the window the suite ran in is bounded by
     # (cal_pre, cal_post); host_cal_mops stays the post value for
     # continuity with earlier rounds' JSONs.
