@@ -1,0 +1,79 @@
+"""Property-based checks for the corpus-shaping operators: random
+corpora vs the pure-Python references (hypothesis), following the
+forest-properties conventions (small max_examples — each example runs a
+Spark job)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from random_cut_forest_by_aws_spark.operators.packing import pack_sequences
+from random_cut_forest_by_aws_spark.operators.sampling import quota_sample
+from test_packing import _reference_pack
+from test_sampling import _reference as _reference_quota
+
+_corpus = st.lists(
+    st.tuples(
+        st.sampled_from(["web", "books", "code"]),
+        st.integers(0, 500),           # doc ids (deduped below)
+        st.integers(0, 30),            # n_tok, zeros included
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _dedupe_ids(rows):
+    seen, out = set(), []
+    for key, did, n in rows:
+        if did not in seen:
+            seen.add(did)
+            out.append((key, did, n))
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=_corpus, budget=st.integers(1, 25),
+       bucket_width=st.sampled_from([1, 3, 17, 1 << 30]))
+def test_pack_matches_reference(spark, rows, budget, bucket_width):
+    docs = _dedupe_ids(rows)
+    pdf = pd.DataFrame(docs, columns=["source", "doc_id", "n_tok"])
+    got = (
+        pack_sequences(
+            spark.createDataFrame(pdf), budget, "n_tok",
+            bucket_width=bucket_width,
+        )
+        .toPandas()
+        .astype({c: "int64" for c in
+                 ("doc_id", "n_tok", "pack_id", "tok_begin", "tok_end")})
+        .sort_values(["source", "doc_id", "pack_id"])
+        .reset_index(drop=True)
+    )
+    exp = _reference_pack(docs, budget)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=_corpus, quota=st.integers(1, 12),
+       salt_buckets=st.sampled_from([1, 2, 7, 64]))
+def test_quota_matches_reference(spark, rows, quota, salt_buckets):
+    docs = _dedupe_ids(rows)
+    pdf = pd.DataFrame(
+        [(k, d) for k, d, _ in docs], columns=["source", "doc_id"]
+    )
+    got = (
+        quota_sample(spark.createDataFrame(pdf), quota,
+                     salt_buckets=salt_buckets)
+        .toPandas()
+        .astype({"doc_id": "int64", "sample_rank": "int64"})
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    exp = _reference_quota(pdf, quota)
+    pd.testing.assert_frame_equal(
+        got[["source", "doc_id", "sample_rank"]],
+        exp[["source", "doc_id", "sample_rank"]],
+        check_dtype=False,
+    )
