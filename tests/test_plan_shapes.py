@@ -1,0 +1,75 @@
+"""Executed-plan regression canaries for the claims in PLANS.md.
+
+Exchange-reuse (one physical scan feeding both prefix-sum branches)
+rests on canonical plan equality, which silently breaks if a branch
+picks up an extra inferred filter or loses its window (both happened
+during development — see the packing/lm_quality docstrings). These
+tests execute the real queries at sf0.01 and assert the scan counts in
+the FINAL adaptive plan. NOTE: plans must be read from the DataFrame
+that was itself collected — a derived aggregate leaves the parent's
+queryExecution unexecuted and its printed plan is fiction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _final_plan(df) -> str:
+    df.collect()
+    full = df._jdf.queryExecution().executedPlan().toString()
+    return full.split("== Initial Plan ==")[0]
+
+
+def test_pack_sequences_single_scan(spark):
+    import __spark_entry__ as em
+
+    plan = _final_plan(em.queries()["pack_sequences_docs"](spark, SF_DIR))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Reused" in plan, plan
+
+
+def test_lm_quality_two_scans(spark):
+    """Model pass + scoring pass — the dataflow floor. The three model
+    consumers (vocab, N, V) must share one exchange, or this climbs
+    back to 4 scans."""
+    import __spark_entry__ as em
+
+    plan = _final_plan(em.queries()["lm_logprob_docs"](spark, SF_DIR))
+    assert plan.count("FileScan parquet") == 2, plan
+    assert plan.count("Reused") >= 1, plan
+
+
+def test_pii_profile_is_bare_scan(spark):
+    """Scrub is scan-fused: no exchange anywhere in the plan."""
+    from random_cut_forest_by_aws_spark.operators.scrub import pii_profile
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _final_plan(pii_profile(docs))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_pack_scan_prunes_and_evaluates_ntok_once(spark):
+    """The token-count expression must not leak into the scan's
+    DataFilters (the n_tok > 0 pushdown re-evaluation — 2x the scan)."""
+    from random_cut_forest_by_aws_spark.operators.packing import pack_sequences
+    from random_cut_forest_by_aws_spark.operators.textqc import BPE_ISH_PATTERN
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    toks = docs.select(
+        "source", "doc_id",
+        F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN))
+        .cast("bigint").alias("n_tok"),
+    )
+    plan = _final_plan(pack_sequences(toks, 512, "n_tok", bucket_width=64))
+    scan_lines = [
+        ln for ln in plan.splitlines() if "FileScan parquet" in ln
+    ]
+    assert scan_lines, plan
+    for ln in scan_lines:
+        assert "regexp_extract_all" not in ln.split("ReadSchema")[0].split(
+            "DataFilters: ["
+        )[-1].split("]")[0], ln
