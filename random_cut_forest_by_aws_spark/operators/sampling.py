@@ -44,21 +44,41 @@ def order_hash(id_col: str = "doc_id", seed: int = 42) -> Column:
 
 def quota_sample(
     df: DataFrame,
-    quota: int,
+    quota: int | dict[str, int],
     key_col: str = "source",
     id_col: str = "doc_id",
     seed: int = 42,
     salt_buckets: int = 64,
+    default_quota: int = 0,
 ) -> DataFrame:
     """Keep exactly min(quota, group size) rows per ``key_col`` group,
     the ones ranking first under the deterministic (hash(id), id) order.
 
+    ``quota`` is a single cap or a per-key dict (``{"web": 1_000_000,
+    "books": 250_000}`` — the usual mixture spec); keys absent from the
+    dict get ``default_quota`` (0 ⇒ dropped entirely). Dicts resolve as
+    a literal CASE chain — mixes have tens of domains; broadcast-join a
+    quota table instead for high-cardinality keys.
+
     Returns the input columns plus ``sample_rank`` (1..quota within the
     key). Reruns and backfills select the identical rows; adding new
     documents to a key only displaces the current highest-ranked ones.
+    The two-phase cut stays exact per key: phase 1 keeps each salt
+    bucket's top-(that key's quota), and a key's global top-K is
+    contained in the union of its buckets' top-Ks.
     """
-    if quota <= 0:
-        raise ValueError(f"quota must be positive, got {quota}")
+    if isinstance(quota, dict):
+        if any(q < 0 for q in quota.values()) or default_quota < 0:
+            raise ValueError(f"quotas must be non-negative, got {quota}")
+        qcol: Column = F.lit(int(default_quota))
+        for key, q in sorted(quota.items()):
+            qcol = F.when(F.col(key_col) == F.lit(key), F.lit(int(q))).otherwise(
+                qcol
+            )
+    else:
+        if quota <= 0:
+            raise ValueError(f"quota must be positive, got {quota}")
+        qcol = F.lit(int(quota))
     if salt_buckets <= 0:
         raise ValueError(f"salt_buckets must be positive, got {salt_buckets}")
     qh = order_hash(id_col, seed)
@@ -68,12 +88,12 @@ def quota_sample(
     w_local = Window.partitionBy(key_col, "_qsalt").orderBy("_qh", id_col)
     survivors = (
         salted.withColumn("_qr", F.row_number().over(w_local))
-        .filter(F.col("_qr") <= quota)
+        .filter(F.col("_qr") <= qcol)
         .drop("_qr", "_qsalt")
     )
     w_exact = Window.partitionBy(key_col).orderBy("_qh", id_col)
     return (
         survivors.withColumn("sample_rank", F.row_number().over(w_exact))
-        .filter(F.col("sample_rank") <= quota)
+        .filter(F.col("sample_rank") <= qcol)
         .drop("_qh")
     )

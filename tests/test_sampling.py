@@ -89,9 +89,31 @@ def test_deterministic_and_stable_under_growth(spark):
     assert len(kept_both) >= 4
 
 
+def test_per_key_quota_dict(spark):
+    """Dict quotas: per-key caps honored exactly, unlisted keys get the
+    default (0 = dropped entirely)."""
+    pdf = _fixture()
+    df = spark.createDataFrame(pdf)
+    got = quota_sample(
+        df, {"web": 4, "books": 2}, salt_buckets=7
+    ).toPandas()
+    counts = got.groupby("source").size().to_dict()
+    assert counts == {"web": 4, "books": 2}  # code/tiny dropped (default 0)
+    # the selected rows are each key's global top-k under the hash order
+    for key, k in [("web", 4), ("books", 2)]:
+        exp = _reference(pdf[pdf["source"] == key], k)
+        assert set(got.loc[got["source"] == key, "doc_id"]) == set(exp["doc_id"])
+    # default_quota keeps unlisted keys at the default cap
+    got2 = quota_sample(df, {"web": 4}, default_quota=1).toPandas()
+    c2 = got2.groupby("source").size().to_dict()
+    assert c2 == {"web": 4, "books": 1, "code": 1, "tiny": 1}
+
+
 def test_validation(spark):
     df = spark.createDataFrame(_fixture())
     with pytest.raises(ValueError):
         quota_sample(df, 0)
     with pytest.raises(ValueError):
         quota_sample(df, 5, salt_buckets=0)
+    with pytest.raises(ValueError):
+        quota_sample(df, {"web": -1})
