@@ -1,4 +1,4 @@
-"""Optional C kernel for the forest update loop.
+"""Optional C kernels for the forest hot loops (update / score / attribution).
 
 The sampler-accept → tree-surgery inner loop (``_update_tree`` +
 ``_TreeOps.insert/delete`` in forest.py) is pointer-chasing scalar work —
@@ -21,6 +21,16 @@ Bit-exactness is the contract, not best-effort:
 * ``tests/test_ckernel_parity.py`` drives both paths over random
   streams (duplicates, evictions, partial fills) and asserts ALL
   canonical arrays + RNG states are identical bit-for-bit.
+
+Besides the update loop this module carries the default-kernel score
+walk (``rcf_score_lanes``) and the default-kernel DiVector attribution
+walk (``rcf_attribution_lanes``) — the three per-row hot paths of the
+drift operator. Transcribing the attribution walk exposed a real bug in
+the vectorized Python path (round 5): the duplicate-leaf shadow-box
+union was frozen at level 0 by a ufunc ``out=`` on a fancy-indexed
+copy; the fixed Python path, the C path, and a scalar transcription of
+the reference visitor now agree bit-for-bit
+(tests/test_ckernel_parity.py::test_attribution_shadow_union_matches_reference_walk).
 
 If gcc is missing, compilation fails, or the load-time PCG self-check
 fails, ``AVAILABLE`` stays False and forest.py silently keeps the pure
@@ -435,6 +445,198 @@ void rcf_score_lanes(
     free(gbuf);
 }
 
+/* numpy pairwise_sum_DOUBLE over float64 input — same block structure as
+   pw_sum_f32 (n<8 sequential / <=128 8-accumulator / recursive split),
+   verified bit-identical to ndarray.sum(axis=1) for n = 1..1000 */
+static double pw_sum_f64(const double *a, long n) {
+    if (n < 8) {
+        double r = 0.0;
+        for (long i = 0; i < n; i++) r += a[i];
+        return r;
+    } else if (n <= 128) {
+        double r[8];
+        for (int j = 0; j < 8; j++) r[j] = a[j];
+        long i = 8;
+        for (; i < n - (n % 8); i += 8)
+            for (int j = 0; j < 8; j++) r[j] += a[i + j];
+        double res = ((r[0] + r[1]) + (r[2] + r[3]))
+                   + ((r[4] + r[5]) + (r[6] + r[7]));
+        for (; i < n; i++) res += a[i];
+        return res;
+    } else {
+        long n2 = n / 2;
+        n2 -= n2 % 8;
+        return pw_sum_f64(a, n2) + pw_sum_f64(a + n2, n - n2);
+    }
+}
+
+/* forest.py RCFForest.attribution, default kernels only: per-lane
+   DiVector walk (AnomalyAttributionVisitor.java:34,
+   AbstractAttributionVisitor.java:118-167). Unlike the score walk the
+   numpy path computes directional gaps in FLOAT64 (X32.astype(float64)
+   minus float32 boxes), so every gap here is double arithmetic and the
+   d-length reductions go through pw_sum_f64. hi_out/lo_out are [Q,d]
+   zeroed by the caller; lanes accumulate in order (np.add.at order) and
+   the caller divides by T (or the per-row accepted count). */
+void rcf_attribution_lanes(
+    int64_t L, int N, int d,
+    const int32_t *cutdim, const float *cutval,
+    const int32_t *left, const int32_t *right, const int32_t *parent,
+    const float *bbmin, const float *bbmax, const int32_t *mass,
+    const int32_t *root, const float *X,
+    const int64_t *qs, const int64_t *ts,
+    const double *rsum, const double *log2tab, const double *tm_all,
+    double tiny, double *hi_out, double *lo_out)
+{
+    double *scr = (double *)malloc(sizeof(double) * (size_t)d * 8);
+    double *x64 = scr;
+    double *dh = scr + d;
+    double *dl = scr + 2 * (size_t)d;
+    double *tmp = scr + 3 * (size_t)d;
+    double *smin = scr + 4 * (size_t)d;
+    double *smax = scr + 5 * (size_t)d;
+    double *h = scr + 6 * (size_t)d;
+    double *lv = scr + 7 * (size_t)d;
+    for (int64_t lane = 0; lane < L; lane++) {
+        int64_t q = qs[lane];
+        int t = (int)ts[lane];
+        size_t base = (size_t)t * N;
+        const float *xq = X + (size_t)q * d;
+        for (int i = 0; i < d; i++) x64[i] = (double)xq[i];
+        size_t a = base + (size_t)root[t];
+        long depth = 0;
+        while (cutdim[a] >= 0) {
+            float xv = xq[cutdim[a]];
+            int child = xv > cutval[a] ? right[a] : left[a];
+            a = base + (size_t)child;
+            depth++;
+        }
+        const float *lp = bbmin + a * d;
+        for (int i = 0; i < d; i++) {
+            double g = x64[i] - (double)lp[i];
+            dh[i] = g > 0.0 ? g : 0.0;
+            g = (double)lp[i] - x64[i];
+            dl[i] = g > 0.0 ? g : 0.0;
+            tmp[i] = dh[i] + dl[i];
+        }
+        double sumnew = pw_sum_f64(tmp, d);
+        int eq = sumnew <= 0.0;
+        double lm = (double)mass[a];
+        double dd = (double)depth;
+        double tm = tm_all[t];
+        double saved;
+        if (eq) {
+            double dampv = 1.0 - lm / (2.0 * (tm >= 1.0 ? tm : 1.0));
+            saved = dampv * (1.0 / (dd + log2tab[(long)lm + 1]));
+            double v = saved / (double)(2 * d);
+            for (int i = 0; i < d; i++) { h[i] = v; lv[i] = v; }
+        } else {
+            saved = 1.0 / (dd + 1.0);
+            for (int i = 0; i < d; i++) {
+                h[i] = saved * dh[i] / sumnew;
+                lv[i] = saved * dl[i] / sumnew;
+            }
+        }
+        if (eq) {
+            /* duplicate leaf: counterfactual shadow-box walk
+               (hitDuplicates path) + DiVector renormalize */
+            long pa = parent[a];
+            if (pa >= 0) {
+                double walkd = dd - 1.0;
+                int first = 1;
+                for (;;) {
+                    size_t pan = base + (size_t)pa;
+                    int cdp = cutdim[pan];
+                    int go_left = x64[cdp] <= (double)cutval[pan];
+                    long sib = go_left ? right[pan] : left[pan];
+                    const float *sbn = bbmin + (base + (size_t)sib) * d;
+                    const float *sbx = bbmax + (base + (size_t)sib) * d;
+                    if (first) {
+                        for (int i = 0; i < d; i++) {
+                            smin[i] = (double)sbn[i];
+                            smax[i] = (double)sbx[i];
+                        }
+                        first = 0;
+                    } else {
+                        for (int i = 0; i < d; i++) {
+                            double v = (double)sbn[i];
+                            if (v < smin[i]) smin[i] = v;
+                            v = (double)sbx[i];
+                            if (v > smax[i]) smax[i] = v;
+                        }
+                    }
+                    for (int i = 0; i < d; i++) {
+                        double g = x64[i] - smax[i];
+                        dh[i] = g > 0.0 ? g : 0.0;
+                        g = smin[i] - x64[i];
+                        dl[i] = g > 0.0 ? g : 0.0;
+                        double hi2 = smax[i] >= x64[i] ? smax[i] : x64[i];
+                        double lo2 = smin[i] <= x64[i] ? smin[i] : x64[i];
+                        tmp[i] = hi2 - lo2;
+                    }
+                    double new_sum = pw_sum_f64(tmp, d);
+                    for (int i = 0; i < d; i++) tmp[i] = dh[i] + dl[i];
+                    double dlt = pw_sum_f64(tmp, d);
+                    double safe = new_sum > tiny ? new_sum : tiny;
+                    double p = new_sum > 0.0 ? dlt / safe : 0.0;
+                    int pos = p > 0.0;
+                    if (pos) {
+                        double ns = 1.0 / (walkd + 1.0);
+                        for (int i = 0; i < d; i++) {
+                            h[i] = (dh[i] / safe) * ns + (1.0 - p) * h[i];
+                            lv[i] = (dl[i] / safe) * ns + (1.0 - p) * lv[i];
+                        }
+                    }
+                    long nxt = parent[pan];
+                    walkd -= 1.0;
+                    if (!(pos && nxt >= 0)) break;
+                    pa = nxt;
+                }
+                double tot = pw_sum_f64(h, d) + pw_sum_f64(lv, d);
+                double scale =
+                    tot > 0.0 ? saved / (tot > 1e-300 ? tot : 1e-300) : 1.0;
+                for (int i = 0; i < d; i++) { h[i] *= scale; lv[i] *= scale; }
+            }
+        } else {
+            /* leaf-to-root probability mix (unseen path) */
+            long up = parent[a];
+            double walkd = dd - 1.0;
+            while (up >= 0) {
+                size_t an = base + (size_t)up;
+                const float *bn = bbmin + an * d;
+                const float *bx = bbmax + an * d;
+                for (int i = 0; i < d; i++) {
+                    double g = x64[i] - (double)bx[i];
+                    dh[i] = g > 0.0 ? g : 0.0;
+                    g = (double)bn[i] - x64[i];
+                    dl[i] = g > 0.0 ? g : 0.0;
+                    tmp[i] = dh[i] + dl[i];
+                }
+                double dlt = pw_sum_f64(tmp, d);
+                double newr = rsum[an] + dlt;
+                double safe = newr > tiny ? newr : tiny;
+                double p = newr > 0.0 ? dlt / safe : 0.0;
+                if (!(p > 0.0)) break;
+                double ns = 1.0 / (walkd + 1.0);
+                for (int i = 0; i < d; i++) {
+                    h[i] = (dh[i] / safe) * ns + (1.0 - p) * h[i];
+                    lv[i] = (dl[i] / safe) * ns + (1.0 - p) * lv[i];
+                }
+                up = parent[an];
+                walkd -= 1.0;
+            }
+        }
+        double ltm = log2tab[(long)tm + 1];
+        double *ho = hi_out + (size_t)q * d;
+        double *lo = lo_out + (size_t)q * d;
+        for (int i = 0; i < d; i++) {
+            ho[i] += h[i] * ltm;
+            lo[i] += lv[i] * ltm;
+        }
+    }
+    free(scr);
+}
+
 /* forest.py _update_tree: ramp-accept fill, then replace-max steady state */
 void rcf_update_batch(
     int T, int N, int K, int d, int B,
@@ -601,6 +803,13 @@ def _load():
         i32p, f32p, i64p, i64p,
         f64p, f64p, f64p, ctypes.c_double, f64p,
     ]
+    lib.rcf_attribution_lanes.restype = None
+    lib.rcf_attribution_lanes.argtypes = [
+        ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        i32p, f32p, i32p, i32p, i32p, f32p, f32p, i32p,
+        i32p, f32p, i64p, i64p,
+        f64p, f64p, f64p, ctypes.c_double, f64p, f64p,
+    ]
     lib.pcg_selftest.restype = None
     lib.pcg_selftest.argtypes = [
         ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64,
@@ -675,6 +884,43 @@ def score_lanes_c(forest, X32: np.ndarray, qs: np.ndarray, ts: np.ndarray,
         float(np.finfo(np.float32).tiny), _ptr(out, c.c_double),
     )
     return out
+
+
+def attribution_lanes_c(
+    forest, X32: np.ndarray, qs: np.ndarray, ts: np.ndarray,
+    flats: tuple, tm_all: np.ndarray, Q: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Default-kernel DiVector attribution through the C walk; returns
+    (hi_out[Q,d], lo_out[Q,d]) accumulated over the lane set, BEFORE the
+    per-row division (1/T or per-row accepted counts) — bit-identical to
+    the vectorized Python path (tests/test_ckernel_parity.py)."""
+    cutdim, cutval, left, right, parent, bbmin, bbmax, mass = flats
+    f = forest
+    d = f.d
+    hi_out = np.zeros((Q, d))
+    lo_out = np.zeros((Q, d))
+    L = len(qs)
+    if L == 0:
+        return hi_out, lo_out
+    rsum = (bbmax - bbmin).sum(1, dtype=np.float64)
+    tab = _log2tab(f.K)
+    c = ctypes
+    _LIB.rcf_attribution_lanes(
+        L, f.N, d,
+        _ptr(cutdim, c.c_int32), _ptr(cutval, c.c_float),
+        _ptr(left, c.c_int32), _ptr(right, c.c_int32),
+        _ptr(parent, c.c_int32),
+        _ptr(bbmin, c.c_float), _ptr(bbmax, c.c_float),
+        _ptr(mass, c.c_int32), _ptr(f.root, c.c_int32),
+        _ptr(X32, c.c_float),
+        _ptr(np.ascontiguousarray(qs, np.int64), c.c_int64),
+        _ptr(np.ascontiguousarray(ts, np.int64), c.c_int64),
+        _ptr(rsum, c.c_double), _ptr(tab, c.c_double),
+        _ptr(np.ascontiguousarray(tm_all, np.float64), c.c_double),
+        float(np.finfo(np.float32).tiny),
+        _ptr(hi_out, c.c_double), _ptr(lo_out, c.c_double),
+    )
+    return hi_out, lo_out
 
 
 def update_batch_c(forest, X64: np.ndarray, seqs: np.ndarray, W: np.ndarray,

@@ -1081,6 +1081,10 @@ class RCFForest:
         of all rows × all live trees; ``_per_row_div[Q]`` then replaces
         the uniform 1/T averaging (the reference's converging-accumulator
         finisher divides by values accepted, not numberOfTrees)."""
+        use_default = (
+            score_seen is None and score_unseen is None
+            and damp is None and normalizer is None
+        )
         if score_seen is None:
             score_seen = lambda dep, m: 1.0 / (dep + np.log2(m + 1.0))  # noqa: E731
         if score_unseen is None:
@@ -1106,6 +1110,21 @@ class RCFForest:
             ts = np.tile(live_trees.astype(np.int64), Q)
         else:
             qs, ts = _lanes
+        if use_default:
+            ck = _ckernel()
+            if ck is not None:
+                # C walk (core/ckernel.py): bit-identical to the
+                # vectorized path below for the default kernels
+                hi_out, lo_out = ck.attribution_lanes_c(
+                    self, X32, qs, ts,
+                    (cutdim, cutval, left, right, parent, bbmin, bbmax,
+                     mass),
+                    tm_all, Q,
+                )
+                if _per_row_div is not None:
+                    div = np.maximum(_per_row_div, 1).astype(np.float64)[:, None]
+                    return hi_out / div, lo_out / div
+                return hi_out / T, lo_out / T
         L = len(qs)
         addr = ts * N + self.root[ts].astype(np.int64)
         depth = np.zeros(L, np.int64)
@@ -1176,8 +1195,13 @@ class RCFForest:
                     smax_all[act] = bbmax[sa]
                     first = False
                 else:
-                    np.minimum(smin_all[act], bbmin[sa], out=smin_all[act])
-                    np.maximum(smax_all[act], bbmax[sa], out=smax_all[act])
+                    # NOTE: fancy-indexed getitem returns a copy, so
+                    # ufunc-out on it would silently discard the update —
+                    # the running union must be written back via setitem
+                    # (shadowBox.getMergedBox accumulation,
+                    # AbstractAttributionVisitor.java:125-127)
+                    smin_all[act] = np.minimum(smin_all[act], bbmin[sa])
+                    smax_all[act] = np.maximum(smax_all[act], bbmax[sa])
                 sm, sx = smin_all[act], smax_all[act]
                 xv = x_e[act]
                 dh_s = np.maximum(xv - sx, 0)

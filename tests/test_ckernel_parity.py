@@ -211,3 +211,213 @@ def test_checkpoint_roundtrip_crosses_paths():
     fc.update_batch(X[200:], np.arange(200, 400))          # C continues
     _update_py(resumed, X[200:], np.arange(200, 400))      # Python continues
     _assert_identical(fc, resumed)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    n=st.integers(60, 800),
+    d=st.integers(1, 9),
+    k=st.sampled_from([16, 64, 128]),
+    seed=st.integers(0, 99_999),
+)
+def test_attribution_lanes_bit_identical(n, d, k, seed):
+    """C attribution walk vs vectorized Python walk: duplicate-heavy
+    streams (shadow-box path), in-distribution and far queries."""
+    rng = np.random.default_rng(seed)
+    X = np.round(rng.normal(0, 1, size=(n, d)), 1).astype(np.float32)
+    f = RCFForest(d, num_trees=7, sample_size=k, time_decay=0.01, seed=seed)
+    f.update_batch(X)
+    q = np.vstack([
+        X[:20],                                   # exact duplicates (eq path)
+        rng.normal(0, 1, (15, d)),
+        rng.normal(0, 8, (10, d)),
+    ]).astype(np.float32)
+    hi_c, lo_c = f.attribution(q)
+    hi_p, lo_p = _py_path(f.attribution, q)
+    np.testing.assert_array_equal(hi_c, hi_p)
+    np.testing.assert_array_equal(lo_c, lo_p)
+    # sum invariant: high+low == score on the C path too
+    np.testing.assert_allclose(
+        hi_c.sum(1) + lo_c.sum(1), f.score(q), rtol=1e-6, atol=1e-9
+    )
+
+
+def test_attribution_high_dim_pairwise_recursion():
+    """d=70 pushes the float64 row sums past the 8-accumulator block —
+    exercises pw_sum_f64's unrolled and recursive branches."""
+    rng = np.random.default_rng(78)
+    d = 70
+    X = rng.normal(0, 1, size=(300, d)).astype(np.float32)
+    f = RCFForest(d, num_trees=4, sample_size=64, time_decay=0.0, seed=3)
+    f.update_batch(X)
+    q = np.vstack([X[:10], rng.normal(0, 4, (30, d))]).astype(np.float32)
+    hi_c, lo_c = f.attribution(q)
+    hi_p, lo_p = _py_path(f.attribution, q)
+    np.testing.assert_array_equal(hi_c, hi_p)
+    np.testing.assert_array_equal(lo_c, lo_p)
+
+
+def test_attribution_approximate_parity():
+    """attribution_approximate routes its accepted lanes through the C
+    walk (per-row division by accepted counts)."""
+    rng = np.random.default_rng(30)
+    X = np.round(rng.normal(0, 1, size=(400, 4)), 1).astype(np.float32)
+    f = RCFForest(4, num_trees=20, sample_size=64, time_decay=0.01, seed=5)
+    f.update_batch(X)
+    q = np.vstack([X[:15], rng.normal(0, 5, (15, 4))]).astype(np.float32)
+    hi_c, lo_c = f.attribution_approximate(q, precision=0.2)
+    hi_p, lo_p = _py_path(f.attribution_approximate, q, precision=0.2)
+    np.testing.assert_array_equal(hi_c, hi_p)
+    np.testing.assert_array_equal(lo_c, lo_p)
+
+
+def _ref_attribution_tree(f: RCFForest, t: int, x32: np.ndarray):
+    """Scalar transcription of the reference visitor for ONE tree
+    (AnomalyAttributionVisitor.java:34, AbstractAttributionVisitor.java:
+    113-167): descent, leaf DiVector, then either the duplicate-leaf
+    shadow walk with the RUNNING sibling-box union
+    (shadowBox.getMergedBox, :125-127) + renormalize, or the unseen
+    leaf-to-root probability mix. Pure float64 scalar math — for d < 8
+    numpy's pairwise row sums are sequential, so this matches the
+    vectorized paths bit-for-bit."""
+    cutdim, cutval, left, right, parent, bbmin, bbmax, mass = f._flat()
+    N, d = f.N, f.d
+    base = t * N
+    a = base + int(f.root[t])
+    x64 = [float(v) for v in x32]
+    depth = 0
+    while cutdim[a] >= 0:
+        child = right[a] if x32[cutdim[a]] > cutval[a] else left[a]
+        a = base + int(child)
+        depth += 1
+    lp = bbmin[a]
+    dh = [max(x64[i] - float(lp[i]), 0.0) for i in range(d)]
+    dl = [max(float(lp[i]) - x64[i], 0.0) for i in range(d)]
+    sumnew = 0.0
+    for i in range(d):
+        sumnew += dh[i] + dl[i]
+    eq = sumnew <= 0.0
+    lm = float(mass[a])
+    dd = float(depth)
+    tm = float(mass[base + int(f.root[t])])
+    tiny = float(np.finfo(np.float32).tiny)
+    if eq:
+        saved = (1.0 - lm / (2.0 * max(tm, 1.0))) * (
+            1.0 / (dd + float(np.log2(np.float64(lm + 1.0))))
+        )
+        h = [saved / (2 * d)] * d
+        low = [saved / (2 * d)] * d
+        pa = int(parent[a])
+        if pa >= 0:
+            walkd = dd - 1.0
+            smin = smax = None
+            while True:
+                pan = base + pa
+                cdp = int(cutdim[pan])
+                go_left = x64[cdp] <= float(cutval[pan])
+                sib = int(right[pan]) if go_left else int(left[pan])
+                sbn = bbmin[base + sib]
+                sbx = bbmax[base + sib]
+                if smin is None:
+                    smin = [float(v) for v in sbn]
+                    smax = [float(v) for v in sbx]
+                else:
+                    smin = [min(smin[i], float(sbn[i])) for i in range(d)]
+                    smax = [max(smax[i], float(sbx[i])) for i in range(d)]
+                dh = [max(x64[i] - smax[i], 0.0) for i in range(d)]
+                dl = [max(smin[i] - x64[i], 0.0) for i in range(d)]
+                new_sum = 0.0
+                dlt = 0.0
+                for i in range(d):
+                    new_sum += max(smax[i], x64[i]) - min(smin[i], x64[i])
+                    dlt += dh[i] + dl[i]
+                safe = max(new_sum, tiny)
+                p = dlt / safe if new_sum > 0.0 else 0.0
+                pos = p > 0.0
+                if pos:
+                    ns = 1.0 / (walkd + 1.0)
+                    h = [(dh[i] / safe) * ns + (1.0 - p) * h[i] for i in range(d)]
+                    low = [(dl[i] / safe) * ns + (1.0 - p) * low[i] for i in range(d)]
+                nxt = int(parent[pan])
+                walkd -= 1.0
+                if not (pos and nxt >= 0):
+                    break
+                pa = nxt
+            # h.sum() and low.sum() are SEPARATE row reductions in the
+            # engine (h_e.sum(1) + l_e.sum(1)) — keep that add order
+            th = 0.0
+            tl = 0.0
+            for i in range(d):
+                th += h[i]
+            for i in range(d):
+                tl += low[i]
+            tot = th + tl
+            scale = saved / max(tot, 1e-300) if tot > 0.0 else 1.0
+            h = [v * scale for v in h]
+            low = [v * scale for v in low]
+    else:
+        saved = 1.0 / (dd + 1.0)
+        h = [saved * dh[i] / sumnew for i in range(d)]
+        low = [saved * dl[i] / sumnew for i in range(d)]
+        up = int(parent[a])
+        walkd = dd - 1.0
+        while up >= 0:
+            an = base + up
+            bn = bbmin[an]
+            bx = bbmax[an]
+            dh = [max(x64[i] - float(bx[i]), 0.0) for i in range(d)]
+            dl = [max(float(bn[i]) - x64[i], 0.0) for i in range(d)]
+            dlt = 0.0
+            rs = 0.0
+            for i in range(d):
+                dlt += dh[i] + dl[i]
+                rs += float(np.float32(bx[i]) - np.float32(bn[i]))
+            newr = rs + dlt
+            safe = max(newr, tiny)
+            p = dlt / safe if newr > 0.0 else 0.0
+            if not p > 0.0:
+                break
+            ns = 1.0 / (walkd + 1.0)
+            h = [(dh[i] / safe) * ns + (1.0 - p) * h[i] for i in range(d)]
+            low = [(dl[i] / safe) * ns + (1.0 - p) * low[i] for i in range(d)]
+            up = int(parent[an])
+            walkd -= 1.0
+    ltm = float(np.log2(np.float64(tm + 1.0)))
+    return (
+        np.array([v * ltm for v in h]),
+        np.array([v * ltm for v in low]),
+    )
+
+
+def test_attribution_shadow_union_matches_reference_walk():
+    """Regression for the round-5 shadow-box bug: the duplicate-leaf walk
+    must accumulate the RUNNING union of sibling boxes (the reference's
+    shadowBox.getMergedBox chain) — an `out=` on a fancy-indexed copy
+    silently froze the union at level 0 and was caught by the C
+    transcription. Both engine paths must equal the scalar reference
+    transcription bit-for-bit, per tree, on a duplicate-heavy fixture."""
+    rng = np.random.default_rng(123)
+    d = 3
+    X = np.round(rng.normal(0, 1, size=(900, d)), 0).astype(np.float32)
+    f = RCFForest(d, num_trees=6, sample_size=64, time_decay=0.01, seed=11)
+    f.update_batch(X)
+    live = np.nonzero(f.root >= 0)[0]
+    q = np.vstack([X[:25], rng.normal(0, 3, (5, d))]).astype(np.float32)
+    checked_shadow = 0
+    for qi in range(len(q)):
+        for t in live:
+            lanes = (np.array([0], np.int64), np.array([int(t)], np.int64))
+            div = np.array([1])
+            hi_c, lo_c = f.attribution(
+                q[qi][None, :], _lanes=lanes, _per_row_div=div
+            )
+            hi_p, lo_p = _py_path(
+                f.attribution, q[qi][None, :], _lanes=lanes, _per_row_div=div
+            )
+            hi_r, lo_r = _ref_attribution_tree(f, int(t), q[qi])
+            np.testing.assert_array_equal(hi_c[0], hi_r)
+            np.testing.assert_array_equal(lo_c[0], lo_r)
+            np.testing.assert_array_equal(hi_p[0], hi_r)
+            np.testing.assert_array_equal(lo_p[0], lo_r)
+            checked_shadow += 1
+    assert checked_shadow > 0
