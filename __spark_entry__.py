@@ -909,6 +909,41 @@ def _q_drift_lineage_events(spark, sf_dir):
     )
 
 
+def _q_split_assign_docs(spark, sf_dir):
+    """Deterministic train/val/test assignment: the split is a pure
+    function of doc_id (multiplicative hash vs cumulative fraction
+    thresholds), so eval sets stay frozen under corpus growth and the
+    oracle replays the identical integer arithmetic. Dyadic fractions
+    (0.75/0.125/0.125) keep the cumulative thresholds float-exact on
+    both engines."""
+    from random_cut_forest_by_aws_spark.operators.splits import assign_splits
+
+    d = _t(spark, sf_dir, "documents")
+    return assign_splits(
+        d, {"train": 0.75, "val": 0.125, "test": 0.125}, seed=42
+    ).select("doc_id", "source", "split")
+
+
+def _q_filter_funnel_docs(spark, sf_dir):
+    """Single-scan quality-filter funnel: every document charged to its
+    FIRST failing stage, per-stage dropped/remaining counts from one
+    partial-aggregated pass (no per-filter re-scans). The oracle replays
+    the same CASE chain + running total in DuckDB."""
+    from random_cut_forest_by_aws_spark.operators.funnel import filter_funnel
+
+    d = _t(spark, sf_dir, "documents")
+    stages = [
+        ("min_len", "n_chars >= 100"),
+        ("lang_known", "lang IN ('en','de','fr')"),
+        ("max_len", "n_chars <= 450"),
+    ]
+    _, report = filter_funnel(d, stages)
+    return report.select(
+        F.col("stage_idx").cast("bigint").alias("stage_idx"),
+        "stage", "dropped", "remaining",
+    )
+
+
 def _q_suite_verdicts(spark, sf_dir):
     from random_cut_forest_by_aws_spark.operators.drift import DriftConfig
     from random_cut_forest_by_aws_spark.plans import SuiteConfig, ValidationSuite
@@ -972,6 +1007,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_docs": _q_contamination_docs,
         "mixture_sample_docs": _q_mixture_sample_docs,
         "mixture_resample_docs": _q_mixture_resample_docs,
+        "split_assign_docs": _q_split_assign_docs,
+        "filter_funnel_docs": _q_filter_funnel_docs,
         "drift_impute_events": _q_drift_impute_events,
         "drift_lineage_events": _q_drift_lineage_events,
         "validation_suite_verdicts": _q_suite_verdicts,
@@ -1476,6 +1513,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(unnest(range(1, copies + 1)) AS BIGINT) AS replica
             FROM c
             WHERE copies > 0
+        """,
+        "split_assign_docs": """
+            -- same double-fold hash as the mixture oracles; cumulative
+            -- thresholds 0.75 / 0.875 are dyadic => float-exact on both
+            -- engines (hash/2^31 is exact: division by a power of two)
+            SELECT doc_id, source,
+                   CASE WHEN (((((doc_id % 2147483648) + 2147483648)
+                               % 2147483648) * 2654435761 + 42)
+                              % 2147483648) / 2147483648.0 < 0.75
+                             THEN 'train'
+                        WHEN (((((doc_id % 2147483648) + 2147483648)
+                               % 2147483648) * 2654435761 + 42)
+                              % 2147483648) / 2147483648.0 < 0.875
+                             THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "filter_funnel_docs": """
+            WITH ff AS (
+              SELECT CASE
+                       WHEN NOT COALESCE(n_chars >= 100, FALSE) THEN 1
+                       WHEN NOT COALESCE(lang IN ('en','de','fr'), FALSE)
+                            THEN 2
+                       WHEN NOT COALESCE(n_chars <= 450, FALSE) THEN 3
+                       ELSE 0 END AS first_fail
+              FROM documents),
+            c AS (SELECT first_fail, count(*) AS n FROM ff
+                  GROUP BY first_fail),
+            t AS (SELECT sum(n) AS total FROM c),
+            m AS (SELECT * FROM (VALUES (1, 'min_len'), (2, 'lang_known'),
+                                        (3, 'max_len')) v(stage_idx, stage))
+            SELECT CAST(m.stage_idx AS BIGINT) AS stage_idx,
+                   m.stage,
+                   CAST(COALESCE(c.n, 0) AS BIGINT) AS dropped,
+                   CAST(t.total - SUM(COALESCE(c.n, 0))
+                          OVER (ORDER BY m.stage_idx) AS BIGINT) AS remaining
+            FROM m LEFT JOIN c ON m.stage_idx = c.first_fail CROSS JOIN t
         """,
         "drift_lineage_events": """
             WITH seqd AS (
