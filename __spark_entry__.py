@@ -569,6 +569,31 @@ def _q_quota_sample_docs(spark, sf_dir):
     )
 
 
+def _q_session_window_events(spark, sf_dir):
+    """Gap-based sessionization through Spark's NATIVE session_window
+    grouping (the dynamic-window member of the §2.6 family, and the
+    shape Structured Streaming uses for stateful session aggregation —
+    unlike the lag/cumsum formulation in sessionize_events this needs no
+    ordered window pass). Boundary semantics pinned empirically: an
+    exactly-gap-sized silence still MERGES (new session only when
+    gap > 30 min strictly); session end = last event + gap. The oracle
+    rebuilds the same islands with lag + running sum."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_millis(F.col("session_window.start").cast("timestamp")).alias("ws"),
+            F.unix_millis(F.col("session_window.end").cast("timestamp")).alias("we"),
+            "n_events", "session_value",
+        )
+    )
+
+
 def _q_asof_events_orders(spark, sf_dir):
     """Point-in-time alignment (as-of join): attach each event's most
     recent at-or-before order per customer — the feature-as-of-event
@@ -990,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _q_sessionize_events,
         "tumbling_window_events": _q_tumbling_window_events,
         "hopping_window_events": _q_hopping_window_events,
+        "session_window_events": _q_session_window_events,
         "asof_events_orders": _q_asof_events_orders,
         "pii_profile_docs": _q_pii_profile_docs,
         "pack_sequences_docs": _q_pack_sequences_docs,
@@ -1130,6 +1156,31 @@ def oracle_sql() -> dict[str, str]:
                             ) > 1800000 THEN 1 ELSE 0 END AS new_sess
                 FROM events))
             GROUP BY user_id, session_id
+        """,
+        "session_window_events": """
+            -- gap islands: new session when the user's silence EXCEEDS
+            -- 30 min (an exactly-30-min gap merges, matching Spark's
+            -- session_window); end = last event + gap
+            WITH g AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts)
+                               > INTERVAL '30 minutes'
+                          OR LAG(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts) IS NULL
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events),
+            s AS (
+              SELECT user_id, ts, value,
+                     SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS sid
+              FROM g)
+            SELECT user_id,
+                   epoch_ms(min(ts)) AS ws,
+                   epoch_ms(max(ts) + INTERVAL '30 minutes') AS we,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS session_value
+            FROM s GROUP BY user_id, sid
         """,
         "tumbling_window_events": """
             SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS ws,
