@@ -65,3 +65,43 @@ def streaming_windowed_agg(
             *out_cols,
         )
     )
+
+
+def streaming_session_agg(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    keys: Sequence[str] = ("user_id",),
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Gap-based session windows over an event-time stream — the dynamic
+    (data-defined) member of the window family, via Spark's native
+    ``session_window`` state machinery:
+
+      * events of one key whose silences never exceed ``gap`` coalesce
+        into one session; a bridging row arriving in a LATER micro-batch
+        merges two already-open sessions in the state store;
+      * a session finalizes (append-mode emit, exactly once) when the
+        watermark passes its end (last event + gap);
+      * rows later than ``watermark`` are dropped by the state store.
+
+    Returns ``ws``/``we`` (session start / end epoch millis), ``*keys``,
+    ``n_events`` [, ``sum_value``]. Batch twin: the
+    ``session_window_events`` gate query (oracle-checked vs DuckDB gap
+    islands)."""
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 2).alias("sum_value"))
+    out_cols = ["n_events"] + (["sum_value"] if value_col is not None else [])
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), *keys)
+        .agg(*aggs)
+        .select(
+            F.unix_millis(F.col("w.start").cast("timestamp")).alias("ws"),
+            F.unix_millis(F.col("w.end").cast("timestamp")).alias("we"),
+            *keys,
+            *out_cols,
+        )
+    )

@@ -164,3 +164,30 @@ def test_column_stats_sketch_quantiles(spark):
     assert "v_quantiles" in out.columns
     med_a = out.loc["a", "v_quantiles"][0]
     assert 20 <= med_a <= 29  # approx median of 0..49
+
+
+def test_suite_concurrent_materialization_equivalent(spark, seqs):
+    """SPARK_GRAFT_SUITE_CONCURRENT=1 (SuiteConfig.concurrent — the
+    real-cluster default) materializes the independent checks from
+    driver threads; verdicts and violation evidence must be IDENTICAL to
+    the sequential local-mode path (thread scheduling must not leak into
+    results — every check is deterministic)."""
+    from random_cut_forest_by_aws_spark.operators.drift import DriftConfig
+    from random_cut_forest_by_aws_spark.plans import SuiteConfig, ValidationSuite
+
+    drift = DriftConfig(num_trees=5, sample_size=16, window=8,
+                        min_baseline_windows=2, buckets=1, chunk_size=256)
+
+    def run(concurrent: bool):
+        cfg = SuiteConfig(drift=drift, concurrent=concurrent)
+        res = ValidationSuite(spark, cfg).run(seqs)
+        v = res.verdicts.toPandas()
+        v = v.sort_values(sorted(v.columns)).reset_index(drop=True)
+        w = res.violations.toPandas()
+        w = w.sort_values(sorted(w.columns)).reset_index(drop=True)
+        return v, w
+
+    v_seq, w_seq = run(False)
+    v_con, w_con = run(True)
+    assert v_seq.equals(v_con)
+    assert w_seq.equals(w_con)
