@@ -237,8 +237,21 @@ def ngram_jaccard(
     shingle_k: int = 3,
 ) -> DataFrame:
     """Exact Jaccard verification of candidate pairs (broadcast-friendly:
-    only candidates are joined back to their shingle sets)."""
-    sh = df.select(
+    only candidates are joined back to their shingle sets).
+
+    Scale shape: the candidate id set is broadcast-semi-joined onto the
+    corpus FIRST, so shingle sets are computed only for documents that
+    appear in at least one pair — not for the whole corpus twice (at
+    near-dup rates the candidates are a vanishing fraction of 100 TB)."""
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
+    cand = df.join(
+        F.broadcast(cand_ids), df[id_col] == cand_ids["_id"], "left_semi"
+    )
+    sh = cand.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(word_shingles(text_col, shingle_k)).alias("_sh"),
     )

@@ -100,15 +100,28 @@ def curate_corpus(
     # near-duplicate keep-one: candidates → exact-Jaccard verify →
     # connected components; docs outside any verified pair are their own
     # (canonical) singleton cluster
+    # candidate pairs and verified edges are eagerly localCheckpoint-ed:
+    # both are tiny (near-dup pairs, not corpus rows) while their
+    # producing chains are the pipeline's most expensive (minhash
+    # signatures / shingle sets) AND their logical plans are enormous —
+    # downstream consumers reference each several times, and a plain
+    # persist() keeps the full lineage inside the cached plan, which the
+    # CacheManager then re-canonicalizes on EVERY downstream query
+    # (measured 5-20x driver-side planning slowdown on the whole
+    # pipeline). Checkpointing truncates the lineage to a leaf. Local
+    # (executor-storage) checkpoints are the right default here; a
+    # lost-executor recompute safety net would use reliable
+    # checkpointing or a parquet round-trip instead.
     pairs = minhash_candidates(
         survivors, id_col=ic, text_col=tc, shingle_k=cfg.shingle_k,
         num_hashes=cfg.num_hashes, bands=cfg.bands,
-    )
+    ).localCheckpoint(eager=True)
     verified = (
         ngram_jaccard(survivors, pairs, id_col=ic, text_col=tc,
                       shingle_k=cfg.shingle_k)
         .filter(F.col("jaccard") >= cfg.jaccard_threshold)
         .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
     )
     clusters = duplicate_clusters(verified)
     withc = (

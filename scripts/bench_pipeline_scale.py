@@ -124,6 +124,21 @@ def main() -> None:
             docs.select("source", "doc_id"), 1000).count())
         timed("lm_quality", lambda: unigram_logprob(docs, min_count=5).agg(
             F.sum("n_oov").alias("a"), F.sum("logprob").alias("b")).collect())
+
+        # the full curation chain (plans/pipeline.py): funnel → minhash/
+        # Jaccard keep-one dedup → cluster-keyed splits → packing; timed
+        # as ONE action over the packed train output (the end-to-end
+        # critical path a dataset build runs)
+        from random_cut_forest_by_aws_spark.plans import (
+            CurationConfig, curate_corpus,
+        )
+
+        cur_cfg = CurationConfig(
+            qc_stages=[("min_len", "length(text) >= 120")]
+        )
+        timed("curate_corpus", lambda: curate_corpus(docs, cur_cfg)
+              .packed.agg(F.sum("tok_end").alias("x"),
+                          F.count(F.lit(1)).alias("n")).collect())
         out["sizes"][str(n)] = {"timings_sec": timings,
                                 "docs_per_sec": {
                                     k: round(n / v, 1)
