@@ -314,6 +314,28 @@ def main() -> None:
 
         timed("lm_quality", run_lm_quality)
 
+        def run_pipeline_curate():
+            # the full curation composition (plans/pipeline.py): funnel →
+            # minhash/Jaccard keep-one dedup → cluster-keyed splits →
+            # packing, forced through one aggregate over the packed train
+            # output (scale evidence at 1M/4M lives in
+            # scripts/bench_pipeline_scale.py; this tracks the composition
+            # overhead at the driver's sf)
+            from random_cut_forest_by_aws_spark.plans import (
+                CurationConfig, curate_corpus,
+            )
+
+            res = curate_corpus(
+                docs,
+                CurationConfig(qc_stages=[("min_len", "n_chars >= 60")],
+                               pack_budget=2048),
+            )
+            return res.packed.agg(
+                F.sum("tok_end").alias("x"), F.count(F.lit(1)).alias("n")
+            ).collect()
+
+        timed("pipeline_curate", run_pipeline_curate)
+
     # bracketing calibration: the window the suite ran in is bounded by
     # (cal_pre, cal_post); host_cal_mops stays the post value for
     # continuity with earlier rounds' JSONs.
