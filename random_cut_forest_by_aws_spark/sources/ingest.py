@@ -84,3 +84,54 @@ def read_documents(
         ),
     )
     return docs, quarantine
+
+
+_EXT_MIME = {
+    "png": "image/png",
+    "jpg": "image/jpeg",
+    "jpeg": "image/jpeg",
+    "wav": "audio/wav",
+    "mp3": "audio/mpeg",
+    "mp4": "video/mp4",
+    "webm": "video/webm",
+}
+
+
+def read_media(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Ingest raw media blobs via Spark's ``binaryFile`` source into the
+    engine's media schema (``operators/multimodal.py``): ``doc_id`` (the
+    file path — stable, dedupable), ``mime`` (from the extension; unknown
+    extensions become application/octet-stream), ``payload`` (bytes),
+    and NULL ``width/height/duration_ms`` — real dimensions only exist
+    after decode (`media_features`), exactly like production lakes where
+    the scan must not read pixel data to plan the pipeline.
+
+    Scale notes: ``binaryFile`` is a FileFormat scan — partition pruning
+    and the ``pathGlobFilter`` apply at file-listing time, one task per
+    file group; ``max_bytes`` pushes ``spark.sql.sources.binaryFile
+    .maxLength``-style protection down as a length filter BEFORE payload
+    bytes reach Python (oversized assets are dropped by metadata, their
+    content is still read by the scan only if selected)."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    if max_bytes is not None:
+        raw = raw.filter(F.col("length") <= int(max_bytes))
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    mime = F.lit("application/octet-stream")
+    for e, m in sorted(_EXT_MIME.items()):
+        mime = F.when(ext == F.lit(e), F.lit(m)).otherwise(mime)
+    return raw.select(
+        F.col("path").alias("doc_id"),
+        mime.alias("mime"),
+        F.col("content").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )

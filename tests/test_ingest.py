@@ -72,3 +72,36 @@ def test_orc_and_parquet_roundtrip(spark, tmp_path):
 def test_unsupported_format(spark):
     with pytest.raises(ValueError):
         read_documents(spark, "/nonexistent", fmt="avro")
+
+
+def test_read_media_binary_files(spark, tmp_path):
+    """binaryFile ingestion into the media schema: payload bytes intact,
+    mime from extension, glob + size filters applied at scan level."""
+    from random_cut_forest_by_aws_spark.sources.ingest import read_media
+
+    d = tmp_path / "blobs"
+    d.mkdir()
+    (d / "a.png").write_bytes(b"\x89PNG\r\n" + b"x" * 10)
+    (d / "b.JPG").write_bytes(b"\xff\xd8\xff" + b"y" * 200)
+    (d / "c.bin").write_bytes(b"opaque")
+    (d / "notes.txt").write_bytes(b"not media")
+
+    media = read_media(spark, str(d), glob="*.{png,JPG,bin}")
+    rows = {r["doc_id"].rsplit("/", 1)[-1]: r for r in media.collect()}
+    assert set(rows) == {"a.png", "b.JPG", "c.bin"}
+    assert rows["a.png"]["mime"] == "image/png"
+    assert rows["b.JPG"]["mime"] == "image/jpeg"  # extension lowercased
+    assert rows["c.bin"]["mime"] == "application/octet-stream"
+    assert bytes(rows["a.png"]["payload"]) == b"\x89PNG\r\n" + b"x" * 10
+    assert rows["a.png"]["width"] is None  # dims unknown until decode
+
+    small = read_media(spark, str(d), glob="*.{png,JPG,bin}", max_bytes=50)
+    assert {r["doc_id"].rsplit("/", 1)[-1] for r in small.collect()} == {
+        "a.png", "c.bin",
+    }
+
+    # the media schema plugs straight into the multimodal operators
+    from random_cut_forest_by_aws_spark.operators.multimodal import (
+        media_metadata_violations,
+    )
+    media_metadata_violations(media).collect()
