@@ -32,6 +32,13 @@ copy; the fixed Python path, the C path, and a scalar transcription of
 the reference visitor now agree bit-for-bit
 (tests/test_ckernel_parity.py::test_attribution_shadow_union_matches_reference_walk).
 
+NaN feature values are UNSUPPORTED input to every walk: descent
+comparisons and gap maxima resolve NaN differently between the
+vectorized numpy paths and C (``NaN > c`` is false in C ternaries while
+``np.maximum`` propagates NaN), so the bit-exact contract holds only
+for finite floats. Impute or drop NaNs upstream — the drift
+preprocessor's transforms and STREAMING_IMPUTE paths do.
+
 If gcc is missing, compilation fails, or the load-time PCG self-check
 fails, ``AVAILABLE`` stays False and forest.py silently keeps the pure
 Python path (set ``RCF_FORCE_PY=1`` to force that path explicitly —

@@ -683,6 +683,10 @@ class RCFForest:
     ) -> np.ndarray:
         """Anomaly score per query point (mean over trees).
 
+        NaN feature values are unsupported input (descent comparisons
+        and gap maxima resolve NaN differently across the vectorized /
+        C paths — core/ckernel.py header); impute or drop them first.
+
         Lane model: one lane per (query, tree); flat gathers over
         tree-offset node addresses; lanes are compacted out as they
         finish, so work is proportional to actual path lengths.

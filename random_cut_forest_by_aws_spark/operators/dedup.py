@@ -239,18 +239,24 @@ def ngram_jaccard(
     """Exact Jaccard verification of candidate pairs (broadcast-friendly:
     only candidates are joined back to their shingle sets).
 
-    Scale shape: the candidate id set is broadcast-semi-joined onto the
-    corpus FIRST, so shingle sets are computed only for documents that
-    appear in at least one pair — not for the whole corpus twice (at
-    near-dup rates the candidates are a vanishing fraction of 100 TB)."""
+    Scale shape: the candidate id set is semi-joined onto the corpus
+    FIRST, so shingle sets are computed only for documents that appear
+    in at least one pair — not for the whole corpus twice. The join is
+    left unhinted: at typical near-dup rates AQE converts it to a
+    broadcast at runtime, while duplicate-heavy corpora (where the
+    candidate set approaches the corpus) keep the shuffle path instead
+    of dying on the broadcast cap. Callers reusing ``pairs`` several
+    times should persist or localCheckpoint it first (curate_corpus
+    does)."""
     cand_ids = (
         pairs.select(F.col("id_a").alias("_id"))
         .unionByName(pairs.select(F.col("id_b").alias("_id")))
         .distinct()
     )
-    cand = df.join(
-        F.broadcast(cand_ids), df[id_col] == cand_ids["_id"], "left_semi"
-    )
+    # no forced broadcast hint: on duplicate-heavy corpora the candidate
+    # id set is NOT small, and a hint bypasses the broadcast size caps;
+    # AQE converts the semi-join to broadcast at runtime when it fits
+    cand = df.join(cand_ids, df[id_col] == cand_ids["_id"], "left_semi")
     sh = cand.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(word_shingles(text_col, shingle_k)).alias("_sh"),

@@ -59,7 +59,12 @@ def filter_funnel(
     one = df.select(_first_fail(stages).alias("__ff")).agg(
         F.count(F.lit(1)).cast("bigint").alias("__total"),
         *[
-            F.sum(F.when(F.col("__ff") == i + 1, 1).otherwise(0))
+            # coalesce: F.sum over ZERO rows is NULL, not 0 — an empty
+            # input must report dropped=0 / remaining=0, not NULLs
+            F.coalesce(
+                F.sum(F.when(F.col("__ff") == i + 1, 1).otherwise(0)),
+                F.lit(0),
+            )
             .cast("bigint")
             .alias(f"__d{i + 1}")
             for i in range(k)

@@ -26,8 +26,6 @@ from pyspark.sql import functions as F
 
 from .mixing import sample_hash
 
-_M = 2_147_483_648  # 2^31, keep in sync with mixing
-
 
 def split_column(
     splits: dict[str, float],
@@ -38,7 +36,12 @@ def split_column(
     name. Thresholds are cumulative in the dict's insertion order (the
     order is part of the contract — document it with the split spec).
     Fractions must sum to 1 within 1e-9; the LAST split takes the
-    closing boundary so every row is assigned exactly once."""
+    closing boundary so every row is assigned exactly once.
+
+    A NULL key gets a NULL split — never a silent default (a NULL
+    hash would skip every WHEN and fall into the last split, silently
+    contaminating the eval set; loud NULLs surface the upstream join
+    that should have been coalesced)."""
     names = list(splits)
     fracs = [float(splits[n]) for n in names]
     if len(names) < 2:
@@ -58,7 +61,7 @@ def split_column(
         conds.append((n, acc))
     for n, c in reversed(conds):
         expr = F.when(u < F.lit(c), F.lit(n)).otherwise(expr)
-    return expr
+    return F.when(F.col(key_col).isNull(), F.lit(None).cast("string")).otherwise(expr)
 
 
 def assign_splits(

@@ -90,8 +90,14 @@ def curate_corpus(
     out_path: str | None = None,
 ) -> CurationResult:
     """Run the full curation chain; write shards when ``out_path`` is
-    given. All intermediate DataFrames are returned unmaterialized — the
-    caller picks what to persist/inspect."""
+    given.
+
+    Materialization: the dedup intermediates (candidate pairs, verified
+    edges) are EAGERLY computed at call time (localCheckpoint — see the
+    inline note), and ``duplicate_clusters`` runs its label-propagation
+    rounds eagerly too; the corpus-sized DataFrames in the result
+    (documents/train/packed) stay lazy. Callers that want only the
+    funnel report should call ``funnel.filter_funnel`` directly."""
     cfg = cfg or CurationConfig()
     ic, tc, sc = cfg.id_col, cfg.text_col, cfg.source_col
 
@@ -125,7 +131,13 @@ def curate_corpus(
     )
     clusters = duplicate_clusters(verified)
     withc = (
-        survivors.join(clusters, survivors[ic] == clusters["doc_id"], "left")
+        # explicit broadcast: clusters is candidate-pair-sized but its
+        # stats come out of iterative label propagation (unknown to the
+        # planner) — don't gamble a full-corpus sort-merge shuffle on
+        # AQE's runtime conversion
+        survivors.join(
+            F.broadcast(clusters), survivors[ic] == clusters["doc_id"], "left"
+        )
         .drop(clusters["doc_id"])
         .withColumn("cluster_id", F.coalesce("cluster_id", F.col(ic)))
         .withColumn("is_canonical", F.coalesce("is_canonical", F.lit(True)))
@@ -167,7 +179,7 @@ def curate_corpus(
     if out_path is not None:
         write_packed_shards(
             packed, out_path, packs_per_shard=cfg.packs_per_shard,
-            key_col=sc,
+            key_col=sc, id_col=ic,
         )
     return CurationResult(
         funnel_report=funnel_report,

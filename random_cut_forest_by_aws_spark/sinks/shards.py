@@ -31,10 +31,12 @@ def write_packed_shards(
     path: str,
     packs_per_shard: int = 1024,
     key_col: str = "source",
+    id_col: str = "doc_id",
 ) -> None:
     """Write the output of ``operators.packing.pack_sequences`` as
     ``<path>/data/<key>=…/shard=…/part-*.parquet`` (one file per shard)
-    plus ``<path>/manifest`` (one row per shard)."""
+    plus ``<path>/manifest`` (one row per shard). ``id_col`` names the
+    document column (pack_sequences keeps the caller's order_col name)."""
     if packs_per_shard <= 0:
         raise ValueError(f"packs_per_shard must be positive, got {packs_per_shard}")
     sharded = packed.withColumn(
@@ -42,14 +44,14 @@ def write_packed_shards(
     )
     (
         sharded.repartition(key_col, "shard")
-        .sortWithinPartitions(key_col, "shard", "pack_id", "doc_id")
+        .sortWithinPartitions(key_col, "shard", "pack_id", id_col)
         .write.mode("overwrite")
         .partitionBy(key_col, "shard")
         .parquet(f"{path}/data")
     )
     manifest = sharded.groupBy(key_col, "shard").agg(
         F.countDistinct("pack_id").cast("bigint").alias("n_packs"),
-        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.countDistinct(id_col).cast("bigint").alias("n_docs"),
         F.sum(F.col("tok_end") - F.col("tok_begin")).alias("n_tokens"),
         F.min("pack_id").alias("first_pack"),
         F.max("pack_id").alias("last_pack"),

@@ -144,3 +144,21 @@ def test_shard_sink_manifest(result):
     m = {(r.source, r.shard): r for r in man.itertuples()}
     for r in dat.itertuples():
         assert m[(r.source, r.shard)].n_tokens == r.toks
+
+
+def test_custom_id_col_reaches_the_sink(spark, tmp_path):
+    """CurationConfig(id_col=...) must thread through to the shard sink
+    (it hardcoded doc_id — review finding)."""
+    from random_cut_forest_by_aws_spark.plans import CurationConfig, curate_corpus
+
+    docs = _fixture(spark).withColumnRenamed("doc_id", "uid")
+    cfg = CurationConfig(
+        qc_stages=[("min_len", "n_chars >= 50")],
+        splits={"train": 0.5, "val": 0.25, "test": 0.25},
+        pack_budget=64, packs_per_shard=2, id_col="uid",
+    )
+    out = str(tmp_path / "curated_uid")
+    res = curate_corpus(docs, cfg, out_path=out)
+    man = duckdb.sql(f"SELECT sum(n_docs) AS d FROM '{out}/manifest/*.parquet'").fetchone()
+    assert man[0] > 0
+    assert "uid" in res.packed.columns

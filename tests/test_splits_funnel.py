@@ -125,3 +125,24 @@ def test_funnel_validation(spark):
         filter_funnel(df, [])
     with pytest.raises(ValueError):
         filter_funnel(df, [("a", "payload >= 0"), ("a", "payload < 5")])
+
+
+def test_split_null_key_gets_null_split(spark):
+    """A NULL key must yield a NULL split, never a silent default — a
+    NULL hash would otherwise skip every WHEN and contaminate the last
+    split (review finding)."""
+    df = spark.createDataFrame(
+        [(1,), (None,), (3,)], "doc_id long"
+    )
+    out = assign_splits(df, SPLITS)
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert rows[None] is None
+    assert rows[1] in SPLITS and rows[3] in SPLITS
+
+
+def test_funnel_empty_input_reports_zeros(spark):
+    df = spark.createDataFrame([], "payload long")
+    _, report = filter_funnel(df, STAGES)
+    for r in report.collect():
+        assert r["dropped"] == 0
+        assert r["remaining"] == 0
