@@ -327,5 +327,16 @@ def duplicate_clusters(
         if changed == 0:
             break
     e.unpersist()
-    return labels.withColumn("is_canonical", F.col("id") == F.col("cluster_id")) \
+    out = (
+        labels.withColumn("is_canonical", F.col("id") == F.col("cluster_id"))
         .select(F.col("id").alias("doc_id"), "cluster_id", "is_canonical")
+        # truncate lineage: the label-propagation rounds leave a cached
+        # plan whose logical tree embeds the caller's (possibly huge)
+        # pairs chain — a registered cache like that taxes every later
+        # query in the session (CacheManager re-canonicalization; see
+        # CLAUDE.md Catalyst gotcha 4). The result is tiny; checkpoint
+        # it to a leaf and release the loop caches.
+        .localCheckpoint(eager=True)
+    )
+    labels.unpersist()
+    return out

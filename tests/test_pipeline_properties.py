@@ -77,3 +77,28 @@ def test_quota_matches_reference(spark, rows, quota, salt_buckets):
         exp[["source", "doc_id", "sample_rank"]],
         check_dtype=False,
     )
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    vals=st.lists(st.integers(-50, 400), min_size=1, max_size=60),
+    b1=st.integers(-10, 100),
+    b2=st.integers(50, 350),
+)
+def test_funnel_matches_python_replay(spark, vals, b1, b2):
+    """Property: funnel accounting == a plain Python replay of the
+    first-failing-stage rule for arbitrary data and bounds."""
+    from random_cut_forest_by_aws_spark.operators.funnel import filter_funnel
+
+    stages = [("lo", f"payload >= {b1}"), ("hi", f"payload < {b2}")]
+    df = spark.createDataFrame([(v,) for v in vals], "payload long")
+    survivors, report = filter_funnel(df, stages)
+    rep = {r["stage"]: r for r in report.collect()}
+
+    d_lo = sum(1 for v in vals if not v >= b1)
+    d_hi = sum(1 for v in vals if v >= b1 and not v < b2)
+    assert rep["lo"]["dropped"] == d_lo
+    assert rep["hi"]["dropped"] == d_hi
+    assert rep["lo"]["remaining"] == len(vals) - d_lo
+    assert rep["hi"]["remaining"] == len(vals) - d_lo - d_hi
+    assert survivors.count() == len(vals) - d_lo - d_hi
