@@ -1,4 +1,4 @@
-"""Optional C kernels for the forest hot loops (update / score / attribution).
+"""Optional C kernels for the forest hot loops (update / score / attribution / density).
 
 The sampler-accept → tree-surgery inner loop (``_update_tree`` +
 ``_TreeOps.insert/delete`` in forest.py) is pointer-chasing scalar work —
@@ -23,9 +23,10 @@ Bit-exactness is the contract, not best-effort:
   canonical arrays + RNG states are identical bit-for-bit.
 
 Besides the update loop this module carries the default-kernel score
-walk (``rcf_score_lanes``) and the default-kernel DiVector attribution
-walk (``rcf_attribution_lanes``) — the three per-row hot paths of the
-drift operator. Transcribing the attribution walk exposed a real bug in
+walk (``rcf_score_lanes``), the default-kernel DiVector attribution
+walk (``rcf_attribution_lanes``), and the interpolation/density walk
+(``rcf_density_lanes`` — the per-row cost of the DISTANCE and
+multi-mode scoring strategies, ~10x over the vectorized path). Transcribing the attribution walk exposed a real bug in
 the vectorized Python path (round 5): the duplicate-leaf shadow-box
 union was frozen at level 0 by a ufunc ``out=`` on a fancy-indexed
 copy; the fixed Python path, the C path, and a scalar transcription of
@@ -644,6 +645,126 @@ void rcf_attribution_lanes(
     free(scr);
 }
 
+/* core/queries.py density(), the per-lane part: descent + leaf
+   interpolation + upward probability mix maintaining SIX per-dim
+   accumulators (prob/measure/distance, high+low) — the
+   SimpleInterpolationVisitor walk that prices the DISTANCE scoring
+   strategy. Transcribes the numpy path exactly: float64 gaps from
+   float32 boxes, float32-subtracted ranges promoted to double,
+   pairwise-f64 row sums, update order pr + (1-p)*acc. Equal-leaf lanes
+   freeze at the leaf values (the documented plain-box simplification —
+   no shadow walk here). Outputs accumulate into [Q,d] buffers in lane
+   order (np.add.at order); the caller divides by T. */
+void rcf_density_lanes(
+    int64_t L, int N, int d,
+    const int32_t *cutdim, const float *cutval,
+    const int32_t *left, const int32_t *right, const int32_t *parent,
+    const float *bbmin, const float *bbmax, const int32_t *mass,
+    const int32_t *root, const float *X,
+    const int64_t *qs, const int64_t *ts,
+    double *ph_out, double *pl_out, double *mh_out, double *ml_out,
+    double *dh_out, double *dl_out)
+{
+    double *scr = (double *)malloc(sizeof(double) * (size_t)d * 11);
+    double *x64 = scr;
+    double *mg = scr + d;
+    double *ng = scr + 2 * (size_t)d;
+    double *rs = scr + 3 * (size_t)d;
+    double *tmp = scr + 4 * (size_t)d;
+    double *ph = scr + 5 * (size_t)d;
+    double *pl = scr + 6 * (size_t)d;
+    double *mh = scr + 7 * (size_t)d;
+    double *ml = scr + 8 * (size_t)d;
+    double *dh = scr + 9 * (size_t)d;
+    double *dl = scr + 10 * (size_t)d;
+    for (int64_t lane = 0; lane < L; lane++) {
+        int64_t q = qs[lane];
+        int t = (int)ts[lane];
+        size_t base = (size_t)t * N;
+        const float *xq = X + (size_t)q * d;
+        for (int i = 0; i < d; i++) x64[i] = (double)xq[i];
+        size_t a = base + (size_t)root[t];
+        while (cutdim[a] >= 0) {
+            float xv = xq[cutdim[a]];
+            int child = xv <= cutval[a] ? left[a] : right[a];
+            a = base + (size_t)child;
+        }
+        const float *lp = bbmin + a * d;
+        for (int i = 0; i < d; i++) {
+            double g = x64[i] - (double)lp[i];
+            mg[i] = g > 0.0 ? g : 0.0;
+            g = (double)lp[i] - x64[i];
+            ng[i] = g > 0.0 ? g : 0.0;
+            tmp[i] = mg[i] + ng[i];
+        }
+        double sumdiff = pw_sum_f64(tmp, d);
+        int eq = sumdiff <= 0.0;
+        double lm = (double)mass[a];
+        double fld = lm + 1.0;
+        if (eq) {
+            double pv = 0.5 / (double)d;
+            double mv = 0.5 * fld / (double)d;
+            for (int i = 0; i < d; i++) {
+                ph[i] = pv; pl[i] = pv;
+                mh[i] = mv; ml[i] = mv;
+                dh[i] = 0.0; dl[i] = 0.0;
+            }
+        } else {
+            for (int i = 0; i < d; i++) {
+                double prh = mg[i] / sumdiff;
+                double prl = ng[i] / sumdiff;
+                ph[i] = prh; pl[i] = prl;
+                mh[i] = prh * fld; ml[i] = prl * fld;
+                dh[i] = prh * mg[i]; dl[i] = prl * ng[i];
+            }
+            long up = parent[a];
+            while (up >= 0) {
+                size_t an = base + (size_t)up;
+                const float *bn = bbmin + an * d;
+                const float *bx = bbmax + an * d;
+                for (int i = 0; i < d; i++) {
+                    double g = x64[i] - (double)bx[i];
+                    mg[i] = g > 0.0 ? g : 0.0;
+                    g = (double)bn[i] - x64[i];
+                    ng[i] = g > 0.0 ? g : 0.0;
+                    rs[i] = (double)(bx[i] - bn[i]);
+                    tmp[i] = mg[i] + ng[i];
+                }
+                double sdiff = pw_sum_f64(tmp, d);
+                double snew = pw_sum_f64(rs, d) + sdiff;
+                double p = 0.0;
+                if (snew > 0.0)
+                    p = sdiff / (snew > 1e-300 ? snew : 1e-300);
+                if (!(p > 0.0)) break;
+                double m = (double)mass[an];
+                double f = m + 1.0;
+                double one_m = 1.0 - p;
+                for (int i = 0; i < d; i++) {
+                    double prh = mg[i] / snew;
+                    double prl = ng[i] / snew;
+                    double ddh = mg[i] > 0.0 ? mg[i] + rs[i] : 0.0;
+                    double ddl = ng[i] > 0.0 ? ng[i] + rs[i] : 0.0;
+                    ph[i] = prh + one_m * ph[i];
+                    pl[i] = prl + one_m * pl[i];
+                    mh[i] = prh * f + one_m * mh[i];
+                    ml[i] = prl * f + one_m * ml[i];
+                    dh[i] = prh * ddh + one_m * dh[i];
+                    dl[i] = prl * ddl + one_m * dl[i];
+                }
+                up = parent[an];
+            }
+        }
+        double *o;
+        o = ph_out + (size_t)q * d; for (int i = 0; i < d; i++) o[i] += ph[i];
+        o = pl_out + (size_t)q * d; for (int i = 0; i < d; i++) o[i] += pl[i];
+        o = mh_out + (size_t)q * d; for (int i = 0; i < d; i++) o[i] += mh[i];
+        o = ml_out + (size_t)q * d; for (int i = 0; i < d; i++) o[i] += ml[i];
+        o = dh_out + (size_t)q * d; for (int i = 0; i < d; i++) o[i] += dh[i];
+        o = dl_out + (size_t)q * d; for (int i = 0; i < d; i++) o[i] += dl[i];
+    }
+    free(scr);
+}
+
 /* forest.py _update_tree: ramp-accept fill, then replace-max steady state */
 void rcf_update_batch(
     int T, int N, int K, int d, int B,
@@ -817,6 +938,13 @@ def _load():
         i32p, f32p, i64p, i64p,
         f64p, f64p, f64p, ctypes.c_double, f64p, f64p,
     ]
+    lib.rcf_density_lanes.restype = None
+    lib.rcf_density_lanes.argtypes = [
+        ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        i32p, f32p, i32p, i32p, i32p, f32p, f32p, i32p,
+        i32p, f32p, i64p, i64p,
+        f64p, f64p, f64p, f64p, f64p, f64p,
+    ]
     lib.pcg_selftest.restype = None
     lib.pcg_selftest.argtypes = [
         ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64,
@@ -928,6 +1056,43 @@ def attribution_lanes_c(
         _ptr(hi_out, c.c_double), _ptr(lo_out, c.c_double),
     )
     return hi_out, lo_out
+
+
+def density_lanes_c(
+    forest, X32: np.ndarray, qs: np.ndarray, ts: np.ndarray,
+    flats: tuple, Q: int,
+) -> dict:
+    """Per-lane density walk through C; returns the six [Q,d]
+    accumulator arrays (prob/meas/dist × high/low) BEFORE the 1/T
+    division — bit-identical to the vectorized Python walk in
+    core/queries.density."""
+    cutdim, cutval, left, right, parent, bbmin, bbmax, mass = flats
+    f = forest
+    d = f.d
+    out = {
+        k: np.zeros((Q, d))
+        for k in ("prob_high", "prob_low", "meas_high", "meas_low",
+                  "dist_high", "dist_low")
+    }
+    L = len(qs)
+    if L == 0:
+        return out
+    c = ctypes
+    _LIB.rcf_density_lanes(
+        L, f.N, d,
+        _ptr(cutdim, c.c_int32), _ptr(cutval, c.c_float),
+        _ptr(left, c.c_int32), _ptr(right, c.c_int32),
+        _ptr(parent, c.c_int32),
+        _ptr(bbmin, c.c_float), _ptr(bbmax, c.c_float),
+        _ptr(mass, c.c_int32), _ptr(f.root, c.c_int32),
+        _ptr(X32, c.c_float),
+        _ptr(np.ascontiguousarray(qs, np.int64), c.c_int64),
+        _ptr(np.ascontiguousarray(ts, np.int64), c.c_int64),
+        _ptr(out["prob_high"], c.c_double), _ptr(out["prob_low"], c.c_double),
+        _ptr(out["meas_high"], c.c_double), _ptr(out["meas_low"], c.c_double),
+        _ptr(out["dist_high"], c.c_double), _ptr(out["dist_low"], c.c_double),
+    )
+    return out
 
 
 def update_batch_c(forest, X64: np.ndarray, seqs: np.ndarray, W: np.ndarray,

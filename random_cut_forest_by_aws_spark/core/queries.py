@@ -58,6 +58,20 @@ def density(forest: RCFForest, X: np.ndarray, q_scale: float = 2.0) -> dict:
     L = Q * len(live)
     qs = np.repeat(np.arange(Q, dtype=np.int64), len(live))
     ts = np.tile(live.astype(np.int64), Q)
+
+    from .forest import _ckernel
+
+    ck = _ckernel()
+    if ck is not None:
+        # C walk (core/ckernel.py rcf_density_lanes): bit-identical to
+        # the vectorized path below
+        acc = ck.density_lanes_c(
+            forest, X32, qs, ts,
+            (cutdim, cutval, left, right, parent, bbmin, bbmax, mass), Q,
+        )
+        for k in res:
+            res[k] = acc[k] / T
+        return _density_scalar(res, forest, d, q_scale)
     addr = ts * N + forest.root[ts].astype(np.int64)
 
     # descent
@@ -149,8 +163,13 @@ def density(forest: RCFForest, X: np.ndarray, q_scale: float = 2.0) -> dict:
         np.add.at(res[f"{name}_low"], qs, arr[1])
         res[f"{name}_high"] /= T
         res[f"{name}_low"] /= T
+    return _density_scalar(res, forest, d, q_scale)
 
-    # scalar density (DensityOutput.getDensity:61-79), manifold dim = d
+
+def _density_scalar(res: dict, forest: RCFForest, d: int, q_scale: float) -> dict:
+    """Scalar density from the accumulated DiVectors
+    (DensityOutput.getDensity:61-79), manifold dim = d — shared tail of
+    the vectorized and C walks."""
     sum_pts = (res["meas_high"] + res["meas_low"]).sum(1) / forest.K
     prob = res["prob_high"] + res["prob_low"]
     dist = res["dist_high"] + res["dist_low"]

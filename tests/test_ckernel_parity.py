@@ -421,3 +421,46 @@ def test_attribution_shadow_union_matches_reference_walk():
             np.testing.assert_array_equal(lo_p[0], lo_r)
             checked_shadow += 1
     assert checked_shadow > 0
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    n=st.integers(60, 700),
+    d=st.integers(1, 9),
+    k=st.sampled_from([16, 64, 128]),
+    seed=st.integers(0, 99_999),
+)
+def test_density_lanes_bit_identical(n, d, k, seed):
+    """C density walk (SimpleInterpolationVisitor analogue) vs the
+    vectorized Python walk: all six DiVector accumulators plus the
+    scalar density, on duplicate-heavy and far queries."""
+    from random_cut_forest_by_aws_spark.core.queries import density
+
+    rng = np.random.default_rng(seed)
+    X = np.round(rng.normal(0, 1, size=(n, d)), 1).astype(np.float32)
+    f = RCFForest(d, num_trees=6, sample_size=k, time_decay=0.01, seed=seed)
+    f.update_batch(X)
+    q = np.vstack([
+        X[:15],                                   # duplicates (eq leaf)
+        rng.normal(0, 1, (10, d)),
+        rng.normal(0, 6, (8, d)),
+    ]).astype(np.float32)
+    rc = density(f, q)
+    rp = _py_path(density, f, q)
+    for key in rc:
+        np.testing.assert_array_equal(rc[key], rp[key], err_msg=key)
+
+
+def test_density_high_dim_pairwise_recursion():
+    from random_cut_forest_by_aws_spark.core.queries import density
+
+    rng = np.random.default_rng(79)
+    d = 70
+    X = rng.normal(0, 1, size=(300, d)).astype(np.float32)
+    f = RCFForest(d, num_trees=4, sample_size=64, time_decay=0.0, seed=3)
+    f.update_batch(X)
+    q = np.vstack([X[:8], rng.normal(0, 4, (20, d))]).astype(np.float32)
+    rc = density(f, q)
+    rp = _py_path(density, f, q)
+    for key in rc:
+        np.testing.assert_array_equal(rc[key], rp[key], err_msg=key)
