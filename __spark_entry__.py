@@ -569,6 +569,61 @@ def _q_quota_sample_docs(spark, sf_dir):
     )
 
 
+def _q_token_budget_docs(spark, sf_dir):
+    """Token-budget mixture: per source, the greedy prefix of documents
+    in the deterministic (hash(id), id) order until 700 BPE-ish tokens —
+    the token-weighted mixture contract (training mixes are specified in
+    tokens, not doc counts; operators/sampling.token_budget_sample —
+    hierarchical range-bucket prefix sum, no whole-key window).
+    n_buckets=8 exercises the multi-bucket offset path. The oracle
+    replays the fold-multiply hash order and the cumulative window in
+    DuckDB."""
+    from random_cut_forest_by_aws_spark.operators.sampling import (
+        token_budget_sample,
+    )
+    from random_cut_forest_by_aws_spark.operators.textqc import BPE_ISH_PATTERN
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN))
+        .cast("bigint")
+        .alias("n_tok"),
+    )
+    return token_budget_sample(docs, 700, "n_tok", n_buckets=8).withColumn(
+        "tokens_before", F.col("tokens_before").cast("bigint")
+    )
+
+
+def _q_incremental_minhash_docs(spark, sf_dir):
+    """Incremental dedup of a new crawl against an existing corpus:
+    MinHash band-bucket join of the even-id half (the 'new batch')
+    against the odd-id half (the 'corpus'), verified with exact n-gram
+    Jaccard (operators/dedup.minhash_candidates_incremental — only
+    (band, bucket) keys shuffle; the corpus is never self-joined).
+    Emitting the jaccard ≥ 0.7 pairs makes the sketch oracle-checkable:
+    DuckDB computes ALL cross-side pairs ≥ 0.7 exhaustively, so a hash
+    match proves full recall at that similarity under the 16×2 banding
+    (same probabilistic caveat as minhash_candidates_docs: per-pair miss
+    ~2e-5 at the boundary by design)."""
+    from random_cut_forest_by_aws_spark.operators.dedup import (
+        minhash_candidates_incremental, ngram_jaccard,
+    )
+
+    docs = _docs(spark, sf_dir)
+    new = docs.filter(F.pmod("doc_id", F.lit(2)) == 0)
+    corpus = docs.filter(F.pmod("doc_id", F.lit(2)) == 1)
+    cand = minhash_candidates_incremental(
+        new, corpus, num_hashes=32, bands=16
+    ).select(F.col("new_id").alias("id_a"), F.col("corpus_id").alias("id_b"))
+    j = ngram_jaccard(docs, cand, shingle_k=3)
+    return j.filter(F.col("jaccard") >= 0.7).select(
+        F.col("id_a").alias("new_id"),
+        F.col("id_b").alias("corpus_id"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
 def _q_session_window_events(spark, sf_dir):
     """Gap-based sessionization through Spark's NATIVE session_window
     grouping (the dynamic-window member of the §2.6 family, and the
@@ -1020,6 +1075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_profile_docs": _q_pii_profile_docs,
         "pack_sequences_docs": _q_pack_sequences_docs,
         "quota_sample_docs": _q_quota_sample_docs,
+        "token_budget_docs": _q_token_budget_docs,
+        "incremental_minhash_docs": _q_incremental_minhash_docs,
         "lm_logprob_docs": _q_lm_logprob_docs,
         "media_decode_features": _q_media_features,
         "media_resize_plan": _q_media_resize_plan,
@@ -1525,6 +1582,47 @@ def oracle_sql() -> dict[str, str]:
               FROM h)
             SELECT source, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
             FROM r WHERE sample_rank <= 7
+        """,
+        "token_budget_docs": """
+            -- greedy token prefix per source under the same hash order
+            -- quota_sample_docs replays; the cut lands on the cumulative
+            -- BPE-ish token count
+            WITH h AS (
+              SELECT source, doc_id,
+                     (((((doc_id % 2147483648) + 2147483648) % 2147483648)
+                       * 2654435761 + 42) % 2147483648) AS qh,
+                     CAST(len(regexp_extract_all(text,
+                          '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tok
+              FROM documents),
+            c AS (
+              SELECT source, doc_id, n_tok,
+                     CAST(COALESCE(SUM(n_tok) OVER (
+                       PARTITION BY source ORDER BY qh, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS tokens_before
+              FROM h)
+            SELECT source, doc_id, n_tok, tokens_before
+            FROM c WHERE tokens_before < 700
+        """,
+        "incremental_minhash_docs": """
+            -- exhaustive cross-side jaccard: every (even-id, odd-id)
+            -- pair >= 0.7 — the full-recall claim for the incremental
+            -- band-bucket join
+            WITH s AS (
+              SELECT doc_id,
+                     list_distinct(
+                       CASE WHEN len(string_split(text, ' ')) < 3
+                            THEN [text]
+                            ELSE [array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                                  FOR i IN range(1, len(string_split(text, ' ')) - 1)]
+                       END) AS sh
+              FROM documents)
+            SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+                   round(len(list_intersect(a.sh, b.sh))
+                         / greatest(len(list_distinct(a.sh || b.sh)), 1), 6) AS jaccard
+            FROM s a JOIN s b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+            WHERE len(list_intersect(a.sh, b.sh))
+                  / greatest(len(list_distinct(a.sh || b.sh)), 1) >= 0.7
         """,
         "mixture_sample_docs": """
             -- ((x % M) + M) % M: Spark pmod is non-negative, DuckDB %

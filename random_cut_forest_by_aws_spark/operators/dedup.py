@@ -58,21 +58,18 @@ def minhash_signature(shingle_hashes: Column, num_hashes: int = 32, seed: int = 
     )
 
 
-def minhash_candidates(
+def _band_buckets(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    shingle_k: int = 3,
-    num_hashes: int = 32,
-    bands: int = 8,
-    seed: int = 42,
+    id_col: str,
+    text_col: str,
+    shingle_k: int,
+    num_hashes: int,
+    bands: int,
+    seed: int,
 ) -> DataFrame:
-    """Near-duplicate candidate pairs (id_a < id_b, n_shared_bands).
-
-    rows = num_hashes/bands per band; two docs collide in a band iff all
-    row min-hashes agree ⇒ P(collide) = s^rows for Jaccard s. With 32/8
-    the S-curve centers near s ≈ 0.56.
-    """
+    """(_id, bb struct<band, bucket>) — one row per (doc, band): the
+    banded MinHash bucket keys that both the self-join and the
+    incremental (new-vs-corpus) candidate generators join on."""
     assert num_hashes % bands == 0
     rows = num_hashes // bands
     # Hash each shingle string ONCE, then force an exchange so Catalyst's
@@ -85,7 +82,7 @@ def minhash_candidates(
         ),
     ).repartition(F.col("_id"))
     sig = minhash_signature(F.col("_h"), num_hashes, seed)
-    banded = hashed.select(F.col("_id"), sig.alias("_sig")).select(
+    return hashed.select(F.col("_id"), sig.alias("_sig")).select(
         "_id",
         F.explode(
             F.array(
@@ -101,6 +98,24 @@ def minhash_candidates(
             )
         ).alias("bb"),
     )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate candidate pairs (id_a < id_b, n_shared_bands).
+
+    rows = num_hashes/bands per band; two docs collide in a band iff all
+    row min-hashes agree ⇒ P(collide) = s^rows for Jaccard s. With 32/8
+    the S-curve centers near s ≈ 0.56.
+    """
+    banded = _band_buckets(df, id_col, text_col, shingle_k, num_hashes, bands, seed)
     buckets = (
         banded.groupBy("bb.band", "bb.bucket")
         .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
@@ -127,6 +142,65 @@ def minhash_candidates(
         pairs.groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
+
+
+def minhash_candidates_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Near-duplicate candidates of NEW documents against an EXISTING
+    corpus: (new_id, corpus_id, n_shared_bands) — the incremental-dedup
+    shape every recurring ingestion runs ("is today's crawl already in
+    the 100 TB corpus?"). The self-join operator re-banding the full
+    corpus per crawl would re-shuffle the whole corpus; here the corpus
+    side's band buckets are computed once (persist/write them in a real
+    deployment — the function body is the plan either way) and only
+    (band, bucket) keys shuffle, so cost per crawl is
+    O(new·bands + matching buckets), never O(corpus²).
+
+    new×new pairs are NOT emitted (run ``minhash_candidates`` on the new
+    batch for those); if the same id appears on both sides it pairs with
+    itself, which is the correct "already present" verdict. Buckets with
+    more than ``max_bucket`` ids on either side are dropped (degenerate
+    boilerplate buckets — same guard as the self-join path). Banding
+    math is identical to ``minhash_candidates`` (same seed ⇒ identical
+    bucket keys), so a stored corpus bucket table is reusable across
+    crawls."""
+    nb = _band_buckets(new_df, id_col, text_col, shingle_k, num_hashes, bands, seed)
+    cb = _band_buckets(corpus_df, id_col, text_col, shingle_k, num_hashes, bands, seed)
+    ng = (
+        nb.groupBy("bb.band", "bb.bucket")
+        .agg(F.sort_array(F.collect_list("_id")).alias("new_ids"))
+        .filter(F.size("new_ids") <= max_bucket)
+    )
+    cg = (
+        cb.groupBy("bb.band", "bb.bucket")
+        .agg(F.sort_array(F.collect_list("_id")).alias("corpus_ids"))
+        .filter(F.size("corpus_ids") <= max_bucket)
+    )
+    pairs = ng.join(cg, ["band", "bucket"]).select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("new_ids"),
+                    lambda a: F.transform(
+                        F.col("corpus_ids"),
+                        lambda b: F.struct(a.alias("new_id"), b.alias("corpus_id")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(
+        F.col("p.new_id").alias("new_id"), F.col("p.corpus_id").alias("corpus_id")
+    ).agg(F.count(F.lit(1)).alias("n_shared_bands"))
 
 
 def _simhash_from_hashes(harrs: pd.Series) -> pd.Series:

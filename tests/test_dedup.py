@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from random_cut_forest_by_aws_spark.operators.dedup import (
     exact_duplicates,
     minhash_candidates,
+    minhash_candidates_incremental,
     ngram_jaccard,
     simhash,
     simhash_candidates,
@@ -63,6 +64,48 @@ def test_minhash_finds_planted_neardups(neardup_docs):
     assert PLANTED <= pairs  # full recall on planted pairs (jaccard ≈ .93)
     # exact dups collide in every band
     assert (0, 2000) in pairs and (1, 2001) in pairs
+
+
+def test_minhash_incremental_cross_corpus(neardup_docs):
+    """New-vs-corpus candidates: every planted pair straddles the
+    even/odd id split (pairs are (2k, 2k+1)), so incremental dedup of the
+    even half against the odd half must surface all 10 — and must NOT
+    emit same-side pairs (the exact-dup pairs (0,2000)/(1,2001) are both
+    even / both odd)."""
+    new = neardup_docs.filter(F.pmod("doc_id", F.lit(2)) == 0)
+    corpus = neardup_docs.filter(F.pmod("doc_id", F.lit(2)) == 1)
+    cand = minhash_candidates_incremental(new, corpus).toPandas()
+    pairs = {(int(a), int(b)) for a, b in zip(cand["new_id"], cand["corpus_id"])}
+    assert PLANTED <= pairs  # full recall, new_id = even member
+    same_side = {(0, 2000), (2000, 0), (1, 2001), (2001, 1)}
+    assert not (pairs & same_side)
+    # banding math identical to the self-join operator: shared-band
+    # counts agree on the planted pairs
+    self_cand = minhash_candidates(neardup_docs).toPandas()
+    self_bands = {
+        (int(a), int(b)): int(n)
+        for a, b, n in zip(
+            self_cand["id_a"], self_cand["id_b"], self_cand["n_shared_bands"]
+        )
+    }
+    inc_bands = {
+        (int(a), int(b)): int(n)
+        for a, b, n in zip(
+            cand["new_id"], cand["corpus_id"], cand["n_shared_bands"]
+        )
+    }
+    for p in PLANTED:
+        assert inc_bands[p] == self_bands[p]
+
+
+def test_minhash_incremental_already_present(neardup_docs):
+    """A doc appearing on BOTH sides (re-crawl of an ingested page) pairs
+    with itself — the 'already present' verdict."""
+    one = neardup_docs.filter(F.col("doc_id") == 0)
+    cand = minhash_candidates_incremental(one, neardup_docs).toPandas()
+    pairs = {(int(a), int(b)) for a, b in zip(cand["new_id"], cand["corpus_id"])}
+    assert (0, 0) in pairs
+    assert (0, 2000) in pairs  # and with its exact dup in the corpus
 
 
 def test_ngram_jaccard_values(spark, neardup_docs):

@@ -31,6 +31,19 @@ def test_pack_sequences_single_scan(spark):
     assert "Reused" in plan, plan
 
 
+def test_token_budget_two_scans_with_reuse(spark):
+    """Narrow prefix path (ReusedExchange across the window/aggregate
+    branches) + one payload join-back scan — the dataflow floor. If the
+    reuse breaks (inferred-filter or pruning drift de-canonicalizes the
+    branches) this climbs to 3 scans with the weight expression
+    evaluated twice."""
+    import __spark_entry__ as em
+
+    plan = _final_plan(em.queries()["token_budget_docs"](spark, SF_DIR))
+    assert plan.count("FileScan parquet") == 2, plan
+    assert "Reused" in plan, plan
+
+
 def test_lm_quality_two_scans(spark):
     """Model pass + scoring pass — the dataflow floor. The three model
     consumers (vocab, N, V) must share one exchange, or this climbs
