@@ -1593,7 +1593,10 @@ def oracle_sql() -> dict[str, str]:
                        * 2654435761 + 42) % 2147483648) AS qh,
                      CAST(len(regexp_extract_all(text,
                           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tok
-              FROM documents),
+              FROM documents
+              -- the operator drops NULL key/id rows (no position in the
+              -- per-key hash order) — pin the same semantics here
+              WHERE source IS NOT NULL AND doc_id IS NOT NULL),
             c AS (
               SELECT source, doc_id, n_tok,
                      CAST(COALESCE(SUM(n_tok) OVER (

@@ -58,6 +58,30 @@ def minhash_signature(shingle_hashes: Column, num_hashes: int = 32, seed: int = 
     )
 
 
+# mega-bucket guard shared by every band-bucket candidate generator:
+# buckets larger than this are degenerate (boilerplate shingles) and
+# dropped rather than exploded quadratically
+DEFAULT_MAX_BUCKET = 64
+
+
+def _pairs_within(ids: Column) -> Column:
+    """All ordered (id_a < id_b) pairs from one bucket's sorted id list —
+    the pair-explosion expression shared by the self-join candidate
+    generators (array<struct<id_a, id_b>>, JVM-side)."""
+    return F.filter(
+        F.flatten(
+            F.transform(
+                ids,
+                lambda a: F.transform(
+                    ids,
+                    lambda b: F.when(a < b, F.struct(a.alias("id_a"), b.alias("id_b"))),
+                ),
+            )
+        ),
+        lambda s: s.isNotNull(),
+    )
+
+
 def _band_buckets(
     df: DataFrame,
     id_col: str,
@@ -120,24 +144,9 @@ def minhash_candidates(
         banded.groupBy("bb.band", "bb.bucket")
         .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
         .filter(F.size("ids") > 1)
-        .filter(F.size("ids") <= 64)  # guard: degenerate mega-buckets
+        .filter(F.size("ids") <= DEFAULT_MAX_BUCKET)
     )
-    pairs = buckets.select(
-        F.explode(
-            F.filter(
-                F.flatten(
-                    F.transform(
-                        F.col("ids"),
-                        lambda a: F.transform(
-                            F.col("ids"),
-                            lambda b: F.when(a < b, F.struct(a.alias("id_a"), b.alias("id_b"))),
-                        ),
-                    )
-                ),
-                lambda s: s.isNotNull(),
-            )
-        ).alias("p")
-    )
+    pairs = buckets.select(F.explode(_pairs_within(F.col("ids"))).alias("p"))
     return (
         pairs.groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
@@ -153,7 +162,7 @@ def minhash_candidates_incremental(
     num_hashes: int = 32,
     bands: int = 8,
     seed: int = 42,
-    max_bucket: int = 64,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-duplicate candidates of NEW documents against an EXISTING
     corpus: (new_id, corpus_id, n_shared_bands) — the incremental-dedup
@@ -282,24 +291,9 @@ def simhash_candidates(sims: DataFrame, id_col: str = "doc_id", bands: int = 4) 
     buckets = (
         exploded.groupBy("bb.band", "bb.bucket")
         .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= 64))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= DEFAULT_MAX_BUCKET))
     )
-    pairs = buckets.select(
-        F.explode(
-            F.filter(
-                F.flatten(
-                    F.transform(
-                        F.col("ids"),
-                        lambda a: F.transform(
-                            F.col("ids"),
-                            lambda b: F.when(a < b, F.struct(a.alias("id_a"), b.alias("id_b"))),
-                        ),
-                    )
-                ),
-                lambda s: s.isNotNull(),
-            )
-        ).alias("p")
-    )
+    pairs = buckets.select(F.explode(_pairs_within(F.col("ids"))).alias("p"))
     return pairs.select("p.id_a", "p.id_b").distinct()
 
 

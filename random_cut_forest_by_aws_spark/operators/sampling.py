@@ -140,9 +140,14 @@ def token_budget_sample(
     (key, id, weight) — payload (text, embeddings) never rides the
     prefix exchange; survivors re-attach it through one id join that AQE
     broadcasts when the kept set fits. Rows with NULL key or id are
-    dropped (no position in the per-key hash order). Output: the input
-    columns plus ``tokens_before`` (the exact prefix sum — the audit
-    trail for the cut).
+    dropped (no position in the per-key hash order), and ``id_col`` must
+    be unique — duplicate ids would make the (hash, id) order
+    nondeterministic AND multiply through the payload join (same
+    uniqueness contract as ``packing.pack_sequences``' order column).
+    Negative weights are clamped to 0 (the hierarchical bucket totals
+    require a monotone prefix). Output: the input columns plus
+    ``tokens_before`` (the exact prefix sum — the audit trail for the
+    cut).
 
     Reference frame: composes with ``mixing.mixture_sample`` (ratio
     contract) and ``quota_sample`` (doc-count contract); the hash is
@@ -161,11 +166,19 @@ def token_budget_sample(
     # probe canonically identical, so Catalyst plans ONE scan + ONE
     # corpus exchange with a ReusedExchange — the same construction as
     # packing.doc_token_offsets (CLAUDE.md Catalyst gotcha 2).
+    if "tokens_before" in df.columns:
+        raise ValueError("df already has a 'tokens_before' column")
     base = (
         df.select(
             F.col(key_col).alias("_k"),
             F.col(id_col).alias("_id"),
-            F.coalesce(F.col(weight_col).cast("bigint"), F.lit(0)).alias("_w"),
+            # clamp: bucket totals derive as max(prefix + w), which only
+            # equals the bucket sum when the running prefix is monotone —
+            # a negative sentinel weight would silently corrupt offsets
+            F.greatest(
+                F.coalesce(F.col(weight_col).cast("bigint"), F.lit(0)),
+                F.lit(0),
+            ).alias("_w"),
         )
         .withColumn("_qh", order_hash("_id", seed))
         .withColumn("_qb", (F.col("_qh") / F.lit(int(span))).cast("bigint"))
@@ -205,9 +218,11 @@ def token_budget_sample(
         local.join(F.broadcast(offsets), ["_k", "_qb"])
         .withColumn("tokens_before", F.col("_off") + F.col("_local_before"))
         .filter(F.col("tokens_before") < bcol)
-        .select("_id", "tokens_before")
+        .select(F.col("_id").alias("_tbs_join_id"), "tokens_before")
     )
     # payload re-attaches once; survivors are budget-bounded (usually a
     # small fraction of the corpus), so AQE converts this to a broadcast
     # join at runtime when they fit — the corpus is never shuffled twice
-    return df.join(kept, df[id_col] == kept["_id"]).drop("_id")
+    return df.join(kept, df[id_col] == kept["_tbs_join_id"]).drop(
+        "_tbs_join_id"
+    )
