@@ -86,9 +86,15 @@ def main() -> None:
 
     from bench import _calibrate_host
     from random_cut_forest_by_aws_spark import get_spark
+    from random_cut_forest_by_aws_spark.operators.dedup import (
+        minhash_candidates_incremental,
+    )
     from random_cut_forest_by_aws_spark.operators.lm_quality import unigram_logprob
     from random_cut_forest_by_aws_spark.operators.packing import pack_sequences
-    from random_cut_forest_by_aws_spark.operators.sampling import quota_sample
+    from random_cut_forest_by_aws_spark.operators.sampling import (
+        quota_sample,
+        token_budget_sample,
+    )
     from random_cut_forest_by_aws_spark.operators.scrub import pii_profile
     from random_cut_forest_by_aws_spark.operators.textqc import BPE_ISH_PATTERN
 
@@ -122,6 +128,15 @@ def main() -> None:
               .agg(F.sum("tok_end").alias("x")).collect())
         timed("quota_sample", lambda: quota_sample(
             docs.select("source", "doc_id"), 1000).count())
+        # token budgets that actually cut: src0 holds ~n/2 docs (~65M
+        # tokens at 1M docs), the other 19 sources ~3.4M tokens each
+        timed("token_budget", lambda: token_budget_sample(
+            toks, {"src0": 5_000_000}, "n_tok", default_budget=1_000_000)
+            .agg(F.sum("tokens_before").alias("a"),
+                 F.count(F.lit(1)).alias("n")).collect())
+        timed("incremental_minhash", lambda: minhash_candidates_incremental(
+            docs.filter(F.pmod("doc_id", F.lit(2)) == 0),
+            docs.filter(F.pmod("doc_id", F.lit(2)) == 1)).count())
         timed("lm_quality", lambda: unigram_logprob(docs, min_count=5).agg(
             F.sum("n_oov").alias("a"), F.sum("logprob").alias("b")).collect())
 
@@ -218,12 +233,45 @@ def main() -> None:
     """).fetchone()
     quota_ok = tuple(spark_q) == tuple(duck_q)
 
+    spark_tb = token_budget_sample(
+        toks0, {"src0": 5_000_000}, "n_tok", default_budget=1_000_000
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("tokens_before").alias("s_before"),
+        F.sum("n_tok").alias("s_tok"),
+        F.sum(F.col("doc_id") % 1_000_003).alias("s_doc"),
+    ).collect()[0]
+    duck_tb = con.execute("""
+        WITH h AS (
+          SELECT source, doc_id,
+                 (((((doc_id % 2147483648) + 2147483648) % 2147483648)
+                   * 2654435761 + 42) % 2147483648) AS qh,
+                 CAST(len(regexp_extract_all(text,
+                      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tok
+          FROM documents
+          WHERE source IS NOT NULL AND doc_id IS NOT NULL),
+        c AS (
+          SELECT source, doc_id, n_tok,
+                 CAST(COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY source ORDER BY qh, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS tokens_before
+          FROM h)
+        SELECT COUNT(*) AS n, SUM(tokens_before) AS s_before,
+               SUM(n_tok) AS s_tok, SUM(doc_id % 1000003) AS s_doc
+        FROM c WHERE tokens_before <
+          (CASE WHEN source = 'src0' THEN 5000000 ELSE 1000000 END)
+    """).fetchone()
+    tb_ok = tuple(spark_tb) == tuple(duck_tb)
+
     out["verify_at_n"] = n0
     out["pack_signature_match"] = bool(pack_ok)
     out["quota_signature_match"] = bool(quota_ok)
-    if not (pack_ok and quota_ok):
+    out["token_budget_signature_match"] = bool(tb_ok)
+    if not (pack_ok and quota_ok and tb_ok):
         out["spark_pack"], out["duck_pack"] = list(spark_pack), list(duck_pack)
         out["spark_quota"], out["duck_quota"] = list(spark_q), list(duck_q)
+        out["spark_tb"], out["duck_tb"] = list(spark_tb), list(duck_tb)
 
     print(json.dumps(out))
     spark.stop()
