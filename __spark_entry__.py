@@ -624,6 +624,36 @@ def _q_incremental_minhash_docs(spark, sf_dir):
     )
 
 
+def _q_winnow_fingerprints_docs(spark, sf_dir):
+    """Winnowing document fingerprints (SIGMOD 2003) — the
+    substring-level dedup primitive: minimum positional-polynomial
+    k-gram hash per sliding window, so any two docs sharing a
+    substring of ≥ window+k-1 chars share a fingerprint VALUE. The
+    hash is exact closed-form integer arithmetic (sum(cp·257^j) mod
+    2^31-1), so DuckDB replays the fingerprints themselves verbatim —
+    the sketch content is oracle-checked, not just downstream counts."""
+    from random_cut_forest_by_aws_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("fp").cast("bigint").alias("fp")
+    )
+
+
+def _q_winnow_candidates_docs(spark, sf_dir):
+    """Shared-substring candidate pairs from winnowing fingerprints:
+    every pair sharing a ≥ 12-char substring appears (the winnowing
+    guarantee — deterministic, unlike MinHash banding's probabilistic
+    recall), joined only through (fp, id) rows with the mega-bucket
+    guard. Deterministic fingerprints make the WHOLE candidate
+    generation exactly replayable in SQL (bucket sizes, guard, pair
+    counts), a stronger oracle than the jaccard-verified minhash gate."""
+    from random_cut_forest_by_aws_spark.operators.dedup import winnow_candidates
+
+    return winnow_candidates(_docs(spark, sf_dir)).select(
+        "id_a", "id_b", F.col("n_shared_fps").cast("bigint").alias("n_shared_fps")
+    )
+
+
 def _q_session_window_events(spark, sf_dir):
     """Gap-based sessionization through Spark's NATIVE session_window
     grouping (the dynamic-window member of the §2.6 family, and the
@@ -1077,6 +1107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_sample_docs": _q_quota_sample_docs,
         "token_budget_docs": _q_token_budget_docs,
         "incremental_minhash_docs": _q_incremental_minhash_docs,
+        "winnow_fingerprints_docs": _q_winnow_fingerprints_docs,
+        "winnow_candidates_docs": _q_winnow_candidates_docs,
         "lm_logprob_docs": _q_lm_logprob_docs,
         "media_decode_features": _q_media_features,
         "media_resize_plan": _q_media_resize_plan,
@@ -1626,6 +1658,66 @@ def oracle_sql() -> dict[str, str]:
             FROM s a JOIN s b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
             WHERE len(list_intersect(a.sh, b.sh))
                   / greatest(len(list_distinct(a.sh || b.sh)), 1) >= 0.7
+        """,
+        "winnow_fingerprints_docs": """
+            -- exact replay of the winnowing sketch: positional
+            -- polynomial k-gram hash (base 257, mod 2^31-1, k=5) over
+            -- code points, then min-of-each-8-window, distinct per doc
+            WITH d AS (
+              SELECT doc_id, coalesce(text, '') AS t FROM documents
+            ), c AS (
+              SELECT doc_id,
+                     [unicode(t[i]) FOR i IN range(1, length(t)+1)] AS cps
+              FROM d
+            ), kh AS (
+              SELECT doc_id,
+                     [(cps[i]*4362470401 + cps[i+1]*16974593
+                       + cps[i+2]*66049 + cps[i+3]*257 + cps[i+4])
+                      % 2147483647
+                      FOR i IN range(1, greatest(len(cps)-4, 0)+1)] AS kh
+              FROM c
+            ), f AS (
+              SELECT doc_id,
+                     list_distinct(
+                       [list_min(kh[i:i+7])
+                        FOR i IN range(1, greatest(len(kh)-7, 0)+1)]) AS fps
+              FROM kh
+            )
+            SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM f
+        """,
+        "winnow_candidates_docs": """
+            -- deterministic fingerprints => the whole candidate join is
+            -- SQL-replayable: same-fp pairs, mega-bucket guard at 64
+            WITH d AS (
+              SELECT doc_id, coalesce(text, '') AS t FROM documents
+            ), c AS (
+              SELECT doc_id,
+                     [unicode(t[i]) FOR i IN range(1, length(t)+1)] AS cps
+              FROM d
+            ), kh AS (
+              SELECT doc_id,
+                     [(cps[i]*4362470401 + cps[i+1]*16974593
+                       + cps[i+2]*66049 + cps[i+3]*257 + cps[i+4])
+                      % 2147483647
+                      FOR i IN range(1, greatest(len(cps)-4, 0)+1)] AS kh
+              FROM c
+            ), f AS (
+              SELECT doc_id,
+                     CAST(unnest(list_distinct(
+                       [list_min(kh[i:i+7])
+                        FOR i IN range(1, greatest(len(kh)-7, 0)+1)])) AS BIGINT)
+                       AS fp
+              FROM kh
+            ), g AS (
+              SELECT fp FROM f GROUP BY fp
+              HAVING count(*) > 1 AND count(*) <= 64
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS n_shared_fps
+            FROM f a
+            JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            JOIN g ON g.fp = a.fp
+            GROUP BY a.doc_id, b.doc_id
         """,
         "mixture_sample_docs": """
             -- ((x % M) + M) % M: Spark pmod is non-negative, DuckDB %

@@ -212,6 +212,131 @@ def minhash_candidates_incremental(
     ).agg(F.count(F.lit(1)).alias("n_shared_bands"))
 
 
+# winnowing parameters: B/M are the polynomial-hash base/modulus —
+# engine-portable integer arithmetic (M = 2^31 - 1 is prime; with
+# code points < 2^21 and k <= 5 the unreduced sum stays < 2^56, so a
+# single closed-form expression computes the hash identically in Spark
+# and DuckDB with no intermediate mod)
+_WINNOW_B = 257
+_WINNOW_M = 2147483647
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 8,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken:
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003): hash every character ``k``-gram with a positional polynomial
+    over code points, then keep the MINIMUM hash of each ``window`` of
+    consecutive k-gram hashes. Output: one row per distinct selected
+    fingerprint, ``(id, fp)``.
+
+    The winnowing guarantee makes this the substring-level dedup
+    primitive (boilerplate, quoted passages, licence blocks): any two
+    documents sharing a substring of at least ``window + k - 1``
+    characters share at least one fingerprint VALUE, while only
+    ~2/(window+1) of all k-grams are retained. Set-similarity sketches
+    (MinHash over word shingles) cannot make that per-substring promise.
+
+    Engine-portable by construction: the k-gram hash is the closed-form
+    polynomial sum((cp_i * B^(k-1-i))) mod M over code points — exact
+    integer arithmetic DuckDB replays verbatim (gate query
+    ``winnow_fingerprints_docs`` oracle-checks the fingerprints
+    themselves, not just downstream counts). Documents shorter than
+    ``k`` characters yield no fingerprints (NULL text = empty).
+
+    Everything is JVM-side expression work fused into the scan — code
+    points via one pass over the split characters, k-gram hashes and
+    window minima as array transforms, one explode of the ~2n/window
+    surviving fingerprints. No UDF, no shuffle before the explode.
+
+    Plan-shape note: the k-gram array and the window-minima transform
+    are chained through single-element ``transform(array(x), a -> ...)``
+    bindings rather than aliased projections. Alias substitution
+    (CollapseProject) would inline the DEFINING expression of an
+    aliased array into every ``element_at``/``slice`` reference inside
+    the downstream lambda — recomputing the whole k-gram array once per
+    window position, O(len²·k) per document (measured: minutes for 500
+    ×550-char docs). A lambda variable is a bound VALUE, so each stage
+    is evaluated exactly once per row.
+    """
+    if k <= 0 or window <= 0:
+        raise ValueError(f"k and window must be positive, got {k}, {window}")
+    if k > 5:
+        # cp < 2^21 and B^5 > 2^40: six unreduced terms still fit int64,
+        # but larger k needs an intermediate mod — keep the closed form
+        raise ValueError("k > 5 would overflow the closed-form hash")
+    powers = [_WINNOW_B ** (k - 1 - j) for j in range(k)]
+
+    def _one_to(n):
+        # 1..n as an array, EMPTY when n < 1: sequence(1, 0) yields the
+        # DESCENDING [1, 0] in Spark, never an empty array — guard it
+        return F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+            F.array().cast("array<int>")
+        )
+
+    def _bind(arr, fn):
+        # evaluate `arr` once, hand it to `fn` as a bound lambda value
+        return F.element_at(F.transform(F.array(arr), fn), 1)
+
+    chars = F.split(F.coalesce(F.col(text_col), F.lit("")), "")
+    # Spark's split('') yields a trailing empty string; drop empties so
+    # position arithmetic matches DuckDB's 1..len(text) code points
+    cps = F.transform(
+        F.filter(chars, lambda c: c != F.lit("")), lambda c: F.ascii(c).cast("bigint")
+    )
+
+    def _kgram_hashes(a):
+        return F.transform(
+            _one_to(F.size(a) - (k - 1)),
+            lambda i: sum(
+                F.element_at(a, i + F.lit(j)) * F.lit(powers[j]) for j in range(k)
+            )
+            % F.lit(_WINNOW_M),
+        )
+
+    def _window_minima(h):
+        return F.array_distinct(
+            F.transform(
+                _one_to(F.size(h) - (window - 1)),
+                lambda i: F.array_min(F.slice(h, i, window)),
+            )
+        )
+
+    fps = _bind(cps, lambda a: _bind(_kgram_hashes(a), _window_minima))
+    return df.select(F.col(id_col), F.explode(fps).alias("fp"))
+
+
+def winnow_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 8,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Shared-substring candidate pairs (id_a < id_b, n_shared_fps):
+    documents sharing any winnowing fingerprint. By the winnowing
+    guarantee, every pair sharing a substring of ≥ window + k - 1
+    characters appears here; the join shuffles only (fp, id) rows
+    (~2n/window per doc), with the standard mega-bucket guard dropping
+    degenerate fingerprints (boilerplate shared by > max_bucket docs)."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, window)
+    buckets = (
+        fps.groupBy("fp")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    pairs = buckets.select(F.explode(_pairs_within(F.col("ids"))).alias("p"))
+    return pairs.groupBy(
+        F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
+    ).agg(F.count(F.lit(1)).alias("n_shared_fps"))
+
+
 def _simhash_from_hashes(harrs: pd.Series) -> pd.Series:
     """Bit-parallel sign-sum over pre-hashed tokens (array<long> per doc).
 

@@ -179,3 +179,102 @@ def test_duplicate_clusters_connected_components(spark):
     }
     canon = [k for k, v in out.items() if v[1]]
     assert sorted(canon) == ["a", "p", "x"]
+
+
+# ---------------------------------------------------------------- winnowing
+def _py_winnow(text: str, k: int = 5, w: int = 8) -> set[int]:
+    """Scalar reference replay of winnow_fingerprints' exact arithmetic."""
+    B, M = 257, 2147483647
+    cps = [ord(c) for c in (text or "")]
+    kh = [
+        sum(cps[i + j] * B ** (k - 1 - j) for j in range(k)) % M
+        for i in range(len(cps) - k + 1)
+    ]
+    return {min(kh[i:i + w]) for i in range(len(kh) - w + 1)}
+
+
+def test_winnow_fingerprints_match_scalar_replay(spark):
+    """The Spark expression pipeline is bit-identical to the scalar
+    polynomial-hash + window-min reference on mixed-length docs,
+    including the no-fingerprint shorts (len < window+k-1) and NULL."""
+    from random_cut_forest_by_aws_spark.operators.dedup import winnow_fingerprints
+
+    rng = np.random.default_rng(11)
+    letters = "abcdefghijklmnopqrstuvwxyz 0123456789"
+    texts = ["".join(rng.choice(list(letters), n)) for n in
+             [0, 3, 5, 11, 12, 13, 40, 200, 553]] + [None]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = winnow_fingerprints(df).toPandas()
+    by_doc = got.groupby("doc_id")["fp"].apply(set).to_dict()
+    for i, t in enumerate(texts):
+        assert by_doc.get(i, set()) == _py_winnow(t or ""), f"doc {i}"
+    # shorts and NULL yield nothing; 12 chars yield exactly one window
+    assert 0 not in by_doc and 3 not in by_doc and 9 not in by_doc
+    assert len(by_doc[4]) == 1
+
+
+def test_winnow_guarantee_and_density(spark):
+    """Winnowing guarantee: docs sharing a substring of >= window+k-1
+    chars share a fingerprint VALUE. Density: ~2/(window+1) of k-grams
+    survive (loose band)."""
+    from random_cut_forest_by_aws_spark.operators.dedup import winnow_fingerprints
+
+    rng = np.random.default_rng(23)
+    shared = "the same twelve!"  # 16 chars >= 12
+    rows = []
+    for i in range(20):
+        a = "".join(rng.choice(list("abcdefghijklm"), 120))
+        b = "".join(rng.choice(list("nopqrstuvwxyz"), 120))
+        pos_a, pos_b = rng.integers(0, 100, 2)
+        rows.append((2 * i, a[:pos_a] + shared + a[pos_a:]))
+        rows.append((2 * i + 1, b[:pos_b] + shared + b[pos_b:]))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df).toPandas()
+    by_doc = fps.groupby("doc_id")["fp"].apply(set).to_dict()
+    for i in range(20):
+        assert by_doc[2 * i] & by_doc[2 * i + 1], f"pair {i} shares no fp"
+    # density: 132 k-grams/doc, expected ~2/9 ~ 29 distinct fps
+    sizes = [len(v) for v in by_doc.values()]
+    assert 10 <= min(sizes) and max(sizes) <= 60
+
+
+def test_winnow_candidates_planted_and_bucket_guard(spark):
+    """Planted shared-substring pairs surface as candidates; docs on
+    disjoint alphabets never pair; a fingerprint shared by more than
+    max_bucket docs (degenerate boilerplate) is dropped entirely."""
+    from random_cut_forest_by_aws_spark.operators.dedup import winnow_candidates
+
+    rng = np.random.default_rng(31)
+    a = "".join(rng.choice(list("abcdefghijklm"), 100))
+    b = "".join(rng.choice(list("nopqrstuvwxyz"), 100))
+    shared = "boilerplate block"
+    df = spark.createDataFrame(
+        [(0, a + shared), (1, b + shared), (2, a[:50] + b[:50])],
+        "doc_id long, text string",
+    )
+    cand = winnow_candidates(df).toPandas()
+    pairs = {(r.id_a, r.id_b) for r in cand.itertuples()}
+    assert (0, 1) in pairs
+    # doc 2 shares halves of a and b -> pairs with both via substrings
+    assert (0, 2) in pairs and (1, 2) in pairs
+    # guard: 5 identical docs, max_bucket=3 -> every bucket oversized
+    dup = spark.createDataFrame(
+        [(i, "identical boilerplate text repeated") for i in range(5)],
+        "doc_id long, text string",
+    )
+    guarded = winnow_candidates(dup, max_bucket=3).toPandas()
+    assert len(guarded) == 0
+
+
+def test_winnow_param_validation(spark):
+    from random_cut_forest_by_aws_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame([(0, "abc")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        winnow_fingerprints(df, k=6)
+    with pytest.raises(ValueError):
+        winnow_fingerprints(df, k=0)
+    with pytest.raises(ValueError):
+        winnow_fingerprints(df, window=0)
