@@ -654,6 +654,20 @@ def _q_winnow_candidates_docs(spark, sf_dir):
     )
 
 
+def _q_simhash_portable_docs(spark, sf_dir):
+    """SimHash with engine-portable token hashes (two seeded rolling
+    polynomial streams packed to 62 bits) instead of xxhash64: the
+    fingerprint VALUES themselves replay exactly in DuckDB, converting
+    the SimHash family from rows-only to oracle-checked — the sign-sum
+    semantics shared with the default xxhash64 variant are certified
+    by value equality, not just row counts."""
+    from random_cut_forest_by_aws_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir), portable=True).select(
+        "doc_id", F.col("simhash").cast("bigint").alias("simhash")
+    )
+
+
 def _q_session_window_events(spark, sf_dir):
     """Gap-based sessionization through Spark's NATIVE session_window
     grouping (the dynamic-window member of the §2.6 family, and the
@@ -1109,6 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_minhash_docs": _q_incremental_minhash_docs,
         "winnow_fingerprints_docs": _q_winnow_fingerprints_docs,
         "winnow_candidates_docs": _q_winnow_candidates_docs,
+        "simhash_portable_docs": _q_simhash_portable_docs,
         "lm_logprob_docs": _q_lm_logprob_docs,
         "media_decode_features": _q_media_features,
         "media_resize_plan": _q_media_resize_plan,
@@ -1718,6 +1733,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
             JOIN g ON g.fp = a.fp
             GROUP BY a.doc_id, b.doc_id
+        """,
+        "simhash_portable_docs": """
+            -- exact replay of the portable SimHash: per-token 62-bit
+            -- hash = two seeded rolling polynomial folds over code
+            -- points (h1 mod 2^31-1, h2 mod 2^31-19; bases in
+            -- operators/dedup.py) packed h1*2^31 + h2; fingerprint bit
+            -- b set iff ones-votes >= half the tokens (2*ones >= n)
+            WITH d AS (
+              SELECT doc_id, coalesce(text, '') AS t FROM documents
+            ), tok AS (
+              SELECT doc_id, string_split(t, ' ') AS toks FROM d
+            ), th AS (
+              SELECT doc_id,
+                [ list_reduce(
+                    [42::BIGINT] ||
+                    [unicode(tk[i])::BIGINT FOR i IN range(1, length(tk)+1)],
+                    (a, x) -> (a*257 + x) % 2147483647) * 2147483648
+                + list_reduce(
+                    [43::BIGINT] ||
+                    [unicode(tk[i])::BIGINT FOR i IN range(1, length(tk)+1)],
+                    (a, x) -> (a*263 + x) % 2147483629)
+                  FOR tk IN toks ] AS hs
+              FROM tok
+            )
+            SELECT doc_id,
+                   CAST(list_sum(
+                     [ CASE WHEN 2*list_sum([ (h >> b) & 1 FOR h IN hs ])
+                            >= len(hs)
+                       THEN (1::BIGINT << b) ELSE 0 END
+                       FOR b IN range(0, 62) ]) AS BIGINT) AS simhash
+            FROM th
         """,
         "mixture_sample_docs": """
             -- ((x % M) + M) % M: Spark pmod is non-negative, DuckDB %

@@ -376,19 +376,72 @@ def _simhash_from_hashes(harrs: pd.Series) -> pd.Series:
     return pd.Series(out.astype(np.int64))
 
 
+# independent rolling-hash streams for the portable SimHash variant:
+# (base, prime modulus) pairs; acc < M < 2^31 keeps acc*B + cp < 2^40,
+# so the per-character fold is exact int64 arithmetic in any engine
+_SIMHASH_P1 = (257, 2147483647)
+_SIMHASH_P2 = (263, 2147483629)
+
+
+def portable_token_hashes(text_col: str = "text", seed: int = 42) -> Column:
+    """Engine-portable 62-bit token hashes (array<bigint>): two
+    independent rolling polynomial hashes over each token's code points
+    (``acc = (acc·B + cp) mod M``, seeded fold) packed as
+    ``h1 · 2³¹ + h2``. Exact integer arithmetic any SQL engine replays
+    verbatim (DuckDB: ``list_reduce`` over ``unicode()`` code points) —
+    unlike xxhash64, whose avalanche mixing exists only in Spark.
+
+    All JVM-side expression work (nested higher-order functions); the
+    fold modular-reduces every step so any token length fits int64.
+    Tokens are whitespace-split; BMP code points only (Spark's
+    ``split('')``/``ascii`` and DuckDB's ``unicode`` agree there)."""
+    (b1, m1), (b2, m2) = _SIMHASH_P1, _SIMHASH_P2
+
+    def _roll(tok: Column, base: int, mod: int, init: int) -> Column:
+        cps = F.transform(
+            F.filter(F.split(tok, ""), lambda c: c != F.lit("")),
+            lambda c: F.ascii(c).cast("bigint"),
+        )
+        return F.aggregate(
+            cps,
+            F.lit(init).cast("bigint"),
+            lambda acc, x: (acc * F.lit(base) + x) % F.lit(mod),
+        )
+
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    return F.transform(
+        toks,
+        lambda t: _roll(t, b1, m1, seed) * F.lit(1 << 31) + _roll(t, b2, m2, seed + 1),
+    )
+
+
 def simhash(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", seed: int = 42
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, simhash long). Near-dups = fingerprints within small Hamming
     distance; pair search via banding the 64 bits (4×16-bit keys).
 
     Tokens are hashed JVM-side (``transform(split(text), xxhash64)``) so
     the Arrow boundary carries int64 arrays, not strings, and the UDF does
-    only the bit-parallel sign-sum."""
-    tok_hashes = F.transform(
-        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
-        lambda t: F.xxhash64(t, F.lit(seed)),
-    )
+    only the bit-parallel sign-sum.
+
+    ``portable=True`` swaps xxhash64 for :func:`portable_token_hashes`
+    (62 effective bits, top two bits always 0 — votes there are all
+    negative): the whole sketch then replays exactly in DuckDB, so the
+    gate query ``simhash_portable_docs`` oracle-checks the fingerprint
+    VALUES, certifying the sign-sum semantics that the (faster,
+    better-mixed) default xxhash64 variant shares."""
+    if portable:
+        tok_hashes = portable_token_hashes(text_col, seed)
+    else:
+        tok_hashes = F.transform(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+            lambda t: F.xxhash64(t, F.lit(seed)),
+        )
     udf = pandas_udf(_simhash_from_hashes, "long")  # built lazily: needs a session
     return df.select(F.col(id_col), udf(tok_hashes).alias("simhash"))
 

@@ -268,6 +268,49 @@ def test_winnow_candidates_planted_and_bucket_guard(spark):
     assert len(guarded) == 0
 
 
+def _py_portable_simhash(text: str, seed: int = 42) -> int:
+    """Scalar replay of simhash(portable=True)'s exact arithmetic."""
+    def roll(tok, base, mod, init):
+        acc = init
+        for c in tok:
+            acc = (acc * base + ord(c)) % mod
+        return acc
+
+    hs = [
+        roll(t, 257, 2147483647, seed) * (1 << 31)
+        + roll(t, 263, 2147483629, seed + 1)
+        for t in (text or "").split(" ")
+    ]
+    fp = 0
+    for b in range(62):
+        ones = sum((h >> b) & 1 for h in hs)
+        if 2 * ones >= len(hs):
+            fp |= 1 << b
+    return fp
+
+
+def test_simhash_portable_matches_scalar_replay(spark):
+    """portable=True is bit-identical to the scalar rolling-hash +
+    sign-sum reference (incl. empty/NULL text and non-ASCII BMP), and
+    similar docs stay Hamming-close while disjoint docs stay far —
+    the sketch property the fingerprint exists for."""
+    from random_cut_forest_by_aws_spark.operators.dedup import simhash
+
+    texts = ["hello world foo", "", None, "héllo wörld", "日本語 テスト",
+             "the quick brown fox jumps over the lazy dog " * 5,
+             "the quick brown fox jumps over the lazy dog " * 5 + "tail",
+             "zq xv jk wp mn bg ft dr cl sh " * 10]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.simhash for r in simhash(df, portable=True).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == _py_portable_simhash(t or ""), f"doc {i}"
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(got[5], got[6]) <= 8     # near-identical docs
+    assert ham(got[5], got[7]) >= 16    # disjoint-vocabulary docs
+
+
 def test_winnow_param_validation(spark):
     from random_cut_forest_by_aws_spark.operators.dedup import winnow_fingerprints
 
