@@ -654,6 +654,28 @@ def _q_winnow_candidates_docs(spark, sf_dir):
     )
 
 
+def _q_semantic_dedup_embeddings(spark, sf_dir):
+    """SemDeDup-style semantic keep-one dedup: cosine-near-duplicate
+    pairs (exact path — same arithmetic the green cosine_near_dup_pairs
+    gate proves) resolve into connected components, and the survivor
+    per component is the row with the HIGHEST quality (here a
+    deterministic integer proxy derived from the id so the policy is
+    exactly replayable), ties to the smallest id. Every corpus row
+    comes back; singletons are their own canonical cluster. Oracle:
+    recursive-CTE transitive closure + window argmax in DuckDB."""
+    from random_cut_forest_by_aws_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.withColumn(
+        "q", (F.col("vec_id") * F.lit(1000003)) % F.lit(2147483647)
+    )
+    return semantic_dedup(corpus, threshold=0.30, keep_col="q").select(
+        "vec_id",
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        "is_canonical",
+    )
+
+
 def _q_simhash_portable_docs(spark, sf_dir):
     """SimHash with engine-portable token hashes (two seeded rolling
     polynomial streams packed to 62 bits) instead of xxhash64: the
@@ -1124,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints_docs": _q_winnow_fingerprints_docs,
         "winnow_candidates_docs": _q_winnow_candidates_docs,
         "simhash_portable_docs": _q_simhash_portable_docs,
+        "semantic_dedup_embeddings": _q_semantic_dedup_embeddings,
         "lm_logprob_docs": _q_lm_logprob_docs,
         "media_decode_features": _q_media_features,
         "media_resize_plan": _q_media_resize_plan,
@@ -1733,6 +1756,45 @@ def oracle_sql() -> dict[str, str]:
             JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
             JOIN g ON g.fp = a.fp
             GROUP BY a.doc_id, b.doc_id
+        """,
+        "semantic_dedup_embeddings": """
+            -- exact cosine pairs at 0.30 (the green cosine oracle's
+            -- arithmetic) -> recursive-CTE connected components ->
+            -- keep-one = argmax of the deterministic quality proxy
+            -- (vec_id*1000003 % 2147483647), ties to the smallest id;
+            -- singletons are their own canonical cluster
+            WITH RECURSIVE e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+              WHERE list_dot_product(a.v, b.v)
+                    / greatest(sqrt(list_dot_product(a.v, a.v))
+                               * sqrt(list_dot_product(b.v, b.v)), 1e-12)
+                    >= 0.30
+            ), ed AS (
+              SELECT id_a AS src, id_b AS dst FROM p
+              UNION
+              SELECT id_b, id_a FROM p
+            ), reach(src, dst) AS (
+              SELECT src, dst FROM ed
+              UNION
+              SELECT r.src, ed.dst FROM reach r JOIN ed ON r.dst = ed.src
+            ), lab AS (
+              SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+              FROM reach GROUP BY src
+            ), allv AS (
+              SELECT e.vec_id,
+                     coalesce(lab.cluster_id, e.vec_id) AS cluster_id,
+                     lab.vec_id IS NULL AS singleton,
+                     (e.vec_id * 1000003) % 2147483647 AS qv
+              FROM e LEFT JOIN lab ON e.vec_id = lab.vec_id
+            )
+            SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+                   (singleton OR row_number() OVER (
+                      PARTITION BY cluster_id
+                      ORDER BY qv DESC, vec_id ASC) = 1) AS is_canonical
+            FROM allv
         """,
         "simhash_portable_docs": """
             -- exact replay of the portable SimHash: per-token 62-bit

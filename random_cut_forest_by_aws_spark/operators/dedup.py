@@ -521,7 +521,7 @@ def duplicate_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iters: int = 20,
+    max_iters: int = 50,
 ) -> DataFrame:
     """Resolve near-duplicate candidate PAIRS into clusters: every doc in
     the similarity graph gets ``cluster_id`` = the minimum doc id of its
@@ -536,14 +536,38 @@ def duplicate_clusters(
     components have tiny diameter (duplicate groups are near-cliques), so
     rounds ≈ 2-4; every round shuffles only the EDGE set, never a corpus
     table, so the operator scales with the number of candidate pairs.
-    Deterministic: labels are ids, no randomness."""
-    e = pairs.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).unionByName(
-        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    ).distinct().cache()
-    labels = e.select(F.col("src").alias("id"), F.col("src").alias("cluster_id")) \
-        .distinct().cache()
+    Deterministic: labels are ids, no randomness.
+
+    Every round's label table is ``localCheckpoint(eager=True)``-ed, not
+    cached: each round's plan embeds the previous round's plan TWICE
+    (labels ⋈ neigh-of-labels), so without lineage truncation the
+    logical plan doubles per round and driver-side analysis/
+    canonicalization goes exponential — measured 1.4 s → 127 s per round
+    by round 6 on a 483-node diameter-7 component (near-clique inputs
+    converge in 2-3 rounds and never showed it). Checkpointing makes
+    every round O(edges) work on a leaf plan, so rounds stay
+    constant-cost out to any diameter.
+
+    Raises ``RuntimeError`` if labels haven't converged after
+    ``max_iters`` rounds (rounds needed ≈ component diameter): a
+    silently-unconverged result would split one duplicate group into
+    several clusters — wrong keep-one output, invisible downstream."""
+    e = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        # leaf plan: the caller's pairs chain can be huge (minhash
+        # chains); a registered cache would tax every later query in
+        # the session (CacheManager re-canonicalization; CLAUDE.md
+        # Catalyst gotcha 4), and the loop below re-reads this per round
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        e.select(F.col("src").alias("id"), F.col("src").alias("cluster_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    converged = False
     for _ in range(max_iters):
         # min over own label and every neighbor's label
         neigh = (
@@ -559,7 +583,7 @@ def duplicate_clusters(
                     F.col("cluster_id"), F.coalesce(F.col("n_min"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
-            .cache()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -568,21 +592,15 @@ def duplicate_clusters(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
-    e.unpersist()
-    out = (
-        labels.withColumn("is_canonical", F.col("id") == F.col("cluster_id"))
-        .select(F.col("id").alias("doc_id"), "cluster_id", "is_canonical")
-        # truncate lineage: the label-propagation rounds leave a cached
-        # plan whose logical tree embeds the caller's (possibly huge)
-        # pairs chain — a registered cache like that taxes every later
-        # query in the session (CacheManager re-canonicalization; see
-        # CLAUDE.md Catalyst gotcha 4). The result is tiny; checkpoint
-        # it to a leaf and release the loop caches.
-        .localCheckpoint(eager=True)
-    )
-    labels.unpersist()
-    return out
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_clusters: labels not converged after {max_iters} "
+            "rounds (rounds needed ~ component diameter); raise max_iters"
+        )
+    return labels.withColumn(
+        "is_canonical", F.col("id") == F.col("cluster_id")
+    ).select(F.col("id").alias("doc_id"), "cluster_id", "is_canonical")

@@ -374,3 +374,76 @@ def cosine_near_duplicates(
     return joined.select("id_a", "id_b", cos.alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    dim: int | None = None,
+    bits: int = 0,
+    bands: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_col: str | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic keep-one dedup over an embedding column
+    (Abbas et al. 2023): resolve cosine-near-duplicate pairs into
+    connected components and flag ONE survivor per component. Returns
+    every corpus row as ``(id, cluster_id, is_canonical)`` — singletons
+    are their own canonical cluster.
+
+    The survivor policy is ``keep_col``: highest value wins (ties break
+    to the smallest id; values must be non-null) — "keep the
+    best-quality document of each semantic duplicate group", the policy
+    real curation pipelines want instead of keep-min-id. ``keep_col=None``
+    keeps the minimum id (``duplicate_clusters``' convention).
+
+    Composition of already-verified pieces: ``cosine_near_duplicates``
+    (``bits=0`` exact — the oracle path; ``bits>0`` OR-banded hyperplane
+    LSH — the 100 TB path, only candidate ids shuffle) feeds
+    ``duplicate_clusters`` (edges-only min-label propagation), then the
+    keep selection runs ONLY on the clustered subset (docs appearing in
+    ≥1 pair): one ``max_by`` aggregate per cluster + a join back, both
+    exchanges on ``cluster_id`` (reusable), never a corpus-wide sort.
+    The corpus itself is touched by exactly one left join at the end.
+    """
+    from .dedup import duplicate_clusters
+
+    pairs = cosine_near_duplicates(
+        corpus, threshold, dim, bits, bands, id_col, vec_col, seed
+    ).select("id_a", "id_b")
+    clustered = duplicate_clusters(pairs).select(
+        F.col("doc_id").alias(id_col), "cluster_id"
+    )
+    if keep_col is not None:
+        withq = clustered.join(
+            corpus.select(F.col(id_col), F.col(keep_col).alias("_q")), id_col
+        )
+        # max keep value, ties to the smallest id: max_by over the
+        # lexicographic struct (quality, -id) — no per-cluster sort
+        best = withq.groupBy("cluster_id").agg(
+            F.max_by(F.col(id_col), F.struct(F.col("_q"), -F.col(id_col))).alias(
+                "_keep_id"
+            )
+        )
+        flagged = withq.join(best, "cluster_id").select(
+            F.col(id_col),
+            "cluster_id",
+            (F.col(id_col) == F.col("_keep_id")).alias("is_canonical"),
+        )
+    else:
+        flagged = clustered.select(
+            F.col(id_col),
+            "cluster_id",
+            (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
+        )
+    return (
+        corpus.select(F.col(id_col))
+        .join(flagged, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+            F.coalesce("is_canonical", F.lit(True)).alias("is_canonical"),
+        )
+    )

@@ -321,3 +321,23 @@ def test_winnow_param_validation(spark):
         winnow_fingerprints(df, k=0)
     with pytest.raises(ValueError):
         winnow_fingerprints(df, window=0)
+
+
+def test_duplicate_clusters_deep_diameter_chain(spark):
+    """A path graph (diameter = n-1) — the worst case for min-label
+    propagation. Pre-fix, each round's plan embedded the previous
+    round's plan twice and driver-side analysis went exponential
+    (measured 127 s/round by round 6); with per-round localCheckpoint
+    every round is constant-cost, so a 14-node chain converges in ~13
+    cheap rounds. Also pins the loud non-convergence contract."""
+    from random_cut_forest_by_aws_spark.operators.dedup import duplicate_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(13)], "id_a long, id_b long"
+    )
+    out = duplicate_clusters(chain).toPandas()
+    assert len(out) == 14
+    assert (out["cluster_id"] == 0).all()
+    assert out[out["is_canonical"]]["doc_id"].tolist() == [0]
+    with pytest.raises(RuntimeError, match="not converged"):
+        duplicate_clusters(chain, max_iters=3)

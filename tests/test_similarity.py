@@ -199,3 +199,68 @@ def test_banded_cosine_neardup_recall_and_pruning(neardup_corpus):
     recall = len(got & exact_pairs) / len(exact_pairs)
     assert recall >= 0.95, recall
     assert got <= exact_pairs  # re-scoring keeps precision exact
+
+
+def test_semantic_dedup_keep_policies(spark):
+    """Semantic keep-one dedup on hand-built components: default policy
+    keeps the min id; keep_col keeps the highest quality with ties to
+    the smallest id; singletons come back as their own canonical
+    cluster (every corpus row present exactly once)."""
+    import numpy as np
+
+    from random_cut_forest_by_aws_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal(8)
+    w = rng.standard_normal(8)
+    mk = lambda base, eps: (base + eps * rng.standard_normal(8)).tolist()  # noqa: E731
+    rows = [
+        (0, mk(v, 0.01), 5), (1, mk(v, 0.01), 9), (2, mk(v, 0.01), 9),
+        (10, mk(w, 0.01), 1), (11, mk(w, 0.01), 0),
+        (20, rng.standard_normal(8).tolist(), 3),
+        (21, rng.standard_normal(8).tolist(), 3),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, q long")
+
+    out = semantic_dedup(df, threshold=0.95).toPandas().set_index("vec_id")
+    assert len(out) == 7
+    assert set(out[out.is_canonical].index) >= {0, 10, 20, 21}
+    assert out.loc[1, "cluster_id"] == 0 and out.loc[2, "cluster_id"] == 0
+    assert out.loc[11, "cluster_id"] == 10
+    assert not out.loc[1, "is_canonical"] and not out.loc[11, "is_canonical"]
+    assert out.loc[20, "cluster_id"] == 20 and out.loc[20, "is_canonical"]
+
+    byq = semantic_dedup(df, threshold=0.95, keep_col="q").toPandas().set_index("vec_id")
+    # cluster {0,1,2}: q ties at 9 between 1 and 2 -> min id 1 wins
+    assert byq.loc[1, "is_canonical"] and not byq.loc[0, "is_canonical"]
+    assert not byq.loc[2, "is_canonical"]
+    # cluster {10,11}: q argmax is 10
+    assert byq.loc[10, "is_canonical"] and not byq.loc[11, "is_canonical"]
+    assert byq.loc[20, "is_canonical"] and byq.loc[21, "is_canonical"]
+    # exactly one canonical per cluster
+    assert byq.groupby("cluster_id")["is_canonical"].sum().eq(1).all()
+
+
+def test_semantic_dedup_lsh_path_matches_exact(spark):
+    """The bits>0 OR-banded LSH scale path reproduces the exact path's
+    clusters on angular-well-separated duplicate groups (recall high
+    enough that components are identical here)."""
+    import numpy as np
+
+    from random_cut_forest_by_aws_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(5)
+    dim = 32
+    rows = []
+    for g in range(10):
+        base = rng.standard_normal(dim)
+        base /= np.linalg.norm(base)
+        for j in range(3):
+            vv = base + 0.02 * rng.standard_normal(dim)
+            rows.append((10 * g + j, (vv / np.linalg.norm(vv)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = semantic_dedup(df, threshold=0.98).toPandas()
+    lsh = semantic_dedup(df, threshold=0.98, dim=dim, bits=6, bands=8).toPandas()
+    key = lambda d: sorted(map(tuple, d.values.tolist()))  # noqa: E731
+    assert key(exact) == key(lsh)
+    assert exact.groupby("cluster_id")["is_canonical"].sum().eq(1).all()
