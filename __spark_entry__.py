@@ -654,6 +654,63 @@ def _q_winnow_candidates_docs(spark, sf_dir):
     )
 
 
+def _q_chunk_docs(spark, sf_dir):
+    """Fixed-size token chunking with stride-16 overlap (context-window
+    preprocessing for long documents: chunk first, pack after). Pure
+    scan-fused expression work, zero shuffles — the oracle replays the
+    tokenize → stride starts → slice construction verbatim."""
+    from random_cut_forest_by_aws_spark.operators.packing import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), chunk_tokens=32, stride=16
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        "chunk_text",
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+    )
+
+
+def _q_rollup_report_docs(spark, sf_dir):
+    """Corpus reporting at every granularity in ONE aggregate: native
+    ROLLUP grouping sets over (source, token-length band) — per-band
+    subtotals, per-source subtotals, and the grand total from a single
+    Expand + HashAggregate pair (one scan, one exchange) instead of
+    three separate jobs. grouping_lvl disambiguates rollup subtotal
+    NULLs from real NULL dimension values (SQL-standard GROUPING id)."""
+    from random_cut_forest_by_aws_spark.operators.stats import rollup_stats
+
+    docs = _docs(spark, sf_dir).select(
+        "source",
+        F.size(
+            F.filter(
+                F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+                lambda t: t != F.lit(""),
+            )
+        ).cast("bigint").alias("n_tok"),
+    ).withColumn("len_band", (F.col("n_tok") / F.lit(16)).cast("bigint"))
+    return rollup_stats(docs, ["source", "len_band"], "n_tok")
+
+
+def _q_winnow_containment_docs(spark, sf_dir):
+    """Quoted-passage / boilerplate-inclusion detection: per candidate
+    pair, the shared-winnowing-fingerprint fraction of the smaller doc
+    (containment) plus both fingerprint counts — the asymmetric signal
+    symmetric Jaccard dilutes. Deterministic fingerprints keep the
+    whole computation (pairs, counts, ratio) exactly SQL-replayable."""
+    from random_cut_forest_by_aws_spark.operators.dedup import winnow_containment
+
+    out = winnow_containment(_docs(spark, sf_dir))
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("n_shared_fps").cast("bigint").alias("n_shared_fps"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round("containment", 6).alias("containment"),
+    )
+
+
 def _q_semantic_dedup_embeddings(spark, sf_dir):
     """SemDeDup-style semantic keep-one dedup: cosine-near-duplicate
     pairs (exact path — same arithmetic the green cosine_near_dup_pairs
@@ -1147,6 +1204,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_candidates_docs": _q_winnow_candidates_docs,
         "simhash_portable_docs": _q_simhash_portable_docs,
         "semantic_dedup_embeddings": _q_semantic_dedup_embeddings,
+        "chunk_docs": _q_chunk_docs,
+        "rollup_report_docs": _q_rollup_report_docs,
+        "winnow_containment_docs": _q_winnow_containment_docs,
         "lm_logprob_docs": _q_lm_logprob_docs,
         "media_decode_features": _q_media_features,
         "media_resize_plan": _q_media_resize_plan,
@@ -1756,6 +1816,91 @@ def oracle_sql() -> dict[str, str]:
             JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
             JOIN g ON g.fp = a.fp
             GROUP BY a.doc_id, b.doc_id
+        """,
+        "chunk_docs": """
+            -- replay of chunk_documents(chunk_tokens=32, stride=16):
+            -- whitespace tokens, starts 1, 17, 33, ... <= n, inclusive
+            -- 1-based list slice of 32 tokens per start
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split(coalesce(text, ''), ' '),
+                                 t -> t != '') AS toks
+              FROM documents
+            ), c AS (
+              SELECT doc_id, toks,
+                     unnest(range(1, len(toks) + 1, 16)) AS s
+              FROM d WHERE len(toks) >= 1
+            )
+            SELECT doc_id,
+                   CAST((s - 1) // 16 AS BIGINT) AS chunk_idx,
+                   array_to_string(toks[s:s+31], ' ') AS chunk_text,
+                   CAST(least(len(toks) - s + 1, 32) AS BIGINT) AS n_tok
+            FROM c
+        """,
+        "rollup_report_docs": """
+            -- native ROLLUP over (source, len_band) with the
+            -- SQL-standard GROUPING id disambiguating subtotal NULLs
+            WITH d AS (
+              SELECT source,
+                     CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+                                          t -> t != '')) AS BIGINT) AS n_tok
+              FROM documents
+            ), b AS (
+              SELECT source, n_tok, n_tok // 16 AS len_band FROM d
+            )
+            SELECT source, len_band,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(n_tok) AS BIGINT) AS val_sum,
+                   CAST(min(n_tok) AS BIGINT) AS val_min,
+                   CAST(max(n_tok) AS BIGINT) AS val_max,
+                   CAST(grouping(source, len_band) AS BIGINT) AS grouping_lvl
+            FROM b GROUP BY ROLLUP (source, len_band)
+        """,
+        "winnow_containment_docs": """
+            -- candidate pairs + per-doc fingerprint counts + the
+            -- containment ratio of the smaller doc, all on the exact
+            -- winnowing arithmetic (k=5, window=8, bucket guard 64)
+            WITH d AS (
+              SELECT doc_id, coalesce(text, '') AS t FROM documents
+            ), c AS (
+              SELECT doc_id,
+                     [unicode(t[i]) FOR i IN range(1, length(t)+1)] AS cps
+              FROM d
+            ), kh AS (
+              SELECT doc_id,
+                     [(cps[i]*4362470401 + cps[i+1]*16974593
+                       + cps[i+2]*66049 + cps[i+3]*257 + cps[i+4])
+                      % 2147483647
+                      FOR i IN range(1, greatest(len(cps)-4, 0)+1)] AS kh
+              FROM c
+            ), f AS (
+              SELECT doc_id,
+                     CAST(unnest(list_distinct(
+                       [list_min(kh[i:i+7])
+                        FOR i IN range(1, greatest(len(kh)-7, 0)+1)])) AS BIGINT)
+                       AS fp
+              FROM kh
+            ), g AS (
+              SELECT fp FROM f GROUP BY fp
+              HAVING count(*) > 1 AND count(*) <= 64
+            ), sh AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(count(*) AS BIGINT) AS n_shared_fps
+              FROM f a
+              JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              JOIN g ON g.fp = a.fp
+              GROUP BY a.doc_id, b.doc_id
+            ), n AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+              FROM f GROUP BY doc_id
+            )
+            SELECT sh.id_a, sh.id_b, sh.n_shared_fps,
+                   na.n_fp AS n_a, nb.n_fp AS n_b,
+                   round(sh.n_shared_fps / least(na.n_fp, nb.n_fp), 6)
+                     AS containment
+            FROM sh
+            JOIN n na ON na.doc_id = sh.id_a
+            JOIN n nb ON nb.doc_id = sh.id_b
         """,
         "semantic_dedup_embeddings": """
             -- exact cosine pairs at 0.30 (the green cosine oracle's

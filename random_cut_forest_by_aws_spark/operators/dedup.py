@@ -326,6 +326,12 @@ def winnow_candidates(
     (~2n/window per doc), with the standard mega-bucket guard dropping
     degenerate fingerprints (boilerplate shared by > max_bucket docs)."""
     fps = winnow_fingerprints(df, id_col, text_col, k, window)
+    return _shared_fp_pairs(fps, id_col, max_bucket)
+
+
+def _shared_fp_pairs(fps: DataFrame, id_col: str, max_bucket: int) -> DataFrame:
+    """(id_a, id_b, n_shared_fps) from an exploded (id, fp) table:
+    same-fp pairs via the bucket-guarded group-and-explode."""
     buckets = (
         fps.groupBy("fp")
         .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
@@ -335,6 +341,51 @@ def winnow_candidates(
     return pairs.groupBy(
         F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
     ).agg(F.count(F.lit(1)).alias("n_shared_fps"))
+
+
+def winnow_containment(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 8,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Containment scoring over winnowing fingerprints: for every
+    candidate pair, the shared-fingerprint fraction of the SMALLER
+    document — ``containment = n_shared_fps / least(n_a, n_b)`` —
+    plus both per-doc fingerprint counts. High containment with very
+    different sizes is the quoted-passage / boilerplate-inclusion
+    signal that symmetric similarity (Jaccard, cosine) dilutes away:
+    a licence block pasted into a long document scores near 1.0 here
+    and near 0 on whole-document Jaccard.
+
+    Same scale shape as ``winnow_candidates`` (bucket-guarded pair
+    explode — the pair set, not the corpus, is what shuffles) plus one
+    per-doc count aggregate joined back onto the pair ends. n_shared
+    counts DISTINCT fingerprints (winnow_fingerprints dedups per doc),
+    so containment ≤ 1 exactly."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, window)
+    shared = _shared_fp_pairs(fps, id_col, max_bucket)
+    counts = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
+    return (
+        shared.join(
+            counts.select(F.col(id_col).alias("id_a"), F.col("n_fp").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            counts.select(F.col(id_col).alias("id_b"), F.col("n_fp").alias("n_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared_fps",
+            "n_a",
+            "n_b",
+            (F.col("n_shared_fps") / F.least("n_a", "n_b")).alias("containment"),
+        )
+    )
 
 
 def _simhash_from_hashes(harrs: pd.Series) -> pd.Series:

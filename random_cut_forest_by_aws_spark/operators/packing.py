@@ -178,3 +178,66 @@ def pack_sequences(
         .cast("bigint")
         .alias("tok_end"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    stride: int | None = None,
+    min_tokens: int = 1,
+) -> DataFrame:
+    """Split whitespace-tokenized documents into fixed-size token
+    chunks with optional overlap — the per-document complement of
+    ``pack_sequences`` (context-window preprocessing for long docs:
+    chunk first, pack after). Output one row per chunk:
+    ``(id, chunk_idx, chunk_text, n_tok)``.
+
+    ``stride`` is the distance between chunk starts (defaults to
+    ``chunk_tokens`` = disjoint chunks; smaller = overlapping sliding
+    windows). Trailing chunks shorter than ``min_tokens`` are dropped
+    (``min_tokens=1`` keeps every non-empty tail). Documents with no
+    tokens yield no rows.
+
+    All JVM expression work fused into the scan: tokenize once, chunk
+    starts via ``sequence`` stepped by ``stride``, one ``slice`` +
+    ``concat_ws`` per chunk, a single ``explode``. No UDF; the only
+    data growth is the chunk_tokens/stride overlap factor, and no
+    shuffle at all — chunking composes with downstream keyed ops
+    without adding an exchange."""
+    if chunk_tokens <= 0 or (stride is not None and stride <= 0):
+        raise ValueError("chunk_tokens and stride must be positive")
+    step = stride if stride is not None else chunk_tokens
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+        lambda t: t != F.lit(""),
+    )
+    n = F.size(toks)
+
+    def _chunks(a):
+        # chunk starts 1, 1+step, ... <= n (sequence is inclusive and
+        # ascending here since n >= 1 on this branch)
+        starts = F.sequence(F.lit(1), F.size(a), F.lit(step))
+        return F.filter(
+            F.transform(
+                starts,
+                lambda s: F.struct(
+                    ((s - 1) / F.lit(step)).cast("bigint").alias("chunk_idx"),
+                    F.concat_ws(" ", F.slice(a, s, chunk_tokens)).alias("chunk_text"),
+                    F.least(
+                        F.size(a) - s + 1, F.lit(chunk_tokens)
+                    ).cast("bigint").alias("n_tok"),
+                ),
+            ),
+            lambda c: c["n_tok"] >= min_tokens,
+        )
+
+    # bind the token array once (CollapseProject would re-tokenize per
+    # chunk otherwise — same pathology documented in winnow_fingerprints)
+    bound = F.element_at(
+        F.transform(F.array(F.when(n >= 1, toks)), _chunks), 1
+    )
+    return docs.select(
+        F.col(id_col), F.explode(bound).alias("_c")
+    ).select(id_col, "_c.chunk_idx", "_c.chunk_text", "_c.n_tok")

@@ -90,3 +90,35 @@ def column_stats(
             aggs.append(F.approx_count_distinct(F.col(col)).alias(f"{col}_cardinality"))
     g = df.groupBy(*group_by) if group_by else df.groupBy()
     return g.agg(*aggs)
+
+
+def rollup_stats(
+    df: DataFrame,
+    dims: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Multi-dimensional dataset reporting: count / sum / min / max of
+    ``value_col`` at EVERY prefix level of ``dims`` plus the grand
+    total, via native ``ROLLUP`` grouping sets — the "corpus report"
+    a curation run publishes (rows per source, tokens per (source,
+    length-band), grand totals) in ONE aggregation.
+
+    Plan shape: Spark expands rollup grouping sets inside a single
+    Expand + HashAggregate pair — one scan, map-side partials, one
+    exchange on the grouping-set key; len(dims)+1 result granularities
+    for the price of one aggregate instead of len(dims)+1 separate
+    jobs. Subtotal rows carry NULL in the rolled-up dimension and
+    ``grouping_id`` disambiguates a real NULL dimension value from a
+    rollup subtotal (the standard SQL convention, replayed exactly by
+    any engine's ROLLUP)."""
+    gid = F.grouping_id(*[F.col(d) for d in dims]).cast("bigint")
+    return (
+        df.rollup(*dims)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(value_col).cast("bigint").alias("val_sum"),
+            F.min(value_col).cast("bigint").alias("val_min"),
+            F.max(value_col).cast("bigint").alias("val_max"),
+            gid.alias("grouping_lvl"),
+        )
+    )

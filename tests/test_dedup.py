@@ -341,3 +341,25 @@ def test_duplicate_clusters_deep_diameter_chain(spark):
     assert out[out["is_canonical"]]["doc_id"].tolist() == [0]
     with pytest.raises(RuntimeError, match="not converged"):
         duplicate_clusters(chain, max_iters=3)
+
+
+def test_winnow_containment_prefix_and_disjoint(spark):
+    """A document that extends another (B = A + tail) contains every
+    fingerprint A selects (same windows, same minima at positions
+    1..len_A-w+1), so containment is exactly 1.0; disjoint-alphabet
+    docs produce no pair at all; counts join back correctly."""
+    from random_cut_forest_by_aws_spark.operators.dedup import winnow_containment
+
+    rng = np.random.default_rng(17)
+    a = "".join(rng.choice(list("abcdefghijklm"), 60))
+    b = a + "".join(rng.choice(list("abcdefghijklm"), 200))
+    c = "".join(rng.choice(list("nopqrstuvwxyz"), 100))
+    df = spark.createDataFrame(
+        [(0, a), (1, b), (2, c)], "doc_id long, text string"
+    )
+    out = winnow_containment(df).toPandas().set_index(["id_a", "id_b"])
+    assert (0, 1) in out.index
+    row = out.loc[(0, 1)]
+    assert row["containment"] == 1.0
+    assert row["n_shared_fps"] == row["n_a"] and row["n_a"] <= row["n_b"]
+    assert not any(2 in idx for idx in out.index)

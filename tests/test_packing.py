@@ -126,3 +126,58 @@ def test_budget_validation(spark):
     )
     with pytest.raises(ValueError):
         pack_sequences(df, 0, "n_tok")
+
+
+# ----------------------------------------------------------------- chunking
+def test_chunk_documents_scalar_replay(spark):
+    """Chunking matches the scalar reference on mixed lengths, strides
+    and degenerate docs; disjoint chunks reassemble the token stream."""
+    from random_cut_forest_by_aws_spark.operators.packing import chunk_documents
+
+    texts = ["", None, "a", " ".join(f"t{i}" for i in range(100)),
+             " ".join(f"u{i}" for i in range(32)),
+             " ".join(f"v{i}" for i in range(33)),
+             "  double  spaced  words  "]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    def scalar(t, c, s):
+        toks = [x for x in (t or "").split(" ") if x]
+        return [
+            ((st - 1) // s, " ".join(toks[st - 1 : st - 1 + c]),
+             min(len(toks) - st + 1, c))
+            for st in range(1, len(toks) + 1, s)
+        ]
+
+    for c, s in [(32, 16), (32, 32), (10, 3)]:
+        got = chunk_documents(df, chunk_tokens=c, stride=s).toPandas()
+        by_doc = {
+            i: sorted(
+                zip(g["chunk_idx"], g["chunk_text"], g["n_tok"]),
+            )
+            for i, g in got.groupby("doc_id")
+        }
+        for i, t in enumerate(texts):
+            exp = sorted(scalar(t, c, s))
+            assert by_doc.get(i, []) == exp, (c, s, i)
+    # disjoint chunks (stride == chunk) reassemble the token stream
+    dis = chunk_documents(df, chunk_tokens=7, stride=7).toPandas()
+    g3 = dis[dis.doc_id == 3].sort_values("chunk_idx")
+    assert " ".join(g3["chunk_text"]) == texts[3]
+    assert g3["n_tok"].sum() == 100
+
+
+def test_chunk_documents_param_validation(spark):
+    from random_cut_forest_by_aws_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, stride=0)
+    # min_tokens drops short tails: 5 tokens, chunks of 4, stride 4 ->
+    # tail of 1 dropped at min_tokens=2
+    df5 = spark.createDataFrame([(0, "a b c d e")], "doc_id long, text string")
+    got = chunk_documents(df5, chunk_tokens=4, stride=4, min_tokens=2).toPandas()
+    assert len(got) == 1 and got.iloc[0]["n_tok"] == 4
