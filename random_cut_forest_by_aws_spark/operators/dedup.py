@@ -583,10 +583,16 @@ def duplicate_clusters(
 
     Implementation: iterative min-label propagation over the (tiny,
     candidates-only) edge set — label'(v) = min(label(v), min over
-    neighbors) — with a distributed convergence test per round. Near-dup
-    components have tiny diameter (duplicate groups are near-cliques), so
-    rounds ≈ 2-4; every round shuffles only the EDGE set, never a corpus
-    table, so the operator scales with the number of candidate pairs.
+    neighbors) — followed by a POINTER JUMP each round (label''(v) =
+    label'(label'(v)); every label is itself a node id, and labels only
+    decrease, so the jump is a self-join on the label table that
+    shortcuts label chains). Propagation alone needs diameter rounds —
+    a drifting-boilerplate chain at web scale can be arbitrarily long —
+    while propagate+jump converges in O(log diameter) rounds (a
+    100-node path converges in ≤ 12 rounds, pinned in tests). A
+    distributed convergence test ends the loop. Near-dup components
+    are usually near-cliques (2-3 rounds); every round shuffles only
+    the EDGE set and the node-label table, never a corpus table.
     Deterministic: labels are ids, no randomness.
 
     Every round's label table is ``localCheckpoint(eager=True)``-ed, not
@@ -626,12 +632,30 @@ def duplicate_clusters(
             .groupBy("src")
             .agg(F.min("cluster_id").alias("n_min"))
         )
+        propagated = labels.join(
+            neigh.withColumnRenamed("src", "id"), "id", "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("cluster_id"), F.coalesce(F.col("n_min"), F.col("cluster_id"))
+            ).alias("cluster_id"),
+        )
+        # pointer jump: label''(v) = label'(label'(v)) — labels are node
+        # ids and only decrease, so chasing one hop per round shortcuts
+        # label chains and convergence is O(log diameter), not O(diameter)
         new_labels = (
-            labels.join(neigh.withColumnRenamed("src", "id"), "id", "left")
+            propagated.alias("a")
+            .join(
+                propagated.select(
+                    F.col("id").alias("_t"), F.col("cluster_id").alias("_tl")
+                ),
+                F.col("a.cluster_id") == F.col("_t"),
+                "left",
+            )
             .select(
-                "id",
+                "a.id",
                 F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("n_min"), F.col("cluster_id"))
+                    F.col("a.cluster_id"), F.coalesce(F.col("_tl"), F.col("a.cluster_id"))
                 ).alias("cluster_id"),
             )
             .localCheckpoint(eager=True)

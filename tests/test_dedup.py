@@ -340,7 +340,16 @@ def test_duplicate_clusters_deep_diameter_chain(spark):
     assert (out["cluster_id"] == 0).all()
     assert out[out["is_canonical"]]["doc_id"].tolist() == [0]
     with pytest.raises(RuntimeError, match="not converged"):
-        duplicate_clusters(chain, max_iters=3)
+        duplicate_clusters(chain, max_iters=2)
+    # pointer jumping makes convergence O(log diameter): a 100-node
+    # path (diameter 99 — 99 propagate-only rounds) converges within
+    # 12 rounds (the operator raises if max_iters is exhausted, so
+    # success IS the round-count assertion)
+    chain100 = spark.createDataFrame(
+        [(i, i + 1) for i in range(99)], "id_a long, id_b long"
+    )
+    out100 = duplicate_clusters(chain100, max_iters=12).toPandas()
+    assert (out100["cluster_id"] == 0).all() and len(out100) == 100
 
 
 def test_winnow_containment_prefix_and_disjoint(spark):
