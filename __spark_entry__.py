@@ -1765,7 +1765,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, coalesce(text, '') AS t FROM documents
             ), c AS (
               SELECT doc_id,
-                     [unicode(t[i]) FOR i IN range(1, length(t)+1)] AS cps
+                     [unicode(t[i])::BIGINT FOR i IN range(1, length(t)+1)] AS cps
               FROM d
             ), kh AS (
               SELECT doc_id,
@@ -1790,7 +1790,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, coalesce(text, '') AS t FROM documents
             ), c AS (
               SELECT doc_id,
-                     [unicode(t[i]) FOR i IN range(1, length(t)+1)] AS cps
+                     [unicode(t[i])::BIGINT FOR i IN range(1, length(t)+1)] AS cps
               FROM d
             ), kh AS (
               SELECT doc_id,
@@ -1864,7 +1864,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, coalesce(text, '') AS t FROM documents
             ), c AS (
               SELECT doc_id,
-                     [unicode(t[i]) FOR i IN range(1, length(t)+1)] AS cps
+                     [unicode(t[i])::BIGINT FOR i IN range(1, length(t)+1)] AS cps
               FROM d
             ), kh AS (
               SELECT doc_id,

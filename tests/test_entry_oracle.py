@@ -121,6 +121,9 @@ def hostile_sf(spark, tmp_path_factory):
     "repetition_docs", "contamination_docs", "mixture_sample_docs",
     "pii_profile_docs", "pack_sequences_docs", "quota_sample_docs",
     "lm_logprob_docs",
+    "winnow_fingerprints_docs", "winnow_candidates_docs",
+    "winnow_containment_docs", "simhash_portable_docs",
+    "chunk_docs", "rollup_report_docs",
 ])
 def test_text_oracles_survive_hostile_docs(spark, hostile_sf, name):
     """The text/media oracles must match DuckDB even with non-ASCII and
