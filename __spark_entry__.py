@@ -689,7 +689,16 @@ def _q_rollup_report_docs(spark, sf_dir):
             )
         ).cast("bigint").alias("n_tok"),
     ).withColumn("len_band", (F.col("n_tok") / F.lit(16)).cast("bigint"))
-    return rollup_stats(docs, ["source", "len_band"], "n_tok")
+    out = rollup_stats(docs, ["source", "len_band"], "n_tok")
+    return out.select(
+        "source",
+        "len_band",
+        "n_rows",
+        F.col("val_sum").cast("bigint").alias("val_sum"),
+        F.col("val_min").cast("bigint").alias("val_min"),
+        F.col("val_max").cast("bigint").alias("val_max"),
+        "grouping_lvl",
+    )
 
 
 def _q_winnow_containment_docs(spark, sf_dir):

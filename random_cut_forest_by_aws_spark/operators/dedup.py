@@ -362,10 +362,15 @@ def winnow_containment(
 
     Same scale shape as ``winnow_candidates`` (bucket-guarded pair
     explode — the pair set, not the corpus, is what shuffles) plus one
-    per-doc count aggregate joined back onto the pair ends. n_shared
-    counts DISTINCT fingerprints (winnow_fingerprints dedups per doc),
-    so containment ≤ 1 exactly."""
-    fps = winnow_fingerprints(df, id_col, text_col, k, window)
+    per-doc count aggregate joined back onto the pair ends. The
+    fingerprint table is materialized once (``localCheckpoint``): the
+    pairs branch and the counts branch would otherwise each re-run the
+    per-doc hashing scan — the dominant cost — from their forked
+    un-materialized plans. n_shared counts DISTINCT fingerprints
+    (winnow_fingerprints dedups per doc), so containment ≤ 1 exactly."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, window).localCheckpoint(
+        eager=True
+    )
     shared = _shared_fp_pairs(fps, id_col, max_bucket)
     counts = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
     return (
@@ -595,15 +600,23 @@ def duplicate_clusters(
     the EDGE set and the node-label table, never a corpus table.
     Deterministic: labels are ids, no randomness.
 
-    Every round's label table is ``localCheckpoint(eager=True)``-ed, not
-    cached: each round's plan embeds the previous round's plan TWICE
-    (labels ⋈ neigh-of-labels), so without lineage truncation the
-    logical plan doubles per round and driver-side analysis/
-    canonicalization goes exponential — measured 1.4 s → 127 s per round
-    by round 6 on a 483-node diameter-7 component (near-clique inputs
-    converge in 2-3 rounds and never showed it). Checkpointing makes
-    every round O(edges) work on a leaf plan, so rounds stay
-    constant-cost out to any diameter.
+    Lineage and block hygiene: each round's plan embeds the previous
+    round's plan (labels ⋈ neigh-of-labels, then the jump self-join),
+    so without truncation the logical plan grows multiplicatively and
+    driver-side analysis/canonicalization goes exponential — measured
+    1.4 s → 127 s per round by round 6 on a 483-node diameter-7
+    component (near-clique inputs converge in 2-3 rounds and never
+    showed it). Each round is therefore materialized: ordinary rounds
+    ``persist()`` + eager count and are explicitly ``unpersist()``-ed
+    once superseded (deterministic block release), and every 4th round
+    plus the edge table, the initial labels, and the returned result
+    are ``localCheckpoint(eager=True)`` leaves — bounding plan depth at
+    ≤ 4 round-joins while leaving only O(rounds/4) small blocks to the
+    ContextCleaner instead of one per round. The edge table must be a
+    leaf specifically because a registered cache carrying the caller's
+    (possibly huge minhash-chain) pairs plan would tax every later
+    query in the session (CacheManager re-canonicalization; CLAUDE.md
+    Catalyst gotcha 4).
 
     Raises ``RuntimeError`` if labels haven't converged after
     ``max_iters`` rounds (rounds needed ≈ component diameter): a
@@ -613,10 +626,6 @@ def duplicate_clusters(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        # leaf plan: the caller's pairs chain can be huge (minhash
-        # chains); a registered cache would tax every later query in
-        # the session (CacheManager re-canonicalization; CLAUDE.md
-        # Catalyst gotcha 4), and the loop below re-reads this per round
         .localCheckpoint(eager=True)
     )
     labels = (
@@ -624,8 +633,9 @@ def duplicate_clusters(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    persisted: list[DataFrame] = []
     converged = False
-    for _ in range(max_iters):
+    for it in range(max_iters):
         # min over own label and every neighbor's label
         neigh = (
             e.join(labels.withColumnRenamed("id", "dst"), "dst")
@@ -658,24 +668,38 @@ def duplicate_clusters(
                     F.col("a.cluster_id"), F.coalesce(F.col("_tl"), F.col("a.cluster_id"))
                 ).alias("cluster_id"),
             )
-            .localCheckpoint(eager=True)
         )
+        if (it + 1) % 4 == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
+            persisted.append(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
             .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
             .limit(1)
-            .count()
+            .count()  # also materializes new_labels' persist eagerly
         )
         labels = new_labels
         if changed == 0:
             converged = True
             break
+    out = (
+        labels.withColumn("is_canonical", F.col("id") == F.col("cluster_id"))
+        .select(F.col("id").alias("doc_id"), "cluster_id", "is_canonical")
+        # leaf result: callers compose this into further joins; keep
+        # their plans small and let every loop block below be released
+        .localCheckpoint(eager=True)
+        if converged
+        else None
+    )
+    for df_ in persisted:
+        df_.unpersist()
     if not converged:
         raise RuntimeError(
             f"duplicate_clusters: labels not converged after {max_iters} "
-            "rounds (rounds needed ~ component diameter); raise max_iters"
+            "rounds (rounds needed ~ log2(component diameter) with the "
+            "pointer jump); raise max_iters"
         )
-    return labels.withColumn(
-        "is_canonical", F.col("id") == F.col("cluster_id")
-    ).select(F.col("id").alias("doc_id"), "cluster_id", "is_canonical")
+    return out

@@ -213,12 +213,15 @@ def chunk_documents(
         F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
         lambda t: t != F.lit(""),
     )
-    n = F.size(toks)
 
     def _chunks(a):
-        # chunk starts 1, 1+step, ... <= n (sequence is inclusive and
-        # ascending here since n >= 1 on this branch)
-        starts = F.sequence(F.lit(1), F.size(a), F.lit(step))
+        # chunk starts 1, 1+step, ... <= n — guarded explicitly for the
+        # empty-doc case: with ANSI off size(NULL) is -1 and
+        # sequence(1, -1, step) throws (mixed-direction bounds), so the
+        # NULL-propagation shortcut is NOT a safe guard (ANSI on only)
+        starts = F.when(
+            F.size(a) >= 1, F.sequence(F.lit(1), F.size(a), F.lit(step))
+        ).otherwise(F.array().cast("array<int>"))
         return F.filter(
             F.transform(
                 starts,
@@ -235,9 +238,7 @@ def chunk_documents(
 
     # bind the token array once (CollapseProject would re-tokenize per
     # chunk otherwise — same pathology documented in winnow_fingerprints)
-    bound = F.element_at(
-        F.transform(F.array(F.when(n >= 1, toks)), _chunks), 1
-    )
+    bound = F.element_at(F.transform(F.array(toks), _chunks), 1)
     return docs.select(
         F.col(id_col), F.explode(bound).alias("_c")
     ).select(id_col, "_c.chunk_idx", "_c.chunk_text", "_c.n_tok")

@@ -420,12 +420,16 @@ def semantic_dedup(
         withq = clustered.join(
             corpus.select(F.col(id_col), F.col(keep_col).alias("_q")), id_col
         )
-        # max keep value, ties to the smallest id: max_by over the
-        # lexicographic struct (quality, -id) — no per-cluster sort
-        best = withq.groupBy("cluster_id").agg(
-            F.max_by(F.col(id_col), F.struct(F.col("_q"), -F.col(id_col))).alias(
-                "_keep_id"
-            )
+        # max keep value, ties to the smallest id — two tiny aggregates
+        # on the clustered subset instead of max_by(struct(q, -id)),
+        # which would restrict ids to negatable numerics (string/hash
+        # ids are the common case) and overflow on Long.MIN_VALUE
+        qmax = withq.groupBy("cluster_id").agg(F.max("_q").alias("_qmax"))
+        best = (
+            withq.join(qmax, "cluster_id")
+            .filter(F.col("_q") == F.col("_qmax"))
+            .groupBy("cluster_id")
+            .agg(F.min(id_col).alias("_keep_id"))
         )
         flagged = withq.join(best, "cluster_id").select(
             F.col(id_col),

@@ -110,15 +110,17 @@ def rollup_stats(
     jobs. Subtotal rows carry NULL in the rolled-up dimension and
     ``grouping_id`` disambiguates a real NULL dimension value from a
     rollup subtotal (the standard SQL convention, replayed exactly by
-    any engine's ROLLUP)."""
+    any engine's ROLLUP). ``val_sum/val_min/val_max`` keep
+    ``value_col``'s own numeric type — no silent integer truncation of
+    double metrics."""
     gid = F.grouping_id(*[F.col(d) for d in dims]).cast("bigint")
     return (
         df.rollup(*dims)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.sum(value_col).cast("bigint").alias("val_sum"),
-            F.min(value_col).cast("bigint").alias("val_min"),
-            F.max(value_col).cast("bigint").alias("val_max"),
+            F.sum(value_col).alias("val_sum"),
+            F.min(value_col).alias("val_min"),
+            F.max(value_col).alias("val_max"),
             gid.alias("grouping_lvl"),
         )
     )

@@ -181,3 +181,23 @@ def test_chunk_documents_param_validation(spark):
     df5 = spark.createDataFrame([(0, "a b c d e")], "doc_id long, text string")
     got = chunk_documents(df5, chunk_tokens=4, stride=4, min_tokens=2).toPandas()
     assert len(got) == 1 and got.iloc[0]["n_tok"] == 4
+
+
+def test_chunk_documents_empty_doc_ansi_off(spark):
+    """Empty/NULL docs must not crash with ANSI off: size(NULL) is -1
+    there, so the guard must be an explicit when(), not NULL
+    propagation into sequence()."""
+    from random_cut_forest_by_aws_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, None), (2, "a b c")], "doc_id long, text string"
+    )
+    prev = spark.conf.get("spark.sql.ansi.enabled", None)
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        got = chunk_documents(df, chunk_tokens=2, stride=2).toPandas()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert sorted(got["doc_id"].unique()) == [2]
+    assert len(got) == 2

@@ -264,3 +264,24 @@ def test_semantic_dedup_lsh_path_matches_exact(spark):
     key = lambda d: sorted(map(tuple, d.values.tolist()))  # noqa: E731
     assert key(exact) == key(lsh)
     assert exact.groupby("cluster_id")["is_canonical"].sum().eq(1).all()
+
+
+def test_semantic_dedup_string_ids_with_keep_col(spark):
+    """keep_col survivor selection must work for non-numeric ids
+    (URL/hash ids): max quality wins, ties break to the smallest id
+    lexicographically."""
+    import numpy as np
+
+    from random_cut_forest_by_aws_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(9)
+    v = rng.standard_normal(8)
+    mk = lambda eps: (v + eps * rng.standard_normal(8)).tolist()  # noqa: E731
+    rows = [("url/a", mk(0.01), 4), ("url/b", mk(0.01), 7), ("url/c", mk(0.01), 7),
+            ("url/z", rng.standard_normal(8).tolist(), 1)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>, q long")
+    out = semantic_dedup(df, threshold=0.95, keep_col="q").toPandas().set_index("vec_id")
+    assert out.loc["url/b", "is_canonical"] and not out.loc["url/c", "is_canonical"]
+    assert not out.loc["url/a", "is_canonical"]
+    assert out.loc["url/z", "is_canonical"] and out.loc["url/z", "cluster_id"] == "url/z"
+    assert (out.loc[["url/a", "url/b", "url/c"], "cluster_id"] == "url/a").all()

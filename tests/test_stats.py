@@ -26,3 +26,15 @@ def test_rollup_stats_levels_and_null_disambiguation(spark):
     assert key.loc[(None, None, 3)]["val_sum"] == 27
     assert key.loc[(None, None, 3)]["val_min"] == 1
     assert key.loc[(None, None, 3)]["val_max"] == 11
+
+
+def test_rollup_stats_preserves_double_values(spark):
+    """Double metrics must not be silently truncated to integers."""
+    from random_cut_forest_by_aws_spark.operators.stats import rollup_stats
+
+    df = spark.createDataFrame(
+        [("a", 1.7), ("a", 2.9)], "src string, v double"
+    )
+    out = rollup_stats(df, ["src"], "v").toPandas().set_index("grouping_lvl")
+    assert abs(out.loc[0, "val_sum"] - 4.6) < 1e-9
+    assert out.loc[0, "val_min"] == 1.7 and out.loc[0, "val_max"] == 2.9
