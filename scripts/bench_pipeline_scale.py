@@ -137,6 +137,22 @@ def main() -> None:
         timed("incremental_minhash", lambda: minhash_candidates_incremental(
             docs.filter(F.pmod("doc_id", F.lit(2)) == 0),
             docs.filter(F.pmod("doc_id", F.lit(2)) == 1)).count())
+        # substring-level dedup: winnowing at web-scale-ish window=16
+        # (guarantee threshold 20 chars) — the k-gram hash + window-min
+        # transforms are the dominant per-char cost; the bucket guard
+        # bounds boilerplate fingerprints
+        from random_cut_forest_by_aws_spark.operators.dedup import (
+            winnow_candidates,
+        )
+        from random_cut_forest_by_aws_spark.operators.packing import (
+            chunk_documents,
+        )
+
+        timed("winnow_candidates", lambda: winnow_candidates(
+            docs, window=16).count())
+        timed("chunk_documents", lambda: chunk_documents(
+            docs, chunk_tokens=128, stride=64).agg(
+            F.sum("n_tok").alias("x"), F.count(F.lit(1)).alias("n")).collect())
         timed("lm_quality", lambda: unigram_logprob(docs, min_count=5).agg(
             F.sum("n_oov").alias("a"), F.sum("logprob").alias("b")).collect())
 
