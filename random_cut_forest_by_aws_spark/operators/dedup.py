@@ -221,12 +221,42 @@ _WINNOW_B = 257
 _WINNOW_M = 2147483647
 
 
+def _winnow_arrow_udf(k: int, window: int):
+    """Vectorized winnowing kernel (same closed-form arithmetic as the
+    expression path, bit-identical output, parity-tested): UTF-32-LE
+    encode → codepoint array, one shifted-add polynomial pass, sliding
+    window minima, distinct. int64 audit: cp ≤ 0x10FFFF (< 2^21),
+    max power B⁴ ≈ 2^32 ⇒ per-term < 2^53, 5-term sum < 2^56."""
+    powers = np.array([_WINNOW_B ** (k - 1 - j) for j in range(k)], dtype=np.int64)
+    min_len = k + window - 1
+
+    def _one(t: str) -> np.ndarray:
+        cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+        if len(cp) < min_len:
+            return np.empty(0, np.int64)
+        nk = len(cp) - k + 1
+        kh = np.zeros(nk, np.int64)
+        for j in range(k):
+            kh += cp[j : j + nk] * powers[j]
+        kh %= _WINNOW_M
+        return np.unique(
+            np.lib.stride_tricks.sliding_window_view(kh, window).min(1)
+        )
+
+    @pandas_udf("array<long>")
+    def _fps(texts: pd.Series) -> pd.Series:
+        return texts.map(_one)
+
+    return _fps
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 5,
     window: int = 8,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken:
     "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
@@ -249,20 +279,29 @@ def winnow_fingerprints(
     themselves, not just downstream counts). Documents shorter than
     ``k`` characters yield no fingerprints (NULL text = empty).
 
-    Everything is JVM-side expression work fused into the scan — code
-    points via one pass over the split characters, k-gram hashes and
-    window minima as array transforms, one explode of the ~2n/window
-    surviving fingerprints. No UDF, no shuffle before the explode.
+    Two bit-identical implementations (parity-tested against each other
+    and a scalar reference):
 
-    Plan-shape note: the k-gram array and the window-minima transform
-    are chained through single-element ``transform(array(x), a -> ...)``
-    bindings rather than aliased projections. Alias substitution
-    (CollapseProject) would inline the DEFINING expression of an
-    aliased array into every ``element_at``/``slice`` reference inside
-    the downstream lambda — recomputing the whole k-gram array once per
-    window position, O(len²·k) per document (measured: minutes for 500
-    ×550-char docs). A lambda variable is a bound VALUE, so each stage
-    is evaluated exactly once per row.
+    * ``impl="arrow"`` (default): an Arrow-batched pandas UDF — UTF-32
+      codepoints via ``numpy.frombuffer``, one vectorized polynomial
+      pass, ``sliding_window_view(...).min(1)`` window minima. Measured
+      ~10M chars/s/core vs the expression path's ~0.23M — the nested
+      HOF transforms pay Catalyst per-element evaluation costs that a
+      columnar kernel doesn't (~44× per core; the A/B is in PLANS.md).
+    * ``impl="expr"``: JVM-side expression work fused into the scan —
+      no UDF, no Python workers, same exact integer arithmetic. Use
+      where Python worker processes are unavailable/undesired.
+
+    Plan-shape note (expr path): the k-gram array and the window-minima
+    transform are chained through single-element
+    ``transform(array(x), a -> ...)`` bindings rather than aliased
+    projections. Alias substitution (CollapseProject) would inline the
+    DEFINING expression of an aliased array into every
+    ``element_at``/``slice`` reference inside the downstream lambda —
+    recomputing the whole k-gram array once per window position,
+    O(len²·k) per document (measured: minutes for 500 ×550-char docs).
+    A lambda variable is a bound VALUE, so each stage is evaluated
+    exactly once per row.
     """
     if k <= 0 or window <= 0:
         raise ValueError(f"k and window must be positive, got {k}, {window}")
@@ -270,6 +309,14 @@ def winnow_fingerprints(
         # cp < 2^21 and B^5 > 2^40: six unreduced terms still fit int64,
         # but larger k needs an intermediate mod — keep the closed form
         raise ValueError("k > 5 would overflow the closed-form hash")
+    if impl not in ("arrow", "expr"):
+        raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
+    if impl == "arrow":
+        fps_udf = _winnow_arrow_udf(k, window)
+        return df.select(
+            F.col(id_col),
+            F.explode(fps_udf(F.coalesce(F.col(text_col), F.lit("")))).alias("fp"),
+        )
     powers = [_WINNOW_B ** (k - 1 - j) for j in range(k)]
 
     def _one_to(n):
@@ -318,6 +365,7 @@ def winnow_candidates(
     k: int = 5,
     window: int = 8,
     max_bucket: int = DEFAULT_MAX_BUCKET,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Shared-substring candidate pairs (id_a < id_b, n_shared_fps):
     documents sharing any winnowing fingerprint. By the winnowing
@@ -325,7 +373,7 @@ def winnow_candidates(
     characters appears here; the join shuffles only (fp, id) rows
     (~2n/window per doc), with the standard mega-bucket guard dropping
     degenerate fingerprints (boilerplate shared by > max_bucket docs)."""
-    fps = winnow_fingerprints(df, id_col, text_col, k, window)
+    fps = winnow_fingerprints(df, id_col, text_col, k, window, impl)
     return _shared_fp_pairs(fps, id_col, max_bucket)
 
 
@@ -350,6 +398,7 @@ def winnow_containment(
     k: int = 5,
     window: int = 8,
     max_bucket: int = DEFAULT_MAX_BUCKET,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Containment scoring over winnowing fingerprints: for every
     candidate pair, the shared-fingerprint fraction of the SMALLER
@@ -368,7 +417,7 @@ def winnow_containment(
     per-doc hashing scan — the dominant cost — from their forked
     un-materialized plans. n_shared counts DISTINCT fingerprints
     (winnow_fingerprints dedups per doc), so containment ≤ 1 exactly."""
-    fps = winnow_fingerprints(df, id_col, text_col, k, window).localCheckpoint(
+    fps = winnow_fingerprints(df, id_col, text_col, k, window, impl).localCheckpoint(
         eager=True
     )
     shared = _shared_fp_pairs(fps, id_col, max_bucket)

@@ -193,20 +193,22 @@ def _py_winnow(text: str, k: int = 5, w: int = 8) -> set[int]:
     return {min(kh[i:i + w]) for i in range(len(kh) - w + 1)}
 
 
-def test_winnow_fingerprints_match_scalar_replay(spark):
-    """The Spark expression pipeline is bit-identical to the scalar
-    polynomial-hash + window-min reference on mixed-length docs,
-    including the no-fingerprint shorts (len < window+k-1) and NULL."""
+@pytest.mark.parametrize("impl", ["arrow", "expr"])
+def test_winnow_fingerprints_match_scalar_replay(spark, impl):
+    """BOTH implementations (vectorized Arrow kernel and JVM expression
+    pipeline) are bit-identical to the scalar polynomial-hash +
+    window-min reference on mixed-length docs, including the
+    no-fingerprint shorts (len < window+k-1), NULL, and non-ASCII."""
     from random_cut_forest_by_aws_spark.operators.dedup import winnow_fingerprints
 
     rng = np.random.default_rng(11)
-    letters = "abcdefghijklmnopqrstuvwxyz 0123456789"
+    letters = "abcdefghijklmnopqrstuvwxyz 0123456789é日"
     texts = ["".join(rng.choice(list(letters), n)) for n in
              [0, 3, 5, 11, 12, 13, 40, 200, 553]] + [None]
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
-    got = winnow_fingerprints(df).toPandas()
+    got = winnow_fingerprints(df, impl=impl).toPandas()
     by_doc = got.groupby("doc_id")["fp"].apply(set).to_dict()
     for i, t in enumerate(texts):
         assert by_doc.get(i, set()) == _py_winnow(t or ""), f"doc {i}"
@@ -321,6 +323,8 @@ def test_winnow_param_validation(spark):
         winnow_fingerprints(df, k=0)
     with pytest.raises(ValueError):
         winnow_fingerprints(df, window=0)
+    with pytest.raises(ValueError):
+        winnow_fingerprints(df, impl="jit")
 
 
 def test_duplicate_clusters_deep_diameter_chain(spark):
