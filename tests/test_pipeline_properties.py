@@ -102,3 +102,42 @@ def test_funnel_matches_python_replay(spark, vals, b1, b2):
     assert rep["lo"]["remaining"] == len(vals) - d_lo
     assert rep["hi"]["remaining"] == len(vals) - d_lo - d_hi
     assert survivors.count() == len(vals) - d_lo - d_hi
+
+
+# ------------------------------------------------------------- winnowing
+_alpha = "abcdefghijklmnopqrstuvwxyz .!é"
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.text(_alpha, min_size=0, max_size=120),   # a context
+            st.text(_alpha, min_size=0, max_size=120),   # b context
+            st.text(_alpha, min_size=12, max_size=30),   # shared core
+            st.integers(0, 120),                          # a insert pos
+            st.integers(0, 120),                          # b insert pos
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_winnow_guarantee_property(spark, data):
+    """The winnowing CONTRACT, fuzzed: any two docs sharing a substring
+    of >= window+k-1 = 12 chars share at least one fingerprint VALUE,
+    and every doc's fingerprint set equals the scalar reference exactly
+    (both impls — the arrow default is what the gate runs)."""
+    from random_cut_forest_by_aws_spark.operators.dedup import winnow_fingerprints
+    from test_dedup import _py_winnow
+
+    rows = []
+    for i, (a, b, core, pa, pb) in enumerate(data):
+        rows.append((2 * i, a[:pa] + core + a[pa:]))
+        rows.append((2 * i + 1, b[:pb] + core + b[pb:]))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = winnow_fingerprints(df).toPandas()
+    by_doc = got.groupby("doc_id")["fp"].apply(set).to_dict()
+    for doc_id, text in rows:
+        assert by_doc.get(doc_id, set()) == _py_winnow(text), f"doc {doc_id}"
+    for i in range(len(data)):
+        assert by_doc[2 * i] & by_doc[2 * i + 1], f"pair {i}: no shared fp"
