@@ -654,6 +654,25 @@ def _q_winnow_candidates_docs(spark, sf_dir):
     )
 
 
+def _q_tfidf_keywords_docs(spark, sf_dir):
+    """Top-5 tf-idf keywords per document. The ranking key is the
+    raw-idf ratio tf/df — exact-rounded IEEE division of integers,
+    identical in every engine — so keyword selection, rank order and
+    tie-breaks replay exactly; the classic log-idf score is the
+    displayed (rounded) weight."""
+    from random_cut_forest_by_aws_spark.operators.textqc import tfidf_keywords
+
+    out = tfidf_keywords(_docs(spark, sf_dir), top_k=5)
+    return out.select(
+        "doc_id",
+        "term",
+        F.col("tf").cast("bigint").alias("tf"),
+        F.col("df_count").cast("bigint").alias("df_count"),
+        "rank",
+        "score",
+    )
+
+
 def _q_chunk_docs(spark, sf_dir):
     """Fixed-size token chunking with stride-16 overlap (context-window
     preprocessing for long documents: chunk first, pack after). Pure
@@ -1214,6 +1233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_portable_docs": _q_simhash_portable_docs,
         "semantic_dedup_embeddings": _q_semantic_dedup_embeddings,
         "chunk_docs": _q_chunk_docs,
+        "tfidf_keywords_docs": _q_tfidf_keywords_docs,
         "rollup_report_docs": _q_rollup_report_docs,
         "winnow_containment_docs": _q_winnow_containment_docs,
         "lm_logprob_docs": _q_lm_logprob_docs,
@@ -1825,6 +1845,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
             JOIN g ON g.fp = a.fp
             GROUP BY a.doc_id, b.doc_id
+        """,
+        "tfidf_keywords_docs": """
+            -- replay of tfidf_keywords(top_k=5): per-(doc,term) counts,
+            -- doc frequencies, rank by the engine-exact tf/df ratio
+            -- (term asc ties), classic log-idf score rounded 6dp
+            WITH p AS (
+              SELECT doc_id, unnest(list_filter(
+                       string_split(coalesce(text, ''), ' '),
+                       t -> t != '')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM p GROUP BY doc_id, term
+            ), dfreq AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df_count
+              FROM tf GROUP BY term
+            ), n AS (
+              SELECT count(*) AS n_docs FROM documents
+            ), ranked AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dfreq.df_count,
+                     CAST(row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY CAST(tf.tf AS DOUBLE) / dfreq.df_count DESC,
+                                tf.term ASC) AS BIGINT) AS rank
+              FROM tf JOIN dfreq USING (term)
+            )
+            SELECT doc_id, term, tf, df_count, rank,
+                   round(tf * ln(CAST((SELECT n_docs FROM n) AS DOUBLE)
+                                 / df_count), 6) AS score
+            FROM ranked WHERE rank <= 5
         """,
         "chunk_docs": """
             -- replay of chunk_documents(chunk_tokens=32, stride=16):

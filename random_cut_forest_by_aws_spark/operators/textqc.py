@@ -146,3 +146,66 @@ def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         lang_id(text_col).alias("lang_guess"),
         doc_fingerprint(text_col).alias("fingerprint"),
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 5,
+    min_df: int = 1,
+) -> DataFrame:
+    """Top-``top_k`` keywords per document by tf-idf: one row per
+    (doc, keyword) with ``tf`` (term count in the doc), ``df_count``
+    (documents containing the term), ``rank`` (1 = top keyword) and
+    ``score`` = tf · ln(N/df), the classic log-idf weight, rounded to
+    6 dp.
+
+    Determinism note: the RANKING key is the raw-idf ratio
+    ``tf / df`` (equivalently tf·N/df — N is constant per corpus), not
+    the log score. IEEE double division of exact integers is
+    correctly-rounded and therefore IDENTICAL in every engine, so the
+    keyword selection and rank order replay exactly (gate
+    ``tfidf_keywords_docs``); ``ln`` is only guaranteed faithful to
+    ~1 ulp per libm, which is fine for a displayed score but not for an
+    ordering the oracle must reproduce bit-for-bit. Ties (equal tf and
+    df) break lexicographically by term.
+
+    Plan shape: explode → (doc, term) counts (one exchange, map-side
+    combine), document frequencies derived FROM that aggregate (second
+    exchange over the vocabulary — rows = distinct terms), broadcastable
+    df join back, and the per-doc top-k window partitions by doc (its
+    size is bounded by the doc's distinct-term count, never the
+    corpus). N is the total input document count."""
+    from pyspark.sql import Window as W
+
+    n_docs = df.count()
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("term"),
+    )
+    tf = pairs.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
+    scored = tf.join(dfreq, "term").filter(F.col("df_count") >= min_df)
+    w = W.partitionBy(id_col).orderBy(
+        (F.col("tf").cast("double") / F.col("df_count")).desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            "df_count",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df_count")), 6
+            ).alias("score"),
+        )
+    )
