@@ -190,7 +190,17 @@ def tfidf_keywords(
         ).alias("term"),
     )
     tf = pairs.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
+    # count(when(tf >= 1, 1)) == count(1) here (counts are always >= 1)
+    # but CONSUMES the tf column through a predicate Catalyst cannot
+    # fold away (a bare count("tf") is rewritten to count(1) via
+    # non-null inference and then column-pruned): without the
+    # dependency, this branch's upstream collapses to a distinct-style
+    # aggregate, de-canonicalizing the shared (doc, term) exchange and
+    # planning a SECOND corpus scan (CLAUDE.md Catalyst gotcha 2;
+    # pinned by test_tfidf_single_scan_floor)
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.when(F.col("tf") >= 1, F.lit(1))).alias("df_count")
+    )
     scored = tf.join(dfreq, "term").filter(F.col("df_count") >= min_df)
     w = W.partitionBy(id_col).orderBy(
         (F.col("tf").cast("double") / F.col("df_count")).desc(), F.col("term").asc()

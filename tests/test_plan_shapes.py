@@ -86,3 +86,36 @@ def test_pack_scan_prunes_and_evaluates_ntok_once(spark):
         assert "regexp_extract_all" not in ln.split("ReadSchema")[0].split(
             "DataFilters: ["
         )[-1].split("]")[0], ln
+
+
+def test_chunk_documents_zero_exchanges(spark):
+    """Chunking is pure scan-fused expression work: one FileScan, NO
+    Exchange of any kind — the zero-shuffle claim in PLANS.md. An
+    Exchange appearing here means a repartition/aggregate crept into
+    what must stay a narrow map stage."""
+    import __spark_entry__ as em
+
+    plan = _final_plan(em.queries()["chunk_docs"](spark, SF_DIR))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_tfidf_single_scan_floor(spark):
+    """tf-idf reads the corpus once: (doc,term) counts → vocab-sized df
+    aggregate derived FROM that aggregate → join back → per-doc window.
+    A second FileScan means the df-frequency branch re-scanned the
+    corpus instead of deriving from the tf aggregate."""
+    import __spark_entry__ as em
+
+    plan = _final_plan(em.queries()["tfidf_keywords_docs"](spark, SF_DIR))
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_rollup_single_expand_aggregate(spark):
+    """ROLLUP reporting is one scan + one Expand feeding one partial/
+    final HashAggregate pair — not one job per granularity level."""
+    import __spark_entry__ as em
+
+    plan = _final_plan(em.queries()["rollup_report_docs"](spark, SF_DIR))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert plan.count("Expand") == 1, plan
