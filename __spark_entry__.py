@@ -1175,6 +1175,42 @@ def _q_filter_funnel_docs(spark, sf_dir):
     )
 
 
+def _split_event_snapshots(spark, sf_dir):
+    """Two deterministic snapshots of the events table (even / odd
+    event_id) standing in for yesterday-vs-today corpus crawls."""
+    e = _t(spark, sf_dir, "events")
+    return (e.filter(F.col("event_id") % 2 == 0),
+            e.filter(F.col("event_id") % 2 == 1))
+
+
+def _q_snapshot_drift_events(spark, sf_dir):
+    """Snapshot-to-snapshot distribution drift (PSI / JS / L-inf / TVD /
+    chi2) per event_type between two deterministic halves of the events
+    table. The whole computation is two map-side-combined histogram
+    aggregates plus arithmetic over the tiny joined histogram — the
+    TFDV/deequ-style batch complement to the streaming RCF drift
+    operator. Every metric is closed-form over smoothed bin
+    probabilities, so the oracle replays the identical expression shapes
+    in DuckDB."""
+    from random_cut_forest_by_aws_spark.operators.distdrift import snapshot_drift
+
+    base, curr = _split_event_snapshots(spark, sf_dir)
+    return snapshot_drift(base, curr, "value", group_by=["event_type"],
+                          bin_width=25.0)
+
+
+def _q_snapshot_drift_bins_events(spark, sf_dir):
+    """Per-bin drift evidence behind snapshot_drift_events: which bins
+    moved (counts, smoothed probabilities, per-bin PSI contribution)."""
+    from random_cut_forest_by_aws_spark.operators.distdrift import (
+        snapshot_drift_bins,
+    )
+
+    base, curr = _split_event_snapshots(spark, sf_dir)
+    return snapshot_drift_bins(base, curr, "value", group_by=["event_type"],
+                               bin_width=25.0)
+
+
 def _q_suite_verdicts(spark, sf_dir):
     from random_cut_forest_by_aws_spark.operators.drift import DriftConfig
     from random_cut_forest_by_aws_spark.plans import SuiteConfig, ValidationSuite
@@ -1253,6 +1289,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_funnel_docs": _q_filter_funnel_docs,
         "drift_impute_events": _q_drift_impute_events,
         "drift_lineage_events": _q_drift_lineage_events,
+        "snapshot_drift_events": _q_snapshot_drift_events,
+        "snapshot_drift_bins_events": _q_snapshot_drift_bins_events,
         "validation_suite_verdicts": _q_suite_verdicts,
     }
 
@@ -2120,5 +2158,107 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_rows
             FROM seqd
             GROUP BY 1, 2
+        """,
+        # snapshot drift: histogram full-outer join on null-safe keys,
+        # then the exact expression shapes of operators/distdrift.py
+        # (same IEEE op order => bit-identical doubles before rounding).
+        "snapshot_drift_events": """
+            WITH ha AS (
+                SELECT event_type,
+                       CAST(FLOOR(value / 25.0) AS BIGINT) AS bin,
+                       count(*) AS cnt_a
+                FROM events WHERE event_id % 2 = 0
+                GROUP BY event_type, bin
+            ), hb AS (
+                SELECT event_type,
+                       CAST(FLOOR(value / 25.0) AS BIGINT) AS bin,
+                       count(*) AS cnt_b
+                FROM events WHERE event_id % 2 = 1
+                GROUP BY event_type, bin
+            ), joined AS (
+                SELECT COALESCE(ha.event_type, hb.event_type) AS event_type,
+                       COALESCE(ha.bin, hb.bin) AS bin,
+                       COALESCE(ha.cnt_a, 0) AS cnt_a,
+                       COALESCE(hb.cnt_b, 0) AS cnt_b
+                FROM ha FULL OUTER JOIN hb
+                  ON ha.event_type IS NOT DISTINCT FROM hb.event_type
+                 AND ha.bin IS NOT DISTINCT FROM hb.bin
+            ), tot AS (
+                SELECT event_type,
+                       CAST(sum(cnt_a) AS BIGINT) AS n_base,
+                       CAST(sum(cnt_b) AS BIGINT) AS n_curr,
+                       count(*) AS n_bins
+                FROM joined GROUP BY event_type
+            ), hist AS (
+                SELECT j.event_type,
+                       CAST(j.cnt_a AS DOUBLE) AS a,
+                       CAST(j.cnt_b AS DOUBLE) AS b,
+                       CAST(t.n_base AS DOUBLE) AS ta,
+                       CAST(t.n_curr AS DOUBLE) AS tb,
+                       CAST(t.n_bins AS DOUBLE) AS nb,
+                       t.n_base, t.n_curr, t.n_bins
+                FROM joined j JOIN tot t USING (event_type)
+            ), terms AS (
+                SELECT event_type, n_base, n_curr, n_bins, a, b, ta, tb,
+                       (a + 0.5) / (ta + 0.5 * nb) AS p,
+                       (b + 0.5) / (tb + 0.5 * nb) AS q
+                FROM hist
+            )
+            SELECT event_type,
+                   CAST(MAX(n_bins) AS BIGINT) AS n_bins,
+                   MAX(n_base) AS n_base,
+                   MAX(n_curr) AS n_curr,
+                   round(SUM((p - q) * (ln(p) - ln(q))), 6) AS psi,
+                   round(SUM(0.5 * (p * (ln(p) - ln((p + q) / 2.0))
+                                  + q * (ln(q) - ln((p + q) / 2.0)))), 6)
+                       AS js_div,
+                   round(MAX(abs(p - q)), 6) AS linf,
+                   round(SUM(abs(p - q)) / 2.0, 6) AS tvd,
+                   round(SUM((a - (a + b) * ta / (ta + tb))
+                             * (a - (a + b) * ta / (ta + tb))
+                             / ((a + b) * ta / (ta + tb))
+                           + (b - (a + b) * tb / (ta + tb))
+                             * (b - (a + b) * tb / (ta + tb))
+                             / ((a + b) * tb / (ta + tb))), 6) AS chi2
+            FROM terms GROUP BY event_type
+        """,
+        "snapshot_drift_bins_events": """
+            WITH ha AS (
+                SELECT event_type,
+                       CAST(FLOOR(value / 25.0) AS BIGINT) AS bin,
+                       count(*) AS cnt_a
+                FROM events WHERE event_id % 2 = 0
+                GROUP BY event_type, bin
+            ), hb AS (
+                SELECT event_type,
+                       CAST(FLOOR(value / 25.0) AS BIGINT) AS bin,
+                       count(*) AS cnt_b
+                FROM events WHERE event_id % 2 = 1
+                GROUP BY event_type, bin
+            ), joined AS (
+                SELECT COALESCE(ha.event_type, hb.event_type) AS event_type,
+                       COALESCE(ha.bin, hb.bin) AS bin,
+                       CAST(COALESCE(ha.cnt_a, 0) AS BIGINT) AS cnt_a,
+                       CAST(COALESCE(hb.cnt_b, 0) AS BIGINT) AS cnt_b
+                FROM ha FULL OUTER JOIN hb
+                  ON ha.event_type IS NOT DISTINCT FROM hb.event_type
+                 AND ha.bin IS NOT DISTINCT FROM hb.bin
+            ), tot AS (
+                SELECT event_type,
+                       CAST(sum(cnt_a) AS DOUBLE) AS ta,
+                       CAST(sum(cnt_b) AS DOUBLE) AS tb,
+                       CAST(count(*) AS DOUBLE) AS nb
+                FROM joined GROUP BY event_type
+            ), terms AS (
+                SELECT j.event_type, j.bin, j.cnt_a, j.cnt_b,
+                       (CAST(j.cnt_a AS DOUBLE) + 0.5) / (t.ta + 0.5 * t.nb) AS p,
+                       (CAST(j.cnt_b AS DOUBLE) + 0.5) / (t.tb + 0.5 * t.nb) AS q
+                FROM joined j JOIN tot t USING (event_type)
+            )
+            SELECT event_type, bin, cnt_a, cnt_b,
+                   round(p, 6) AS p_base,
+                   round(q, 6) AS p_curr,
+                   round((p - q) * (ln(p) - ln(q)), 6) AS psi_contrib
+            FROM terms
         """,
     }

@@ -1,0 +1,215 @@
+"""Snapshot-to-snapshot distribution drift (PSI / JS / L-inf / TVD / chi2).
+
+The RCF drift operator (``operators/drift.py``) answers "is this point
+anomalous given the stream so far?" — the sketch the reference engine
+exists for. Production validation pipelines ask a second, complementary
+question: "did the *distribution* of a column move between two snapshots
+of the table?" (yesterday's corpus vs today's crawl, train vs serve).
+This operator is the classic statistical-drift toolbox over histogram
+aggregates — the TFDV / deequ-style checks — expressed as pure
+DataFrame aggregations so the whole computation is two map-side-combined
+histogram aggregates plus arithmetic over the tiny joined histogram.
+
+Metrics per group (all computed from smoothed bin probabilities
+``p_i = (a_i + s) / (A + s·B)`` with ``s`` the Laplace smoothing constant
+and ``B`` the number of distinct bins observed in the union — the
+standard guard against ln(0) that keeps every metric finite and exactly
+replayable in any engine):
+
+* ``psi``  — Population Stability Index: sum (p−q)·ln(p/q). The industry
+  drift score (>0.1 moderate, >0.25 major shift).
+* ``js_div`` — Jensen–Shannon divergence (natural log): ½KL(p‖m)+½KL(q‖m),
+  m = (p+q)/2. Bounded [0, ln 2], symmetric.
+* ``linf`` — Chebyshev / L-infinity distance max|p−q| (TFDV's categorical
+  drift statistic).
+* ``tvd``  — total variation distance ½·sum|p−q|.
+* ``chi2`` — two-sample chi-square with pooled expecteds
+  E_a,i = (a_i+b_i)·A/(A+B) over raw (unsmoothed) counts.
+
+Scale shape (what Catalyst sees at 10^12 rows): each snapshot collapses
+to a per-(group, bin) count via partial→final HashAggregate (one
+exchange each, map-side combine, scan pruned to the grouped columns);
+the two histograms full-outer-join on (group, bin) — both sides are
+aggregate outputs bounded by cardinality(group)×n_bins, never row-scale
+— per-group totals are a second tiny aggregate broadcast back, and the
+metric arithmetic runs over the joined histogram. Nothing row-scale
+crosses an exchange after the first aggregates; no driver collect.
+
+Binning is caller-controlled and integer-exact: ``bin_width`` maps a
+numeric column to ``floor(value / bin_width)`` (deterministic, no
+float bin-edge ambiguity); ``bin_width=None`` treats the column's
+values as categorical bins directly. NULL values form their own bin
+(distribution shift in null-rate is drift too).
+
+Reference analogue: the engine's RCF drift detector consumes the same
+tokenized-sequence features per group; this operator is the batch
+two-snapshot complement (no reference counterpart — north-star
+"validation engine" surface, cf. deequ's ``KLLDistance``/TFDV's
+``jensen_shannon_divergence`` drift comparators).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _histogram(
+    df: DataFrame,
+    value_col: str,
+    group_by: Sequence[str],
+    bin_width: float | None,
+) -> DataFrame:
+    """Per-(group, bin) counts. Integer-exact binning; NULL → its own bin."""
+    v = F.col(value_col)
+    if bin_width is not None:
+        b = F.floor(v / F.lit(bin_width)).cast("long")
+    else:
+        b = v.cast("string")
+    # NULL values keep bin=NULL; count them as a real bin via grouping on
+    # the (nullable) bin column — groupBy treats NULL as a key.
+    return (
+        df.select(*group_by, b.alias("bin"))
+        .groupBy(*group_by, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _joined_hist(
+    base: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    group_by: list[str],
+    bin_width: float | None,
+) -> DataFrame:
+    """Full-outer-joined per-(group, bin) histograms with per-group
+    totals broadcast back on: columns
+    ``(group..., bin, cnt_a, cnt_b, n_base, n_curr, n_bins)``.
+
+    NULL is a legitimate bin value, so the join uses null-safe equality
+    (a plain equi-join would drop the NULL bins on both sides). The two
+    snapshots often derive from the SAME source DataFrame (a filter
+    split), which makes ``ha[k] == hb[k]`` ambiguous — the right side's
+    columns are renamed before the join instead of relying on
+    DataFrame-qualified column references.
+    """
+    join_keys = group_by + ["bin"]
+    ha = _histogram(base, value_col, group_by, bin_width).withColumnRenamed("cnt", "cnt_a")
+    hb = _histogram(current, value_col, group_by, bin_width).withColumnRenamed("cnt", "cnt_b")
+    for k in join_keys:
+        hb = hb.withColumnRenamed(k, f"__b_{k}")
+    cond = None
+    for k in join_keys:
+        c = F.col(k).eqNullSafe(F.col(f"__b_{k}"))
+        cond = c if cond is None else (cond & c)
+    joined = ha.join(hb, cond, "full_outer").select(
+        *[F.coalesce(F.col(k), F.col(f"__b_{k}")).alias(k) for k in join_keys],
+        F.coalesce(F.col("cnt_a"), F.lit(0)).alias("cnt_a"),
+        F.coalesce(F.col("cnt_b"), F.lit(0)).alias("cnt_b"),
+    )
+    # Per-group totals + union-bin counts: aggregate of an aggregate —
+    # tiny input, tiny output, broadcast back onto the histogram.
+    totals = joined.groupBy(*group_by).agg(
+        F.sum("cnt_a").alias("n_base"),
+        F.sum("cnt_b").alias("n_curr"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+    if group_by:
+        return joined.join(F.broadcast(totals), group_by)
+    return joined.crossJoin(F.broadcast(totals))
+
+
+def snapshot_drift(
+    base: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    group_by: Sequence[str] = (),
+    bin_width: float | None = None,
+    smoothing: float = 0.5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Distribution-drift metrics between two snapshots of one column.
+
+    Returns one row per group with columns
+    ``(group..., n_bins, n_base, n_curr, psi, js_div, linf, tvd, chi2)``
+    — every metric rounded to ``round_dp`` so results replay exactly
+    across engines.
+    """
+    group_by = list(group_by)
+    hist = _joined_hist(base, current, value_col, group_by, bin_width)
+
+    s = F.lit(float(smoothing))
+    a = F.col("cnt_a").cast("double")
+    b = F.col("cnt_b").cast("double")
+    A = F.col("n_base").cast("double")
+    B = F.col("n_curr").cast("double")
+    nb = F.col("n_bins").cast("double")
+    p = (a + s) / (A + s * nb)
+    q = (b + s) / (B + s * nb)
+    m = (p + q) / F.lit(2.0)
+
+    psi_term = (p - q) * (F.log(p) - F.log(q))
+    js_term = F.lit(0.5) * (p * (F.log(p) - F.log(m)) + q * (F.log(q) - F.log(m)))
+    # chi2 over raw counts with pooled expecteds; bins empty on one side
+    # contribute (count - E)^2 / E with E > 0 whenever a_i + b_i > 0,
+    # which holds for every bin the full-outer join can produce.
+    ea = (a + b) * A / (A + B)
+    eb = (a + b) * B / (A + B)
+    chi2_term = (a - ea) * (a - ea) / ea + (b - eb) * (b - eb) / eb
+
+    per_bin = hist.select(
+        *group_by,
+        psi_term.alias("psi_t"),
+        js_term.alias("js_t"),
+        F.abs(p - q).alias("ad"),
+        chi2_term.alias("chi2_t"),
+        F.col("n_bins"),
+        F.col("n_base"),
+        F.col("n_curr"),
+    )
+    out = per_bin.groupBy(*group_by).agg(
+        F.first("n_bins").alias("n_bins"),
+        F.first("n_base").alias("n_base"),
+        F.first("n_curr").alias("n_curr"),
+        F.round(F.sum("psi_t"), round_dp).alias("psi"),
+        F.round(F.sum("js_t"), round_dp).alias("js_div"),
+        F.round(F.max("ad"), round_dp).alias("linf"),
+        F.round(F.sum("ad") / F.lit(2.0), round_dp).alias("tvd"),
+        F.round(F.sum("chi2_t"), round_dp).alias("chi2"),
+    )
+    return out
+
+
+def snapshot_drift_bins(
+    base: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    group_by: Sequence[str] = (),
+    bin_width: float | None = None,
+    smoothing: float = 0.5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-bin drift evidence: counts, smoothed probabilities and the
+    per-bin PSI contribution — the detail rows behind ``snapshot_drift``
+    (which bins moved, not just that the column moved)."""
+    group_by = list(group_by)
+    hist = _joined_hist(base, current, value_col, group_by, bin_width)
+    s = F.lit(float(smoothing))
+    a = F.col("cnt_a").cast("double")
+    b = F.col("cnt_b").cast("double")
+    A = F.col("n_base").cast("double")
+    B = F.col("n_curr").cast("double")
+    nb = F.col("n_bins").cast("double")
+    p = (a + s) / (A + s * nb)
+    q = (b + s) / (B + s * nb)
+    return hist.select(
+        *group_by,
+        "bin",
+        "cnt_a",
+        "cnt_b",
+        F.round(p, round_dp).alias("p_base"),
+        F.round(q, round_dp).alias("p_curr"),
+        F.round((p - q) * (F.log(p) - F.log(q)), round_dp).alias("psi_contrib"),
+    )

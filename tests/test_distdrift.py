@@ -1,0 +1,129 @@
+"""Snapshot-to-snapshot distribution drift (operators/distdrift.py).
+
+Pins the metric arithmetic against a NumPy reference computation, the
+zero-drift identity, NULL-bin accounting, categorical binning, and the
+per-bin detail view's consistency with the rollup.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from random_cut_forest_by_aws_spark.operators.distdrift import (
+    snapshot_drift,
+    snapshot_drift_bins,
+)
+
+
+def _mk(spark, rows, with_group=False):
+    if with_group:
+        return spark.createDataFrame(rows, "g string, v double")
+    return spark.createDataFrame(rows, "v double")
+
+
+def _np_metrics(cnt_a, cnt_b, s=0.5):
+    """Reference implementation of every metric over aligned bin counts."""
+    a = np.asarray(cnt_a, dtype=np.float64)
+    b = np.asarray(cnt_b, dtype=np.float64)
+    A, B, nb = a.sum(), b.sum(), float(len(a))
+    p = (a + s) / (A + s * nb)
+    q = (b + s) / (B + s * nb)
+    m = (p + q) / 2.0
+    psi = float(np.sum((p - q) * (np.log(p) - np.log(q))))
+    js = float(np.sum(0.5 * (p * (np.log(p) - np.log(m)) + q * (np.log(q) - np.log(m)))))
+    linf = float(np.max(np.abs(p - q)))
+    tvd = float(np.sum(np.abs(p - q)) / 2.0)
+    ea = (a + b) * A / (A + B)
+    eb = (a + b) * B / (A + B)
+    chi2 = float(np.sum((a - ea) ** 2 / ea + (b - eb) ** 2 / eb))
+    return dict(psi=psi, js_div=js, linf=linf, tvd=tvd, chi2=chi2)
+
+
+def test_identical_snapshots_zero_drift(spark):
+    rows = [(float(i % 7),) for i in range(200)]
+    base = _mk(spark, rows)
+    curr = _mk(spark, rows)
+    out = snapshot_drift(base, curr, "v", bin_width=1.0).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["n_base"] == 200 and r["n_curr"] == 200 and r["n_bins"] == 7
+    for m in ("psi", "js_div", "linf", "tvd", "chi2"):
+        assert r[m] == 0.0, m
+
+
+def test_metrics_match_numpy_reference(spark):
+    # Two snapshots over bins {0,1,2} with a deliberate shift; bin 3 only
+    # in current (exercises the full-outer zero-fill path).
+    base_rows = [(0.0,)] * 50 + [(1.0,)] * 30 + [(2.0,)] * 20
+    curr_rows = [(0.0,)] * 20 + [(1.0,)] * 30 + [(2.0,)] * 40 + [(3.0,)] * 10
+    out = snapshot_drift(
+        _mk(spark, base_rows), _mk(spark, curr_rows), "v",
+        bin_width=1.0, round_dp=9,
+    ).toPandas()
+    exp = _np_metrics([50, 30, 20, 0], [20, 30, 40, 10])
+    r = out.iloc[0]
+    assert r["n_bins"] == 4 and r["n_base"] == 100 and r["n_curr"] == 100
+    for k, v in exp.items():
+        assert r[k] == pytest.approx(v, abs=1e-8), k
+    # sanity bounds: JS <= ln 2, tvd in [0, 1]
+    assert 0.0 < r["js_div"] <= math.log(2.0)
+    assert 0.0 < r["tvd"] <= 1.0
+
+
+def test_null_values_form_their_own_bin(spark):
+    base = _mk(spark, [(1.0,)] * 90 + [(None,)] * 10)
+    curr = _mk(spark, [(1.0,)] * 60 + [(None,)] * 40)
+    out = snapshot_drift(base, curr, "v", bin_width=1.0, round_dp=9).toPandas()
+    r = out.iloc[0]
+    # two bins: value-1 and the NULL bin — null-rate shift IS drift
+    assert r["n_bins"] == 2
+    exp = _np_metrics([90, 10], [60, 40])
+    assert r["psi"] == pytest.approx(exp["psi"], abs=1e-8)
+    assert r["psi"] > 0.1  # a 10%->40% null-rate jump is a major shift
+
+
+def test_categorical_bins_and_groups(spark):
+    base = _mk(spark, [("g1", 1.0)] * 40 + [("g1", 2.0)] * 60 + [("g2", 1.0)] * 50,
+               with_group=True)
+    curr = _mk(spark, [("g1", 1.0)] * 60 + [("g1", 2.0)] * 40 + [("g2", 1.0)] * 50,
+               with_group=True)
+    out = snapshot_drift(base, curr, "v", group_by=["g"], bin_width=None,
+                         round_dp=9).toPandas().set_index("g")
+    assert set(out.index) == {"g1", "g2"}
+    # g2 unchanged -> zero drift; g1 shifted -> matches reference
+    for m in ("psi", "js_div", "linf", "tvd", "chi2"):
+        assert out.loc["g2", m] == 0.0
+    exp = _np_metrics([40, 60], [60, 40])
+    assert out.loc["g1", "psi"] == pytest.approx(exp["psi"], abs=1e-8)
+
+
+def test_bins_detail_consistent_with_rollup(spark):
+    base_rows = [(0.0,)] * 50 + [(1.0,)] * 30 + [(2.0,)] * 20
+    curr_rows = [(0.0,)] * 20 + [(1.0,)] * 30 + [(2.0,)] * 40 + [(3.0,)] * 10
+    roll = snapshot_drift(
+        _mk(spark, base_rows), _mk(spark, curr_rows), "v",
+        bin_width=1.0, round_dp=9,
+    ).toPandas().iloc[0]
+    bins = snapshot_drift_bins(
+        _mk(spark, base_rows), _mk(spark, curr_rows), "v",
+        bin_width=1.0, round_dp=9,
+    ).toPandas()
+    assert len(bins) == roll["n_bins"]
+    assert bins["cnt_a"].sum() == roll["n_base"]
+    assert bins["cnt_b"].sum() == roll["n_curr"]
+    assert bins["psi_contrib"].sum() == pytest.approx(roll["psi"], abs=1e-6)
+    # probabilities are proper distributions (smoothed)
+    assert bins["p_base"].sum() == pytest.approx(1.0, abs=1e-6)
+    assert bins["p_curr"].sum() == pytest.approx(1.0, abs=1e-6)
+
+
+def test_disjoint_supports_max_out_tvd(spark):
+    base = _mk(spark, [(0.0,)] * 100)
+    curr = _mk(spark, [(10.0,)] * 100)
+    r = snapshot_drift(base, curr, "v", bin_width=1.0, round_dp=9).toPandas().iloc[0]
+    # smoothing keeps it strictly under 1 but it should be close
+    assert r["tvd"] > 0.98
+    assert r["js_div"] > 0.65  # near ln 2 = 0.693
