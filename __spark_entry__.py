@@ -2190,7 +2190,7 @@ def oracle_sql() -> dict[str, str]:
                        count(*) AS n_bins
                 FROM joined GROUP BY event_type
             ), hist AS (
-                SELECT j.event_type,
+                SELECT j.event_type, j.bin,
                        CAST(j.cnt_a AS DOUBLE) AS a,
                        CAST(j.cnt_b AS DOUBLE) AS b,
                        CAST(t.n_base AS DOUBLE) AS ta,
@@ -2199,10 +2199,19 @@ def oracle_sql() -> dict[str, str]:
                        t.n_base, t.n_curr, t.n_bins
                 FROM joined j JOIN tot t USING (event_type)
             ), terms AS (
-                SELECT event_type, n_base, n_curr, n_bins, a, b, ta, tb,
+                SELECT event_type, bin, n_base, n_curr, n_bins,
+                       a, b, ta, tb,
                        (a + 0.5) / (ta + 0.5 * nb) AS p,
                        (b + 0.5) / (tb + 0.5 * nb) AS q
                 FROM hist
+            ), terms2 AS (
+                SELECT *,
+                       abs(SUM(a / ta - b / tb) OVER (
+                           PARTITION BY event_type
+                           ORDER BY bin ASC NULLS FIRST
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW)) AS ks_t
+                FROM terms
             )
             SELECT event_type,
                    CAST(MAX(n_bins) AS BIGINT) AS n_bins,
@@ -2219,8 +2228,9 @@ def oracle_sql() -> dict[str, str]:
                              / ((a + b) * ta / (ta + tb))
                            + (b - (a + b) * tb / (ta + tb))
                              * (b - (a + b) * tb / (ta + tb))
-                             / ((a + b) * tb / (ta + tb))), 6) AS chi2
-            FROM terms GROUP BY event_type
+                             / ((a + b) * tb / (ta + tb))), 6) AS chi2,
+                   round(MAX(ks_t), 6) AS ks
+            FROM terms2 GROUP BY event_type
         """,
         "snapshot_drift_bins_events": """
             WITH ha AS (

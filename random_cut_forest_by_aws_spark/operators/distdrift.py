@@ -52,7 +52,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -133,9 +133,17 @@ def snapshot_drift(
     """Distribution-drift metrics between two snapshots of one column.
 
     Returns one row per group with columns
-    ``(group..., n_bins, n_base, n_curr, psi, js_div, linf, tvd, chi2)``
-    — every metric rounded to ``round_dp`` so results replay exactly
-    across engines.
+    ``(group..., n_bins, n_base, n_curr, psi, js_div, linf, tvd, chi2,
+    ks)`` — every metric rounded to ``round_dp`` so results replay
+    exactly across engines.
+
+    ``ks`` is the two-sample Kolmogorov–Smirnov statistic over the
+    binned empirical CDFs: max |F_base − F_curr| with cumulative counts
+    taken in ascending-bin order (NULL bin first, matching Spark's
+    default sort). Unlike the other metrics it uses the RAW (unsmoothed)
+    counts — the textbook statistic — and for ``bin_width=None``
+    (categorical) the CDF order is the deterministic binary string
+    order, which makes it order-sensitive but still engine-exact.
     """
     group_by = list(group_by)
     hist = _joined_hist(base, current, value_col, group_by, bin_width)
@@ -159,12 +167,24 @@ def snapshot_drift(
     eb = (a + b) * B / (A + B)
     chi2_term = (a - ea) * (a - ea) / ea + (b - eb) * (b - eb) / eb
 
+    # KS runs over the tiny joined histogram: an ordered running sum of
+    # the per-bin ECDF gap. The window partitions on the group keys only
+    # — aggregate-bounded input, so the per-partition sort is over
+    # |bins| rows, never row-scale.
+    wks = (
+        Window.partitionBy(*group_by)
+        .orderBy(F.col("bin").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ks_term = F.abs(F.sum(a / A - b / B).over(wks))
+
     per_bin = hist.select(
         *group_by,
         psi_term.alias("psi_t"),
         js_term.alias("js_t"),
         F.abs(p - q).alias("ad"),
         chi2_term.alias("chi2_t"),
+        ks_term.alias("ks_t"),
         F.col("n_bins"),
         F.col("n_base"),
         F.col("n_curr"),
@@ -178,6 +198,7 @@ def snapshot_drift(
         F.round(F.max("ad"), round_dp).alias("linf"),
         F.round(F.sum("ad") / F.lit(2.0), round_dp).alias("tvd"),
         F.round(F.sum("chi2_t"), round_dp).alias("chi2"),
+        F.round(F.max("ks_t"), round_dp).alias("ks"),
     )
     return out
 

@@ -39,7 +39,10 @@ def _np_metrics(cnt_a, cnt_b, s=0.5):
     ea = (a + b) * A / (A + B)
     eb = (a + b) * B / (A + B)
     chi2 = float(np.sum((a - ea) ** 2 / ea + (b - eb) ** 2 / eb))
-    return dict(psi=psi, js_div=js, linf=linf, tvd=tvd, chi2=chi2)
+    # KS over the RAW binned ECDFs, bins in ascending order (the order
+    # the counts are passed in)
+    ks = float(np.max(np.abs(np.cumsum(a / A - b / B))))
+    return dict(psi=psi, js_div=js, linf=linf, tvd=tvd, chi2=chi2, ks=ks)
 
 
 def test_identical_snapshots_zero_drift(spark):
@@ -50,7 +53,7 @@ def test_identical_snapshots_zero_drift(spark):
     assert len(out) == 1
     r = out.iloc[0]
     assert r["n_base"] == 200 and r["n_curr"] == 200 and r["n_bins"] == 7
-    for m in ("psi", "js_div", "linf", "tvd", "chi2"):
+    for m in ("psi", "js_div", "linf", "tvd", "chi2", "ks"):
         assert r[m] == 0.0, m
 
 
@@ -94,7 +97,7 @@ def test_categorical_bins_and_groups(spark):
                          round_dp=9).toPandas().set_index("g")
     assert set(out.index) == {"g1", "g2"}
     # g2 unchanged -> zero drift; g1 shifted -> matches reference
-    for m in ("psi", "js_div", "linf", "tvd", "chi2"):
+    for m in ("psi", "js_div", "linf", "tvd", "chi2", "ks"):
         assert out.loc["g2", m] == 0.0
     exp = _np_metrics([40, 60], [60, 40])
     assert out.loc["g1", "psi"] == pytest.approx(exp["psi"], abs=1e-8)
@@ -127,3 +130,5 @@ def test_disjoint_supports_max_out_tvd(spark):
     # smoothing keeps it strictly under 1 but it should be close
     assert r["tvd"] > 0.98
     assert r["js_div"] > 0.65  # near ln 2 = 0.693
+    # KS uses raw counts: disjoint supports give exactly 1
+    assert r["ks"] == 1.0
