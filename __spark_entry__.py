@@ -1211,6 +1211,32 @@ def _q_snapshot_drift_bins_events(spark, sf_dir):
                                bin_width=25.0)
 
 
+def _q_constraint_check_docs(spark, sf_dir):
+    """Declarative deequ-style constraint set compiled to ONE conditional
+    aggregate over ONE scan (operators/checks.py): row-predicate rules
+    (completeness / containment / pattern / custom SQL) as conditional
+    sums, aggregate rules (min/max/mean/size/exact distinctness) in the
+    same pass, verdict rows inlined from the single aggregated row. The
+    oracle replays every rule's arithmetic verbatim."""
+    from random_cut_forest_by_aws_spark.operators.checks import Check
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        Check("docs_rules")
+        .is_complete("text")
+        .has_completeness("lang", 0.95)
+        .is_contained_in("lang", ["en", "de", "fr"], 0.9)
+        .has_pattern("text", "^[A-Za-z]", 0.5)
+        .satisfies("n_chars >= 10", "min_chars", 0.99)
+        .has_min("n_chars", at_least=0.0)
+        .has_max("n_chars", at_most=100000.0)
+        .has_mean("n_chars", at_least=1.0, at_most=10000.0)
+        .has_size(at_least=1.0)
+        .is_unique("doc_id")
+        .run(d)
+    )
+
+
 def _q_suite_verdicts(spark, sf_dir):
     from random_cut_forest_by_aws_spark.operators.drift import DriftConfig
     from random_cut_forest_by_aws_spark.plans import SuiteConfig, ValidationSuite
@@ -1291,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_lineage_events": _q_drift_lineage_events,
         "snapshot_drift_events": _q_snapshot_drift_events,
         "snapshot_drift_bins_events": _q_snapshot_drift_bins_events,
+        "constraint_check_docs": _q_constraint_check_docs,
         "validation_suite_verdicts": _q_suite_verdicts,
     }
 
@@ -2270,5 +2297,85 @@ def oracle_sql() -> dict[str, str]:
                    round(q, 6) AS p_curr,
                    round((p - q) * (ln(p) - ln(q)), 6) AS psi_contrib
             FROM terms
+        """,
+        # declarative constraint check: one aggregate row, one verdict
+        # row per rule — identical conditional-sum arithmetic. All
+        # integer-valued doubles, so every metric is engine-exact.
+        "constraint_check_docs": """
+            WITH a AS (
+                SELECT count(*) AS n,
+                       sum(CASE WHEN COALESCE(text IS NOT NULL, FALSE)
+                                THEN 1 ELSE 0 END) AS s_ct,
+                       sum(CASE WHEN COALESCE(lang IS NOT NULL, FALSE)
+                                THEN 1 ELSE 0 END) AS s_cl,
+                       sum(CASE WHEN COALESCE(lang IN ('en','de','fr'), FALSE)
+                                THEN 1 ELSE 0 END) AS s_in,
+                       sum(CASE WHEN COALESCE(regexp_matches(text, '^[A-Za-z]'),
+                                              FALSE)
+                                THEN 1 ELSE 0 END) AS s_pat,
+                       sum(CASE WHEN COALESCE(n_chars >= 10, FALSE)
+                                THEN 1 ELSE 0 END) AS s_mc,
+                       min(CAST(n_chars AS DOUBLE)) AS v_min,
+                       max(CAST(n_chars AS DOUBLE)) AS v_max,
+                       sum(CAST(n_chars AS DOUBLE)) AS v_sum,
+                       count(n_chars) AS c_mean,
+                       count(DISTINCT doc_id) AS s_dst
+                FROM documents
+            ), v AS (
+                SELECT * FROM (
+                  SELECT 'complete(text)' AS con, 'text' AS col, '>=' AS op,
+                         CAST(1.0 AS DOUBLE) AS th,
+                         CAST(s_ct AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+                         CAST(n - s_ct AS BIGINT) AS nv, n FROM a
+                  UNION ALL
+                  SELECT 'completeness(lang)', 'lang', '>=', 0.95,
+                         CAST(s_cl AS DOUBLE) / CAST(n AS DOUBLE),
+                         CAST(n - s_cl AS BIGINT), n FROM a
+                  UNION ALL
+                  SELECT 'contained(lang)', 'lang', '>=', 0.9,
+                         CAST(s_in AS DOUBLE) / CAST(n AS DOUBLE),
+                         CAST(n - s_in AS BIGINT), n FROM a
+                  UNION ALL
+                  SELECT 'pattern(text)', 'text', '>=', 0.5,
+                         CAST(s_pat AS DOUBLE) / CAST(n AS DOUBLE),
+                         CAST(n - s_pat AS BIGINT), n FROM a
+                  UNION ALL
+                  SELECT 'min_chars', '', '>=', 0.99,
+                         CAST(s_mc AS DOUBLE) / CAST(n AS DOUBLE),
+                         CAST(n - s_mc AS BIGINT), n FROM a
+                  UNION ALL
+                  SELECT 'min(n_chars)>=', 'n_chars', '>=', 0.0,
+                         v_min, CAST(-1 AS BIGINT), n FROM a
+                  UNION ALL
+                  SELECT 'max(n_chars)<=', 'n_chars', '<=', 100000.0,
+                         v_max, CAST(-1 AS BIGINT), n FROM a
+                  UNION ALL
+                  SELECT 'mean(n_chars)>=', 'n_chars', '>=', 1.0,
+                         v_sum / CAST(c_mean AS DOUBLE),
+                         CAST(-1 AS BIGINT), n FROM a
+                  UNION ALL
+                  SELECT 'mean(n_chars)<=', 'n_chars', '<=', 10000.0,
+                         v_sum / CAST(c_mean AS DOUBLE),
+                         CAST(-1 AS BIGINT), n FROM a
+                  UNION ALL
+                  SELECT 'size(*)>=', '*', '>=', 1.0,
+                         CAST(n AS DOUBLE), CAST(-1 AS BIGINT), n FROM a
+                  UNION ALL
+                  SELECT 'distinctness(doc_id)>=', 'doc_id', '>=', 1.0,
+                         CAST(s_dst AS DOUBLE) / CAST(n AS DOUBLE),
+                         CAST(-1 AS BIGINT), n FROM a
+                )
+            )
+            SELECT 'docs_rules' AS "check",
+                   con AS "constraint",
+                   col AS "column",
+                   round(m, 6) AS metric,
+                   op,
+                   CAST(th AS DOUBLE) AS threshold,
+                   COALESCE(CASE WHEN op = '>=' THEN m >= th
+                                 ELSE m <= th END, FALSE) AS passed,
+                   CAST(n AS BIGINT) AS n_rows,
+                   nv AS n_violations
+            FROM v
         """,
     }

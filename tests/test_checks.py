@@ -1,0 +1,140 @@
+"""Declarative constraint checks (operators/checks.py): every rule
+family's pass/fail semantics, NULL quarantine, empty-input behavior,
+violation accounting, and the single-scan compilation claim."""
+
+from __future__ import annotations
+
+import pytest
+
+from random_cut_forest_by_aws_spark.operators.checks import Check
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "hello world", "en", 11),
+        (2, "bonjour", "fr", 7),
+        (3, None, "en", 0),
+        (4, "hallo", "xx", 5),
+        (5, "hey", None, 3),
+        (5, "dup id", "en", 6),  # duplicate doc_id
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, n_chars bigint"
+    )
+
+
+def _run(check, df):
+    out = check.run(df).toPandas().set_index("constraint")
+    assert (out["check"] == check.name).all()
+    return out
+
+
+def test_completeness_and_violation_counts(spark, docs):
+    out = _run(Check("c").is_complete("text").has_completeness("text", 0.8), docs)
+    r = out.loc["complete(text)"]
+    assert not r["passed"] and r["n_rows"] == 6 and r["n_violations"] == 1
+    assert r["metric"] == pytest.approx(5 / 6, abs=1e-6)
+    # 5/6 ≈ 0.833 >= 0.8 passes
+    assert out.loc["completeness(text)"]["passed"]
+
+
+def test_contained_in_nulls_fail(spark, docs):
+    out = _run(Check("c").is_contained_in("lang", ["en", "fr"], 0.5), docs)
+    r = out.loc["contained(lang)"]
+    # 4 of 6 in {en, fr}; NULL lang fails the predicate (quarantine)
+    assert r["metric"] == pytest.approx(4 / 6, abs=1e-6)
+    assert r["passed"] and r["n_violations"] == 2
+
+
+def test_pattern_and_satisfies(spark, docs):
+    out = _run(
+        Check("c")
+        .has_pattern("text", "^h", min_fraction=0.5)
+        .satisfies("n_chars >= 5", "min_chars", min_fraction=0.99),
+        docs,
+    )
+    # 'hello world', 'hallo', 'hey' start with h; NULL text fails
+    assert out.loc["pattern(text)"]["metric"] == pytest.approx(3 / 6, abs=1e-6)
+    assert out.loc["pattern(text)"]["passed"]
+    r = out.loc["min_chars"]
+    assert r["n_violations"] == 2 and not r["passed"]  # 0 and 3 below 5
+
+
+def test_aggregate_bounds(spark, docs):
+    out = _run(
+        Check("c")
+        .has_min("n_chars", at_least=0)
+        .has_max("n_chars", at_most=10)      # max is 11 -> fail
+        .has_mean("n_chars", at_least=4.0, at_most=6.0)  # mean 32/6≈5.33
+        .has_sum("n_chars", at_least=32, at_most=32)
+        .has_size(at_least=6, at_most=6),
+        docs,
+    )
+    assert out.loc["min(n_chars)>="]["passed"]
+    assert not out.loc["max(n_chars)<="]["passed"]
+    assert out.loc["max(n_chars)<="]["metric"] == 11.0
+    assert out.loc["mean(n_chars)>="]["passed"]
+    assert out.loc["mean(n_chars)<="]["passed"]
+    assert out.loc["mean(n_chars)>="]["metric"] == pytest.approx(32 / 6, abs=1e-6)
+    assert out.loc["sum(n_chars)>="]["passed"] and out.loc["sum(n_chars)<="]["passed"]
+    assert out.loc["size(*)>="]["passed"] and out.loc["size(*)<="]["passed"]
+    # aggregate rules have no per-row violation notion
+    assert (out.loc[["min(n_chars)>=", "size(*)>="]]["n_violations"] == -1).all()
+
+
+def test_uniqueness_via_distinctness(spark, docs):
+    out = _run(Check("c").is_unique("doc_id").has_distinctness("lang", 0.4), docs)
+    r = out.loc["distinctness(doc_id)>="]
+    assert not r["passed"]  # 5 distinct over 6 rows
+    assert r["metric"] == pytest.approx(5 / 6, abs=1e-6)
+    # lang: 3 distinct non-null values over 6 rows = 0.5 >= 0.4
+    assert out.loc["distinctness(lang)>="]["passed"]
+
+
+def test_mean_ignores_nulls(spark):
+    df = spark.createDataFrame([(1.0,), (3.0,), (None,)], "v double")
+    out = _run(Check("c").has_mean("v", at_least=2.0, at_most=2.0), df)
+    assert out.loc["mean(v)>="]["metric"] == 2.0  # (1+3)/2 non-null count
+    assert out.loc["mean(v)>="]["passed"] and out.loc["mean(v)<="]["passed"]
+
+
+def test_empty_input_fails_closed(spark):
+    df = spark.createDataFrame([], "v double")
+    out = _run(
+        Check("c").is_complete("v").has_min("v", at_least=0).has_size(at_least=1),
+        df,
+    )
+    # undefined metrics -> passed false (fail closed), n_rows 0
+    assert (~out["passed"]).all()
+    assert (out["n_rows"] == 0).all()
+    assert out.loc["complete(v)"]["n_violations"] == 0
+
+
+def test_builder_validation(spark, docs):
+    with pytest.raises(ValueError, match="no constraints"):
+        Check("c").run(docs)
+    with pytest.raises(ValueError, match="duplicate"):
+        Check("c").is_complete("text").is_complete("text").run(docs)
+    with pytest.raises(ValueError, match="at_least"):
+        Check("c").has_min("n_chars")
+
+
+def test_single_scan_plan(spark):
+    """The whole rule set — including count(distinct) — reads the
+    parquet scan exactly once."""
+    df = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = (
+        Check("docs")
+        .is_complete("text")
+        .is_contained_in("lang", ["en", "de", "fr"], 0.5)
+        .satisfies("n_chars >= 10", "min_chars", 0.9)
+        .has_min("n_chars", at_least=0)
+        .has_mean("n_chars", at_most=1e6)
+        .is_unique("doc_id")
+        .run(df)
+    )
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("FileScan parquet") == 1, plan
