@@ -1211,6 +1211,22 @@ def _q_snapshot_drift_bins_events(spark, sf_dir):
                                bin_width=25.0)
 
 
+def _q_embedding_drift_labels(spark, sf_dir):
+    """Centroid drift of the embedding column per label between two
+    deterministic halves of the embeddings table (even/odd vec_id):
+    cosine similarity + L2/L-inf distance between per-group mean
+    vectors. posexplode → map-side-combined (group, dim) aggregate, so
+    the exchange is bounded by |groups|×dims at any corpus size. The
+    oracle replays the mean/dot/norm arithmetic over DuckDB's zipped
+    unnest + generate_subscripts."""
+    from random_cut_forest_by_aws_spark.operators.distdrift import embedding_drift
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 2 == 0)
+    curr = e.filter(F.col("vec_id") % 2 == 1)
+    return embedding_drift(base, curr, "embedding", group_by=["label"])
+
+
 def _q_constraint_check_docs(spark, sf_dir):
     """Declarative deequ-style constraint set compiled to ONE conditional
     aggregate over ONE scan (operators/checks.py): row-predicate rules
@@ -1318,6 +1334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_drift_events": _q_snapshot_drift_events,
         "snapshot_drift_bins_events": _q_snapshot_drift_bins_events,
         "constraint_check_docs": _q_constraint_check_docs,
+        "embedding_drift_labels": _q_embedding_drift_labels,
         "validation_suite_verdicts": _q_suite_verdicts,
     }
 
@@ -2377,5 +2394,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n AS BIGINT) AS n_rows,
                    nv AS n_violations
             FROM v
+        """,
+        # embedding centroid drift: zipped unnest + generate_subscripts
+        # replicate posexplode; mean = sum(double)/count, then dot/norm
+        # arithmetic over the |groups|x|dims| centroid join.
+        "embedding_drift_labels": """
+            WITH ex_a AS (
+                SELECT label,
+                       generate_subscripts(embedding, 1) - 1 AS dim,
+                       unnest(embedding) AS val
+                FROM embeddings WHERE vec_id % 2 = 0
+            ), ex_b AS (
+                SELECT label,
+                       generate_subscripts(embedding, 1) - 1 AS dim,
+                       unnest(embedding) AS val
+                FROM embeddings WHERE vec_id % 2 = 1
+            ), ca AS (
+                SELECT label, dim,
+                       sum(CAST(val AS DOUBLE)) / CAST(count(*) AS DOUBLE) AS m_a,
+                       count(*) AS c_a
+                FROM ex_a GROUP BY label, dim
+            ), cb AS (
+                SELECT label, dim,
+                       sum(CAST(val AS DOUBLE)) / CAST(count(*) AS DOUBLE) AS m_b,
+                       count(*) AS c_b
+                FROM ex_b GROUP BY label, dim
+            ), j AS (
+                SELECT ca.label, ca.dim, m_a, m_b, c_a, c_b
+                FROM ca JOIN cb ON ca.label IS NOT DISTINCT FROM cb.label
+                              AND ca.dim = cb.dim
+            ), agg AS (
+                SELECT label,
+                       CAST(count(*) AS BIGINT) AS dims,
+                       CAST(max(c_a) AS BIGINT) AS n_base,
+                       CAST(max(c_b) AS BIGINT) AS n_curr,
+                       sum(m_a * m_b) AS dot,
+                       sum(m_a * m_a) AS na2,
+                       sum(m_b * m_b) AS nb2,
+                       sum((m_a - m_b) * (m_a - m_b)) AS d2,
+                       max(abs(m_a - m_b)) AS linf
+                FROM j GROUP BY label
+            )
+            SELECT label, dims, n_base, n_curr,
+                   round(CASE WHEN na2 > 0 AND nb2 > 0
+                              THEN dot / (sqrt(na2) * sqrt(nb2)) END, 6)
+                       AS centroid_cosine,
+                   round(sqrt(d2), 6) AS centroid_l2,
+                   round(linf, 6) AS centroid_linf,
+                   round(sqrt(na2), 6) AS norm_base,
+                   round(sqrt(nb2), 6) AS norm_curr
+            FROM agg
         """,
     }

@@ -203,6 +203,91 @@ def snapshot_drift(
     return out
 
 
+def embedding_drift(
+    base: DataFrame,
+    current: DataFrame,
+    emb_col: str,
+    group_by: Sequence[str] = (),
+    round_dp: int = 6,
+) -> DataFrame:
+    """Centroid drift of an embedding column between two snapshots.
+
+    Per group: ``(group..., dims, n_base, n_curr, centroid_cosine,
+    centroid_l2, centroid_linf, norm_base, norm_curr)`` — cosine
+    similarity between the two per-group mean vectors, the L2 / L-inf
+    distance between them, and each centroid's norm. A corpus whose
+    embedding distribution moved (new topic mix, encoder change) shows
+    up as cosine < 1 long before per-document metrics do — the
+    embedding-space analogue of ``snapshot_drift``.
+
+    Scale shape: ``posexplode`` multiplies rows ×dims BEFORE a
+    partial→final HashAggregate on (group, dim) — map-side combine
+    collapses each task to at most |groups|×dims partial rows, so the
+    exchange is aggregate-bounded, never row-scale. The centroid join
+    and metric arithmetic run over |groups|×dims rows. Rows with NULL
+    embeddings are dropped by posexplode (count them upstream with a
+    completeness check if null-rate matters). float32 values are cast
+    to double BEFORE summing (exact widening), so the oracle replays
+    the arithmetic with the same precision.
+    """
+    group_by = list(group_by)
+
+    def centroids(df: DataFrame, side: str) -> DataFrame:
+        ex = df.select(*group_by, F.posexplode(F.col(emb_col)).alias("dim", "val"))
+        return (
+            ex.groupBy(*group_by, "dim")
+            .agg(
+                F.sum(F.col("val").cast("double")).alias(f"s_{side}"),
+                F.count(F.lit(1)).alias(f"c_{side}"),
+            )
+            .select(
+                *group_by,
+                "dim",
+                (F.col(f"s_{side}") / F.col(f"c_{side}").cast("double")).alias(
+                    f"m_{side}"
+                ),
+                F.col(f"c_{side}"),
+            )
+        )
+
+    ca = centroids(base, "a")
+    cb = centroids(current, "b")
+    for k in group_by + ["dim"]:
+        cb = cb.withColumnRenamed(k, f"__b_{k}")
+    cond = None
+    for k in group_by + ["dim"]:
+        c = F.col(k).eqNullSafe(F.col(f"__b_{k}"))
+        cond = c if cond is None else (cond & c)
+    j = ca.join(cb, cond, "inner")
+
+    ma, mb = F.col("m_a"), F.col("m_b")
+    agg = j.groupBy(*group_by).agg(
+        F.count(F.lit(1)).cast("bigint").alias("dims"),
+        F.first("c_a").cast("bigint").alias("n_base"),
+        F.first("c_b").cast("bigint").alias("n_curr"),
+        F.sum(ma * mb).alias("__dot"),
+        F.sum(ma * ma).alias("__na2"),
+        F.sum(mb * mb).alias("__nb2"),
+        F.sum((ma - mb) * (ma - mb)).alias("__d2"),
+        F.max(F.abs(ma - mb)).alias("__linf"),
+    )
+    cos = F.when(
+        (F.col("__na2") > 0) & (F.col("__nb2") > 0),
+        F.col("__dot") / (F.sqrt(F.col("__na2")) * F.sqrt(F.col("__nb2"))),
+    )
+    return agg.select(
+        *group_by,
+        "dims",
+        "n_base",
+        "n_curr",
+        F.round(cos, round_dp).alias("centroid_cosine"),
+        F.round(F.sqrt(F.col("__d2")), round_dp).alias("centroid_l2"),
+        F.round(F.col("__linf"), round_dp).alias("centroid_linf"),
+        F.round(F.sqrt(F.col("__na2")), round_dp).alias("norm_base"),
+        F.round(F.sqrt(F.col("__nb2")), round_dp).alias("norm_curr"),
+    )
+
+
 def snapshot_drift_bins(
     base: DataFrame,
     current: DataFrame,

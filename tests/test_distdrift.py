@@ -132,3 +132,50 @@ def test_disjoint_supports_max_out_tvd(spark):
     assert r["js_div"] > 0.65  # near ln 2 = 0.693
     # KS uses raw counts: disjoint supports give exactly 1
     assert r["ks"] == 1.0
+
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(rows, "g string, embedding array<double>")
+
+
+def test_embedding_drift_identical_snapshots(spark):
+    from random_cut_forest_by_aws_spark.operators.distdrift import embedding_drift
+
+    rows = [("a", [1.0, 2.0, 3.0]), ("a", [2.0, 1.0, 0.0]), ("a", [0.5, 0.5, 0.5])]
+    out = embedding_drift(_emb_df(spark, rows), _emb_df(spark, rows),
+                          "embedding", group_by=["g"]).toPandas().iloc[0]
+    assert out["dims"] == 3 and out["n_base"] == 3 and out["n_curr"] == 3
+    assert out["centroid_cosine"] == 1.0
+    assert out["centroid_l2"] == 0.0 and out["centroid_linf"] == 0.0
+    assert out["norm_base"] == out["norm_curr"]
+
+
+def test_embedding_drift_matches_numpy(spark):
+    from random_cut_forest_by_aws_spark.operators.distdrift import embedding_drift
+
+    rng = np.random.default_rng(7)
+    base = [("a", rng.normal(size=8).tolist()) for _ in range(20)]
+    curr = [("a", (rng.normal(size=8) + np.array([1, 0, 0, 0, 0, 0, 0, 0])).tolist())
+            for _ in range(30)]
+    out = embedding_drift(_emb_df(spark, base), _emb_df(spark, curr),
+                          "embedding", group_by=["g"], round_dp=9).toPandas().iloc[0]
+    ma = np.mean([r[1] for r in base], axis=0)
+    mb = np.mean([r[1] for r in curr], axis=0)
+    cos = float(ma @ mb / (np.linalg.norm(ma) * np.linalg.norm(mb)))
+    assert out["centroid_cosine"] == pytest.approx(cos, abs=1e-8)
+    assert out["centroid_l2"] == pytest.approx(float(np.linalg.norm(ma - mb)), abs=1e-8)
+    assert out["centroid_linf"] == pytest.approx(float(np.max(np.abs(ma - mb))), abs=1e-8)
+    assert out["norm_base"] == pytest.approx(float(np.linalg.norm(ma)), abs=1e-8)
+    assert out["centroid_cosine"] < 0.95  # the planted shift is visible
+
+
+def test_embedding_drift_per_group_isolation(spark):
+    from random_cut_forest_by_aws_spark.operators.distdrift import embedding_drift
+
+    base = [("a", [1.0, 0.0]), ("b", [0.0, 1.0])]
+    curr = [("a", [1.0, 0.0]), ("b", [1.0, 0.0])]  # only b moved
+    out = embedding_drift(_emb_df(spark, base), _emb_df(spark, curr),
+                          "embedding", group_by=["g"]).toPandas().set_index("g")
+    assert out.loc["a", "centroid_cosine"] == 1.0
+    assert out.loc["b", "centroid_cosine"] == 0.0  # orthogonal centroids
+    assert out.loc["b", "centroid_l2"] == pytest.approx(np.sqrt(2.0), abs=1e-6)
