@@ -2254,8 +2254,18 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY event_type
                            ORDER BY bin ASC NULLS FIRST
                            ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND CURRENT ROW)) AS ks_t
+                                    AND CURRENT ROW)) AS ks_t,
+                       lead(bin) OVER (
+                           PARTITION BY event_type
+                           ORDER BY bin ASC NULLS FIRST) AS nxt
                 FROM terms
+            ), terms3 AS (
+                SELECT *,
+                       ks_t * (CASE WHEN nxt IS NULL THEN 0.0
+                                    WHEN bin IS NULL THEN 1.0
+                                    ELSE CAST(nxt - bin AS DOUBLE) END)
+                            * 25.0 AS w1_t
+                FROM terms2
             )
             SELECT event_type,
                    CAST(MAX(n_bins) AS BIGINT) AS n_bins,
@@ -2273,8 +2283,9 @@ def oracle_sql() -> dict[str, str]:
                            + (b - (a + b) * tb / (ta + tb))
                              * (b - (a + b) * tb / (ta + tb))
                              / ((a + b) * tb / (ta + tb))), 6) AS chi2,
-                   round(MAX(ks_t), 6) AS ks
-            FROM terms2 GROUP BY event_type
+                   round(MAX(ks_t), 6) AS ks,
+                   round(SUM(w1_t), 6) AS w1
+            FROM terms3 GROUP BY event_type
         """,
         "snapshot_drift_bins_events": """
             WITH ha AS (

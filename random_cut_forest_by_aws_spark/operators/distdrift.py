@@ -134,7 +134,7 @@ def snapshot_drift(
 
     Returns one row per group with columns
     ``(group..., n_bins, n_base, n_curr, psi, js_div, linf, tvd, chi2,
-    ks)`` — every metric rounded to ``round_dp`` so results replay
+    ks, w1)`` — every metric rounded to ``round_dp`` so results replay
     exactly across engines.
 
     ``ks`` is the two-sample Kolmogorov–Smirnov statistic over the
@@ -144,6 +144,13 @@ def snapshot_drift(
     counts — the textbook statistic — and for ``bin_width=None``
     (categorical) the CDF order is the deterministic binary string
     order, which makes it order-sensitive but still engine-exact.
+
+    ``w1`` is the Wasserstein-1 / earth-mover distance over the binned
+    ECDFs — ``sum |F_base − F_curr|`` per bin step, scaled by
+    ``bin_width`` so it reads in the column's units (Evidently's
+    numeric-drift statistic). Emitted only for numeric binning
+    (``bin_width`` set); for categorical bins transport distance is
+    undefined and the column is NULL.
     """
     group_by = list(group_by)
     hist = _joined_hist(base, current, value_col, group_by, bin_width)
@@ -177,6 +184,24 @@ def snapshot_drift(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     ks_term = F.abs(F.sum(a / A - b / B).over(wks))
+    # W1 over binned ECDFs: between observed bin i and the NEXT observed
+    # bin the ECDF gap is constant, so each |cum gap| is weighted by the
+    # integer bin distance to its successor (exact under interior holes;
+    # the last bin's cum gap is the total-mass difference ≈ 0 and gets
+    # step 0). A NULL bin sorts first and is assigned step 1 — transport
+    # to/from "missing" has no metric meaning, one bin width is the
+    # documented convention.
+    if bin_width is not None:
+        word = Window.partitionBy(*group_by).orderBy(F.col("bin").asc_nulls_first())
+        nxt = F.lead("bin").over(word)
+        step = (
+            F.when(nxt.isNull(), F.lit(0.0))
+            .when(F.col("bin").isNull(), F.lit(1.0))
+            .otherwise((nxt - F.col("bin")).cast("double"))
+        )
+        w1_term = ks_term * step * F.lit(float(bin_width))
+    else:
+        w1_term = F.lit(None).cast("double")
 
     per_bin = hist.select(
         *group_by,
@@ -185,6 +210,7 @@ def snapshot_drift(
         F.abs(p - q).alias("ad"),
         chi2_term.alias("chi2_t"),
         ks_term.alias("ks_t"),
+        w1_term.alias("w1_t"),
         F.col("n_bins"),
         F.col("n_base"),
         F.col("n_curr"),
@@ -199,6 +225,7 @@ def snapshot_drift(
         F.round(F.sum("ad") / F.lit(2.0), round_dp).alias("tvd"),
         F.round(F.sum("chi2_t"), round_dp).alias("chi2"),
         F.round(F.max("ks_t"), round_dp).alias("ks"),
+        F.round(F.sum("w1_t"), round_dp).alias("w1"),
     )
     return out
 

@@ -41,8 +41,12 @@ def _np_metrics(cnt_a, cnt_b, s=0.5):
     chi2 = float(np.sum((a - ea) ** 2 / ea + (b - eb) ** 2 / eb))
     # KS over the RAW binned ECDFs, bins in ascending order (the order
     # the counts are passed in)
-    ks = float(np.max(np.abs(np.cumsum(a / A - b / B))))
-    return dict(psi=psi, js_div=js, linf=linf, tvd=tvd, chi2=chi2, ks=ks)
+    cum = np.cumsum(a / A - b / B)
+    ks = float(np.max(np.abs(cum)))
+    # W1 for CONTIGUOUS unit-spaced bins: each cum gap spans one bin
+    # (the last bin's cum is the ~0 total-mass difference, step 0)
+    w1 = float(np.sum(np.abs(cum[:-1])))
+    return dict(psi=psi, js_div=js, linf=linf, tvd=tvd, chi2=chi2, ks=ks, w1=w1)
 
 
 def test_identical_snapshots_zero_drift(spark):
@@ -53,7 +57,7 @@ def test_identical_snapshots_zero_drift(spark):
     assert len(out) == 1
     r = out.iloc[0]
     assert r["n_base"] == 200 and r["n_curr"] == 200 and r["n_bins"] == 7
-    for m in ("psi", "js_div", "linf", "tvd", "chi2", "ks"):
+    for m in ("psi", "js_div", "linf", "tvd", "chi2", "ks", "w1"):
         assert r[m] == 0.0, m
 
 
@@ -101,6 +105,8 @@ def test_categorical_bins_and_groups(spark):
         assert out.loc["g2", m] == 0.0
     exp = _np_metrics([40, 60], [60, 40])
     assert out.loc["g1", "psi"] == pytest.approx(exp["psi"], abs=1e-8)
+    # transport distance is undefined for categorical bins
+    assert out["w1"].isna().all()
 
 
 def test_bins_detail_consistent_with_rollup(spark):
@@ -132,6 +138,9 @@ def test_disjoint_supports_max_out_tvd(spark):
     assert r["js_div"] > 0.65  # near ln 2 = 0.693
     # KS uses raw counts: disjoint supports give exactly 1
     assert r["ks"] == 1.0
+    # W1: all mass moves 10 units (bins 0 and 10, interior hole — the
+    # lead-step weighting makes the holey support exact)
+    assert r["w1"] == 10.0
 
 
 def _emb_df(spark, rows):
