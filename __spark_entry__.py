@@ -1211,6 +1211,21 @@ def _q_snapshot_drift_bins_events(spark, sf_dir):
                                bin_width=25.0)
 
 
+def _q_snapshot_drift_multi_events(spark, sf_dir):
+    """Whole-table drift profile: numeric (binned) + categorical columns
+    in ONE stacked histogram aggregate per snapshot — one FileScan per
+    snapshot however many columns are profiled (plan-shape pinned in
+    tests/test_distdrift.py). The oracle computes each column's metric
+    set independently (identical per-column arithmetic) and unions."""
+    from random_cut_forest_by_aws_spark.operators.distdrift import (
+        snapshot_drift_multi,
+    )
+
+    base, curr = _split_event_snapshots(spark, sf_dir)
+    return snapshot_drift_multi(base, curr,
+                                {"value": 25.0, "event_type": None})
+
+
 def _q_embedding_drift_labels(spark, sf_dir):
     """Centroid drift of the embedding column per label between two
     deterministic halves of the embeddings table (even/odd vec_id):
@@ -1335,6 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_drift_bins_events": _q_snapshot_drift_bins_events,
         "constraint_check_docs": _q_constraint_check_docs,
         "embedding_drift_labels": _q_embedding_drift_labels,
+        "snapshot_drift_multi_events": _q_snapshot_drift_multi_events,
         "validation_suite_verdicts": _q_suite_verdicts,
     }
 
@@ -2405,6 +2421,134 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n AS BIGINT) AS n_rows,
                    nv AS n_violations
             FROM v
+        """,
+        # multi-column drift profile: per-column metric arithmetic is
+        # identical to the single-column oracle (whole-table, no group),
+        # unioned — numeric 'value' (bw 25.0) + categorical 'event_type'
+        # (w1 undefined).
+        "snapshot_drift_multi_events": """
+            WITH ha_v AS (
+                SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bin,
+                       count(*) AS cnt_a
+                FROM events WHERE event_id % 2 = 0 GROUP BY bin
+            ), hb_v AS (
+                SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bin,
+                       count(*) AS cnt_b
+                FROM events WHERE event_id % 2 = 1 GROUP BY bin
+            ), j_v AS (
+                SELECT COALESCE(ha_v.bin, hb_v.bin) AS bin,
+                       COALESCE(cnt_a, 0) AS cnt_a,
+                       COALESCE(cnt_b, 0) AS cnt_b
+                FROM ha_v FULL OUTER JOIN hb_v
+                  ON ha_v.bin IS NOT DISTINCT FROM hb_v.bin
+            ), t_v AS (
+                SELECT CAST(sum(cnt_a) AS BIGINT) AS n_base,
+                       CAST(sum(cnt_b) AS BIGINT) AS n_curr,
+                       count(*) AS n_bins
+                FROM j_v
+            ), h_v AS (
+                SELECT j.bin, CAST(j.cnt_a AS DOUBLE) AS a,
+                       CAST(j.cnt_b AS DOUBLE) AS b,
+                       CAST(t.n_base AS DOUBLE) AS ta,
+                       CAST(t.n_curr AS DOUBLE) AS tb,
+                       CAST(t.n_bins AS DOUBLE) AS nb,
+                       t.n_base, t.n_curr, t.n_bins
+                FROM j_v j CROSS JOIN t_v t
+            ), tm_v AS (
+                SELECT *, (a + 0.5) / (ta + 0.5 * nb) AS p,
+                       (b + 0.5) / (tb + 0.5 * nb) AS q
+                FROM h_v
+            ), tm2_v AS (
+                SELECT *,
+                       abs(SUM(a / ta - b / tb) OVER (
+                           ORDER BY bin ASC NULLS FIRST
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW)) AS ks_t,
+                       lead(bin) OVER (ORDER BY bin ASC NULLS FIRST) AS nxt
+                FROM tm_v
+            ), tm3_v AS (
+                SELECT *,
+                       ks_t * (CASE WHEN nxt IS NULL THEN 0.0
+                                    WHEN bin IS NULL THEN 1.0
+                                    ELSE CAST(nxt - bin AS DOUBLE) END)
+                            * 25.0 AS w1_t
+                FROM tm2_v
+            ), out_v AS (
+                SELECT 'value' AS "column",
+                       CAST(MAX(n_bins) AS BIGINT) AS n_bins,
+                       MAX(n_base) AS n_base, MAX(n_curr) AS n_curr,
+                       round(SUM((p - q) * (ln(p) - ln(q))), 6) AS psi,
+                       round(SUM(0.5 * (p * (ln(p) - ln((p + q) / 2.0))
+                                      + q * (ln(q) - ln((p + q) / 2.0)))), 6)
+                           AS js_div,
+                       round(MAX(abs(p - q)), 6) AS linf,
+                       round(SUM(abs(p - q)) / 2.0, 6) AS tvd,
+                       round(SUM((a - (a + b) * ta / (ta + tb))
+                                 * (a - (a + b) * ta / (ta + tb))
+                                 / ((a + b) * ta / (ta + tb))
+                               + (b - (a + b) * tb / (ta + tb))
+                                 * (b - (a + b) * tb / (ta + tb))
+                                 / ((a + b) * tb / (ta + tb))), 6) AS chi2,
+                       round(MAX(ks_t), 6) AS ks,
+                       round(SUM(w1_t), 6) AS w1
+                FROM tm3_v
+            ), ha_c AS (
+                SELECT CAST(event_type AS VARCHAR) AS bin, count(*) AS cnt_a
+                FROM events WHERE event_id % 2 = 0 GROUP BY bin
+            ), hb_c AS (
+                SELECT CAST(event_type AS VARCHAR) AS bin, count(*) AS cnt_b
+                FROM events WHERE event_id % 2 = 1 GROUP BY bin
+            ), j_c AS (
+                SELECT COALESCE(ha_c.bin, hb_c.bin) AS bin,
+                       COALESCE(cnt_a, 0) AS cnt_a,
+                       COALESCE(cnt_b, 0) AS cnt_b
+                FROM ha_c FULL OUTER JOIN hb_c
+                  ON ha_c.bin IS NOT DISTINCT FROM hb_c.bin
+            ), t_c AS (
+                SELECT CAST(sum(cnt_a) AS BIGINT) AS n_base,
+                       CAST(sum(cnt_b) AS BIGINT) AS n_curr,
+                       count(*) AS n_bins
+                FROM j_c
+            ), h_c AS (
+                SELECT j.bin, CAST(j.cnt_a AS DOUBLE) AS a,
+                       CAST(j.cnt_b AS DOUBLE) AS b,
+                       CAST(t.n_base AS DOUBLE) AS ta,
+                       CAST(t.n_curr AS DOUBLE) AS tb,
+                       CAST(t.n_bins AS DOUBLE) AS nb,
+                       t.n_base, t.n_curr, t.n_bins
+                FROM j_c j CROSS JOIN t_c t
+            ), tm_c AS (
+                SELECT *, (a + 0.5) / (ta + 0.5 * nb) AS p,
+                       (b + 0.5) / (tb + 0.5 * nb) AS q
+                FROM h_c
+            ), tm2_c AS (
+                SELECT *,
+                       abs(SUM(a / ta - b / tb) OVER (
+                           ORDER BY bin ASC NULLS FIRST
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW)) AS ks_t
+                FROM tm_c
+            ), out_c AS (
+                SELECT 'event_type' AS "column",
+                       CAST(MAX(n_bins) AS BIGINT) AS n_bins,
+                       MAX(n_base) AS n_base, MAX(n_curr) AS n_curr,
+                       round(SUM((p - q) * (ln(p) - ln(q))), 6) AS psi,
+                       round(SUM(0.5 * (p * (ln(p) - ln((p + q) / 2.0))
+                                      + q * (ln(q) - ln((p + q) / 2.0)))), 6)
+                           AS js_div,
+                       round(MAX(abs(p - q)), 6) AS linf,
+                       round(SUM(abs(p - q)) / 2.0, 6) AS tvd,
+                       round(SUM((a - (a + b) * ta / (ta + tb))
+                                 * (a - (a + b) * ta / (ta + tb))
+                                 / ((a + b) * ta / (ta + tb))
+                               + (b - (a + b) * tb / (ta + tb))
+                                 * (b - (a + b) * tb / (ta + tb))
+                                 / ((a + b) * tb / (ta + tb))), 6) AS chi2,
+                       round(MAX(ks_t), 6) AS ks,
+                       CAST(NULL AS DOUBLE) AS w1
+                FROM tm2_c
+            )
+            SELECT * FROM out_v UNION ALL SELECT * FROM out_c
         """,
         # embedding centroid drift: zipped unnest + generate_subscripts
         # replicate posexplode; mean = sum(double)/count, then dot/norm

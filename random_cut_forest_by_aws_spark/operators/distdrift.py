@@ -77,16 +77,12 @@ def _histogram(
     )
 
 
-def _joined_hist(
-    base: DataFrame,
-    current: DataFrame,
-    value_col: str,
-    group_by: list[str],
-    bin_width: float | None,
+def _join_counts(
+    ha: DataFrame, hb: DataFrame, join_keys: list[str], gkeys: list[str]
 ) -> DataFrame:
-    """Full-outer-joined per-(group, bin) histograms with per-group
-    totals broadcast back on: columns
-    ``(group..., bin, cnt_a, cnt_b, n_base, n_curr, n_bins)``.
+    """Full-outer-join two count relations on null-safe keys and
+    broadcast per-``gkeys`` totals back on: columns
+    ``(join_keys..., cnt_a, cnt_b, n_base, n_curr, n_bins)``.
 
     NULL is a legitimate bin value, so the join uses null-safe equality
     (a plain equi-join would drop the NULL bins on both sides). The two
@@ -95,9 +91,6 @@ def _joined_hist(
     columns are renamed before the join instead of relying on
     DataFrame-qualified column references.
     """
-    join_keys = group_by + ["bin"]
-    ha = _histogram(base, value_col, group_by, bin_width).withColumnRenamed("cnt", "cnt_a")
-    hb = _histogram(current, value_col, group_by, bin_width).withColumnRenamed("cnt", "cnt_b")
     for k in join_keys:
         hb = hb.withColumnRenamed(k, f"__b_{k}")
     cond = None
@@ -111,14 +104,118 @@ def _joined_hist(
     )
     # Per-group totals + union-bin counts: aggregate of an aggregate —
     # tiny input, tiny output, broadcast back onto the histogram.
-    totals = joined.groupBy(*group_by).agg(
+    totals = joined.groupBy(*gkeys).agg(
         F.sum("cnt_a").alias("n_base"),
         F.sum("cnt_b").alias("n_curr"),
         F.count(F.lit(1)).alias("n_bins"),
     )
-    if group_by:
-        return joined.join(F.broadcast(totals), group_by)
+    if gkeys:
+        return joined.join(F.broadcast(totals), gkeys)
     return joined.crossJoin(F.broadcast(totals))
+
+
+def _joined_hist(
+    base: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    group_by: list[str],
+    bin_width: float | None,
+) -> DataFrame:
+    ha = _histogram(base, value_col, group_by, bin_width).withColumnRenamed("cnt", "cnt_a")
+    hb = _histogram(current, value_col, group_by, bin_width).withColumnRenamed("cnt", "cnt_b")
+    return _join_counts(ha, hb, group_by + ["bin"], group_by)
+
+
+def _drift_metrics(
+    hist: DataFrame,
+    gkeys: list[str],
+    order_cols: list[str],
+    lead_col: str | None,
+    w1_width,
+    smoothing: float,
+    round_dp: int,
+) -> DataFrame:
+    """Shared metric block over a joined histogram: one output row per
+    ``gkeys`` with the full metric set. ``order_cols`` define the ECDF
+    order for KS/W1 (NULL bins first, matching Spark's default asc
+    order); ``lead_col`` is the numeric bin column used for W1 step
+    weights; ``w1_width`` is a double Column (NULL ⇒ W1 undefined)."""
+    s = F.lit(float(smoothing))
+    a = F.col("cnt_a").cast("double")
+    b = F.col("cnt_b").cast("double")
+    A = F.col("n_base").cast("double")
+    B = F.col("n_curr").cast("double")
+    nb = F.col("n_bins").cast("double")
+    p = (a + s) / (A + s * nb)
+    q = (b + s) / (B + s * nb)
+    m = (p + q) / F.lit(2.0)
+
+    psi_term = (p - q) * (F.log(p) - F.log(q))
+    js_term = F.lit(0.5) * (p * (F.log(p) - F.log(m)) + q * (F.log(q) - F.log(m)))
+    # chi2 over raw counts with pooled expecteds; bins empty on one side
+    # contribute (count - E)^2 / E with E > 0 whenever a_i + b_i > 0,
+    # which holds for every bin the full-outer join can produce.
+    ea = (a + b) * A / (A + B)
+    eb = (a + b) * B / (A + B)
+    chi2_term = (a - ea) * (a - ea) / ea + (b - eb) * (b - eb) / eb
+
+    # KS runs over the tiny joined histogram: an ordered running sum of
+    # the per-bin ECDF gap. The window partitions on the group keys only
+    # — aggregate-bounded input, so the per-partition sort is over
+    # |bins| rows, never row-scale.
+    order = [F.col(c).asc_nulls_first() for c in order_cols]
+    wks = (
+        Window.partitionBy(*gkeys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ks_term = F.abs(F.sum(a / A - b / B).over(wks))
+    # W1 over binned ECDFs: between observed bin i and the NEXT observed
+    # bin the ECDF gap is constant, so each |cum gap| is weighted by the
+    # integer bin distance to its successor (exact under interior holes;
+    # the last bin's cum gap is the total-mass difference ≈ 0 and gets
+    # step 0). A NULL bin sorts first and is assigned step 1 — transport
+    # to/from "missing" has no metric meaning, one bin width is the
+    # documented convention. ``lead_col=None`` ⇒ W1 undefined (string
+    # bins: the step arithmetic must not even be planned — string
+    # subtraction throws under ANSI); per-row NULL lead_col values or a
+    # NULL w1_width also propagate to a NULL w1.
+    if lead_col is not None:
+        word = Window.partitionBy(*gkeys).orderBy(*order)
+        nxt = F.lead(lead_col).over(word)
+        step = (
+            F.when(nxt.isNull(), F.lit(0.0))
+            .when(F.col(lead_col).isNull(), F.lit(1.0))
+            .otherwise((nxt - F.col(lead_col)).cast("double"))
+        )
+        w1_term = ks_term * step * w1_width
+    else:
+        w1_term = F.lit(None).cast("double")
+
+    per_bin = hist.select(
+        *gkeys,
+        psi_term.alias("psi_t"),
+        js_term.alias("js_t"),
+        F.abs(p - q).alias("ad"),
+        chi2_term.alias("chi2_t"),
+        ks_term.alias("ks_t"),
+        w1_term.alias("w1_t"),
+        F.col("n_bins"),
+        F.col("n_base"),
+        F.col("n_curr"),
+    )
+    return per_bin.groupBy(*gkeys).agg(
+        F.first("n_bins").alias("n_bins"),
+        F.first("n_base").alias("n_base"),
+        F.first("n_curr").alias("n_curr"),
+        F.round(F.sum("psi_t"), round_dp).alias("psi"),
+        F.round(F.sum("js_t"), round_dp).alias("js_div"),
+        F.round(F.max("ad"), round_dp).alias("linf"),
+        F.round(F.sum("ad") / F.lit(2.0), round_dp).alias("tvd"),
+        F.round(F.sum("chi2_t"), round_dp).alias("chi2"),
+        F.round(F.max("ks_t"), round_dp).alias("ks"),
+        F.round(F.sum("w1_t"), round_dp).alias("w1"),
+    )
 
 
 def snapshot_drift(
@@ -154,80 +251,75 @@ def snapshot_drift(
     """
     group_by = list(group_by)
     hist = _joined_hist(base, current, value_col, group_by, bin_width)
-
-    s = F.lit(float(smoothing))
-    a = F.col("cnt_a").cast("double")
-    b = F.col("cnt_b").cast("double")
-    A = F.col("n_base").cast("double")
-    B = F.col("n_curr").cast("double")
-    nb = F.col("n_bins").cast("double")
-    p = (a + s) / (A + s * nb)
-    q = (b + s) / (B + s * nb)
-    m = (p + q) / F.lit(2.0)
-
-    psi_term = (p - q) * (F.log(p) - F.log(q))
-    js_term = F.lit(0.5) * (p * (F.log(p) - F.log(m)) + q * (F.log(q) - F.log(m)))
-    # chi2 over raw counts with pooled expecteds; bins empty on one side
-    # contribute (count - E)^2 / E with E > 0 whenever a_i + b_i > 0,
-    # which holds for every bin the full-outer join can produce.
-    ea = (a + b) * A / (A + B)
-    eb = (a + b) * B / (A + B)
-    chi2_term = (a - ea) * (a - ea) / ea + (b - eb) * (b - eb) / eb
-
-    # KS runs over the tiny joined histogram: an ordered running sum of
-    # the per-bin ECDF gap. The window partitions on the group keys only
-    # — aggregate-bounded input, so the per-partition sort is over
-    # |bins| rows, never row-scale.
-    wks = (
-        Window.partitionBy(*group_by)
-        .orderBy(F.col("bin").asc_nulls_first())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    ks_term = F.abs(F.sum(a / A - b / B).over(wks))
-    # W1 over binned ECDFs: between observed bin i and the NEXT observed
-    # bin the ECDF gap is constant, so each |cum gap| is weighted by the
-    # integer bin distance to its successor (exact under interior holes;
-    # the last bin's cum gap is the total-mass difference ≈ 0 and gets
-    # step 0). A NULL bin sorts first and is assigned step 1 — transport
-    # to/from "missing" has no metric meaning, one bin width is the
-    # documented convention.
     if bin_width is not None:
-        word = Window.partitionBy(*group_by).orderBy(F.col("bin").asc_nulls_first())
-        nxt = F.lead("bin").over(word)
-        step = (
-            F.when(nxt.isNull(), F.lit(0.0))
-            .when(F.col("bin").isNull(), F.lit(1.0))
-            .otherwise((nxt - F.col("bin")).cast("double"))
-        )
-        w1_term = ks_term * step * F.lit(float(bin_width))
-    else:
-        w1_term = F.lit(None).cast("double")
+        return _drift_metrics(hist, group_by, ["bin"], "bin",
+                              F.lit(float(bin_width)), smoothing, round_dp)
+    return _drift_metrics(hist, group_by, ["bin"], None, None,
+                          smoothing, round_dp)
 
-    per_bin = hist.select(
-        *group_by,
-        psi_term.alias("psi_t"),
-        js_term.alias("js_t"),
-        F.abs(p - q).alias("ad"),
-        chi2_term.alias("chi2_t"),
-        ks_term.alias("ks_t"),
-        w1_term.alias("w1_t"),
-        F.col("n_bins"),
-        F.col("n_base"),
-        F.col("n_curr"),
-    )
-    out = per_bin.groupBy(*group_by).agg(
-        F.first("n_bins").alias("n_bins"),
-        F.first("n_base").alias("n_base"),
-        F.first("n_curr").alias("n_curr"),
-        F.round(F.sum("psi_t"), round_dp).alias("psi"),
-        F.round(F.sum("js_t"), round_dp).alias("js_div"),
-        F.round(F.max("ad"), round_dp).alias("linf"),
-        F.round(F.sum("ad") / F.lit(2.0), round_dp).alias("tvd"),
-        F.round(F.sum("chi2_t"), round_dp).alias("chi2"),
-        F.round(F.max("ks_t"), round_dp).alias("ks"),
-        F.round(F.sum("w1_t"), round_dp).alias("w1"),
-    )
-    return out
+
+def snapshot_drift_multi(
+    base: DataFrame,
+    current: DataFrame,
+    value_cols: dict[str, float | None],
+    group_by: Sequence[str] = (),
+    smoothing: float = 0.5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Whole-table drift profile: ``snapshot_drift`` for MANY columns in
+    ONE scan per snapshot.
+
+    ``value_cols`` maps column name → ``bin_width`` (None = categorical).
+    Output adds a ``column`` key ahead of the metric set — one row per
+    (group..., column).
+
+    Scale shape: instead of k separate jobs (k scans of a 100 TB table
+    per snapshot), every row explodes into k (column, bin) entries
+    INSIDE the scan stage, immediately collapsed by one map-side-combined
+    HashAggregate on (group, column, bin) — a single exchange per
+    snapshot bounded by |groups|·k·|bins|, and one FileScan per snapshot
+    regardless of how many columns are profiled. Numeric bins land in a
+    ``bin_num`` long column, categorical values in ``bin_cat`` (exactly
+    one non-null unless the value itself was NULL ⇒ the column's NULL
+    bin), so numeric ECDF order is preserved per column for KS/W1 while
+    everything shares one stacked relation.
+    """
+    if not value_cols:
+        raise ValueError("value_cols must name at least one column")
+    group_by = list(group_by)
+
+    def stacked(df: DataFrame) -> DataFrame:
+        entries = []
+        for c, bw in value_cols.items():
+            v = F.col(c)
+            if bw is not None:
+                bn = F.floor(v / F.lit(float(bw))).cast("long")
+                bc = F.lit(None).cast("string")
+            else:
+                bn = F.lit(None).cast("long")
+                bc = v.cast("string")
+            entries.append(F.struct(
+                F.lit(c).alias("column"), bn.alias("bin_num"), bc.alias("bin_cat")
+            ))
+        ex = df.select(*group_by, F.explode(F.array(*entries)).alias("e"))
+        return (
+            ex.select(*group_by, "e.column", "e.bin_num", "e.bin_cat")
+            .groupBy(*group_by, "column", "bin_num", "bin_cat")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    ha = stacked(base).withColumnRenamed("cnt", "cnt_a")
+    hb = stacked(current).withColumnRenamed("cnt", "cnt_b")
+    gkeys = group_by + ["column"]
+    hist = _join_counts(ha, hb, gkeys + ["bin_num", "bin_cat"], gkeys)
+
+    # per-column W1 width: NULL for categorical columns (W1 undefined)
+    width = F.lit(None).cast("double")
+    for c, bw in value_cols.items():
+        if bw is not None:
+            width = F.when(F.col("column") == c, F.lit(float(bw))).otherwise(width)
+    return _drift_metrics(hist, gkeys, ["bin_num", "bin_cat"], "bin_num",
+                          width, smoothing, round_dp)
 
 
 def embedding_drift(

@@ -188,3 +188,50 @@ def test_embedding_drift_per_group_isolation(spark):
     assert out.loc["a", "centroid_cosine"] == 1.0
     assert out.loc["b", "centroid_cosine"] == 0.0  # orthogonal centroids
     assert out.loc["b", "centroid_l2"] == pytest.approx(np.sqrt(2.0), abs=1e-6)
+
+
+def test_multi_column_matches_single_column(spark):
+    """snapshot_drift_multi must equal per-column snapshot_drift runs
+    (numeric AND categorical), modulo the added 'column' key."""
+    from random_cut_forest_by_aws_spark.operators.distdrift import snapshot_drift_multi
+
+    rows_a = [("g1", float(i % 5), "x" if i % 3 else "y") for i in range(120)]
+    rows_b = [("g1", float((i + 1) % 7), "x" if i % 4 else "z") for i in range(90)]
+    schema = "g string, v double, c string"
+    base = spark.createDataFrame(rows_a, schema)
+    curr = spark.createDataFrame(rows_b, schema)
+
+    multi = snapshot_drift_multi(
+        base, curr, {"v": 1.0, "c": None}, group_by=["g"], round_dp=9
+    ).toPandas().set_index("column")
+    single_v = snapshot_drift(base, curr, "v", group_by=["g"], bin_width=1.0,
+                              round_dp=9).toPandas().iloc[0]
+    single_c = snapshot_drift(base, curr, "c", group_by=["g"], bin_width=None,
+                              round_dp=9).toPandas().iloc[0]
+    for m in ("n_bins", "n_base", "n_curr", "psi", "js_div", "linf", "tvd",
+              "chi2", "ks", "w1"):
+        got_v, exp_v = multi.loc["v", m], single_v[m]
+        assert got_v == exp_v or got_v == pytest.approx(exp_v, abs=1e-12), ("v", m)
+        got_c, exp_c = multi.loc["c", m], single_c[m]
+        if m == "w1":
+            assert np.isnan(got_c) and np.isnan(exp_c)
+        else:
+            assert got_c == exp_c or got_c == pytest.approx(exp_c, abs=1e-12), ("c", m)
+
+
+def test_multi_column_single_scan_per_snapshot(spark):
+    """Profiling k columns must not cost k scans: exactly one FileScan
+    per snapshot in the executed plan."""
+    from random_cut_forest_by_aws_spark.operators.distdrift import snapshot_drift_multi
+    from pyspark.sql import functions as SF
+
+    e = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    out = snapshot_drift_multi(
+        e.filter(SF.col("event_id") % 2 == 0),
+        e.filter(SF.col("event_id") % 2 == 1),
+        {"value": 25.0, "event_type": None, "user_id": 500.0},
+    )
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("FileScan parquet") == 2, plan
