@@ -58,6 +58,11 @@ class SuiteConfig:
     # stage. In local[N] (single machine) every stage contends for the
     # same cores, so sequential is faster — hence default False.
     concurrent: bool = False
+    # Declarative table-specific rules (operators/checks.Check): each
+    # Check compiles to ONE conditional aggregate over ONE scan of df
+    # and contributes one verdict row per constraint (scope = the
+    # constraint name). Aggregate-only — no per-row violation evidence.
+    checks: tuple = ()
 
 
 @dataclass
@@ -121,12 +126,20 @@ class ValidationSuite:
             holder["raw"], holder["dv"] = raw, dv
             return dv.filter(~F.col("passed")).count()
 
+        custom = [(chk, chk.run(df).cache()) for chk in cfg.checks]
+
         # ---- materialize checks (concurrently on clusters) ---------------
-        with ThreadPoolExecutor(max_workers=5 if cfg.concurrent else 1) as ex:
+        workers = (5 + len(custom)) if cfg.concurrent else 1
+        with ThreadPoolExecutor(max_workers=workers) as ex:
             f_drift = ex.submit(timed, "drift", run_drift)
             f_stats = ex.submit(timed, "column_stats", stats.count)
             f_dup = ex.submit(timed, "uniqueness", dup.count)
             f_inv = ex.submit(timed, "token_invariants", inv.count)
+            f_custom = [
+                ex.submit(timed, f"check:{chk.name}",
+                          (lambda c: lambda: c.filter(~F.col("passed")).count())(cdf))
+                for chk, cdf in custom
+            ]
             f_stats.result()
             refv = None
             f_ref = None
@@ -150,6 +163,8 @@ class ValidationSuite:
             n_inv = f_inv.result()
             n_drifted = f_drift.result()
             n_ref = f_ref.result() if f_ref is not None else 0
+            for f in f_custom:
+                f.result()
         raw, dv = holder["raw"], holder["dv"]
 
         # ---- verdict + violation tables -----------------------------------
@@ -281,6 +296,26 @@ class ValidationSuite:
             )
             .limit(cfg.max_violation_rows)
         )
+
+        # ---- declarative per-table rules (operators/checks.Check) --------
+        for chk, cdf in custom:
+            verdict_dfs.append(
+                cdf.select(
+                    F.concat(F.lit("check:"), F.col("check")).alias("check"),
+                    F.col("constraint").alias("scope"),
+                    F.col("passed"),
+                    F.greatest(F.col("n_violations"), F.lit(0))
+                    .cast("long")
+                    .alias("violation_count"),
+                    F.concat_ws(
+                        " ",
+                        F.lit("metric"),
+                        F.col("metric").cast("string"),
+                        F.col("op"),
+                        F.col("threshold").cast("string"),
+                    ).alias("detail"),
+                )
+            )
 
         verdicts = verdict_dfs[0]
         for v in verdict_dfs[1:]:

@@ -138,3 +138,35 @@ def test_single_scan_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
     assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_suite_integration_custom_checks(spark, seqs):
+    """Declarative Check rules ride the ValidationSuite verdict table:
+    one verdict row per constraint under check:<name>, violation counts
+    carried, aggregate rules clamped to 0."""
+    from random_cut_forest_by_aws_spark.operators.drift import DriftConfig
+    from random_cut_forest_by_aws_spark.plans import SuiteConfig, ValidationSuite
+
+    rules = (
+        Check("seq_rules")
+        .is_complete("doc_id")          # fixture plants NULL doc_ids -> fail
+        .satisfies("n_tok >= 1", "n_tok_positive_rule", min_fraction=1.0)
+        .has_size(at_least=1.0)         # passes
+    )
+    cfg = SuiteConfig(
+        drift=DriftConfig(num_trees=5, sample_size=16, window=8,
+                          min_baseline_windows=2, buckets=1, chunk_size=256),
+        checks=(rules,),
+    )
+    res = ValidationSuite(spark, cfg).run(seqs)
+    v = res.verdicts.toPandas()
+    custom = v[v["check"] == "check:seq_rules"].set_index("scope")
+    assert set(custom.index) == {"complete(doc_id)", "n_tok_positive_rule", "size(*)>="}
+    assert not custom.loc["complete(doc_id)", "passed"]
+    assert custom.loc["complete(doc_id)", "violation_count"] > 0
+    assert custom.loc["size(*)>=", "passed"]
+    assert custom.loc["size(*)>=", "violation_count"] == 0  # -1 clamped
+    assert custom["detail"].str.startswith("metric ").all()
+    # the check materialization is timed into the metrics/lineage table
+    m = res.metrics.toPandas()
+    assert (m["check"] == "check:seq_rules").any()
