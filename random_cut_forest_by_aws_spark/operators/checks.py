@@ -39,6 +39,13 @@ from pyspark.sql import functions as F
 
 _OPS = {">=", "<="}
 
+#: builder methods reachable from JSON specs (plans/job.py --rules-json)
+_SPEC_METHODS = frozenset({
+    "satisfies", "is_complete", "has_completeness", "is_contained_in",
+    "has_pattern", "is_non_negative", "has_min", "has_max", "has_mean",
+    "has_sum", "has_size", "has_distinctness", "is_unique",
+})
+
 
 @dataclass(frozen=True)
 class _Rule:
@@ -49,6 +56,34 @@ class _Rule:
     agg: str | None  # 'min'|'max'|'mean'|'sum'|'size'|'distinctness'
     op: str
     threshold: float
+
+
+def check_from_spec(spec: dict) -> "Check":
+    """Build a Check from a JSON-able spec — the spark-submit surface
+    (``plans/job.py --rules-json``) so declarative rules ship as config,
+    not code::
+
+        {"name": "docs_rules", "rules": [
+            {"type": "is_complete", "column": "text"},
+            {"type": "satisfies", "predicate": "n_chars >= 10",
+             "name": "min_chars", "min_fraction": 0.99},
+            {"type": "has_mean", "column": "n_chars", "at_most": 1e6}]}
+
+    ``type`` names a builder method; remaining keys are its kwargs.
+    """
+    chk = Check(spec["name"], round_dp=int(spec.get("round_dp", 6)))
+    rules = spec.get("rules") or ()
+    if not rules:
+        raise ValueError(f"check {spec.get('name')!r}: empty rules list")
+    for rule in rules:
+        kw = dict(rule)
+        typ = kw.pop("type", None)
+        if typ not in _SPEC_METHODS:
+            raise ValueError(
+                f"unknown rule type {typ!r}; allowed: {sorted(_SPEC_METHODS)}"
+            )
+        getattr(chk, typ)(**kw)
+    return chk
 
 
 class Check:

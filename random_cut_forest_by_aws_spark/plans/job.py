@@ -32,11 +32,32 @@ def main(argv=None) -> int:
     ap.add_argument("--trees", type=int, default=30)
     ap.add_argument("--sample-size", type=int, default=256)
     ap.add_argument("--rows-per-bucket", type=int, default=100_000)
+    ap.add_argument(
+        "--rules-json", default=None,
+        help="declarative constraint rules: inline JSON or a file path; "
+        "a spec object or list of spec objects (see operators/checks."
+        "check_from_spec)",
+    )
     args = ap.parse_args(argv)
 
     from random_cut_forest_by_aws_spark import get_spark
+    from random_cut_forest_by_aws_spark.operators.checks import check_from_spec
     from random_cut_forest_by_aws_spark.operators.drift import DriftConfig
     from random_cut_forest_by_aws_spark.plans import SuiteConfig, ValidationSuite
+
+    checks = ()
+    if args.rules_json:
+        import json
+        import os
+
+        raw = args.rules_json
+        if os.path.exists(raw):
+            with open(raw) as fh:
+                raw = fh.read()
+        specs = json.loads(raw)
+        if isinstance(specs, dict):
+            specs = [specs]
+        checks = tuple(check_from_spec(s) for s in specs)
 
     master = f"local[{args.cpus}]" if args.cpus else None
     spark = get_spark(app_name="rcf-validate", master=master)
@@ -49,7 +70,8 @@ def main(argv=None) -> int:
             sample_size=args.sample_size,
             rows_per_bucket=args.rows_per_bucket,
             checkpoint_dir=args.checkpoint_dir,
-        )
+        ),
+        checks=checks,
     )
     res = ValidationSuite(spark, cfg).run(df, ref_dim=ref_dim)
     res.verdicts.write.mode("overwrite").parquet(f"{args.output}/verdicts")

@@ -170,3 +170,57 @@ def test_suite_integration_custom_checks(spark, seqs):
     # the check materialization is timed into the metrics/lineage table
     m = res.metrics.toPandas()
     assert (m["check"] == "check:seq_rules").any()
+
+
+def test_check_from_spec_roundtrip(spark, docs):
+    from random_cut_forest_by_aws_spark.operators.checks import check_from_spec
+
+    spec = {"name": "spec_rules", "rules": [
+        {"type": "is_complete", "column": "text"},
+        {"type": "satisfies", "predicate": "n_chars >= 5",
+         "name": "min_chars", "min_fraction": 0.5},
+        {"type": "has_mean", "column": "n_chars", "at_least": 4.0},
+        {"type": "is_contained_in", "column": "lang",
+         "allowed": ["en", "fr"], "min_fraction": 0.5},
+    ]}
+    got = check_from_spec(spec).run(docs).toPandas().set_index("constraint")
+    exp = (Check("spec_rules")
+           .is_complete("text")
+           .satisfies("n_chars >= 5", "min_chars", min_fraction=0.5)
+           .has_mean("n_chars", at_least=4.0)
+           .is_contained_in("lang", ["en", "fr"], 0.5)
+           ).run(docs).toPandas().set_index("constraint")
+    assert got.equals(exp)
+    with pytest.raises(ValueError, match="unknown rule type"):
+        check_from_spec({"name": "x", "rules": [{"type": "run"}]})
+    with pytest.raises(ValueError, match="empty rules"):
+        check_from_spec({"name": "x", "rules": []})
+
+
+def test_job_cli_rules_json(spark, tmp_path):
+    """--rules-json ships declarative rules as config through the
+    spark-submit entry point; check verdicts land in the output."""
+    import json
+
+    import duckdb
+
+    from random_cut_forest_by_aws_spark.plans.job import main
+    from random_cut_forest_by_aws_spark.sources import sequences
+
+    inp, out = str(tmp_path / "seqs"), str(tmp_path / "out")
+    sequences(spark, 4_000, seed=11).write.parquet(inp)
+    spec = {"name": "cli_rules", "rules": [
+        {"type": "is_complete", "column": "doc_id"},
+        {"type": "has_size", "at_least": 1},
+    ]}
+    rc = main([
+        "--input", inp, "--output", out, "--cpus", "8",
+        "--trees", "5", "--sample-size", "16",
+        "--rules-json", json.dumps(spec),
+    ])
+    assert rc == 2  # planted violations (incl. null doc_ids) fail
+    v = duckdb.sql(
+        f"SELECT scope, passed FROM '{out}/verdicts/*.parquet' "
+        "WHERE \"check\" = 'check:cli_rules' ORDER BY scope"
+    ).fetchall()
+    assert v == [("complete(doc_id)", False), ("size(*)>=", True)]
