@@ -1264,6 +1264,7 @@ def _q_constraint_check_docs(spark, sf_dir):
         .has_mean("n_chars", at_least=1.0, at_most=10000.0)
         .has_size(at_least=1.0)
         .is_unique("doc_id")
+        .has_correlation("doc_id", "n_chars", at_least=-1.0)
         .run(d)
     )
 
@@ -2363,7 +2364,25 @@ def oracle_sql() -> dict[str, str]:
                        max(CAST(n_chars AS DOUBLE)) AS v_max,
                        sum(CAST(n_chars AS DOUBLE)) AS v_sum,
                        count(n_chars) AS c_mean,
-                       count(DISTINCT doc_id) AS s_dst
+                       count(DISTINCT doc_id) AS s_dst,
+                       -- pairwise-complete Pearson moments (integer-valued
+                       -- doubles < 2^53: exact in both engines)
+                       CAST(count(CASE WHEN doc_id IS NOT NULL
+                                        AND n_chars IS NOT NULL
+                                       THEN 1 END) AS DOUBLE) AS r_n,
+                       sum(CASE WHEN doc_id IS NOT NULL AND n_chars IS NOT NULL
+                                THEN CAST(doc_id AS DOUBLE) END) AS r_x,
+                       sum(CASE WHEN doc_id IS NOT NULL AND n_chars IS NOT NULL
+                                THEN CAST(n_chars AS DOUBLE) END) AS r_y,
+                       sum(CASE WHEN doc_id IS NOT NULL AND n_chars IS NOT NULL
+                                THEN CAST(doc_id AS DOUBLE)
+                                     * CAST(doc_id AS DOUBLE) END) AS r_xx,
+                       sum(CASE WHEN doc_id IS NOT NULL AND n_chars IS NOT NULL
+                                THEN CAST(n_chars AS DOUBLE)
+                                     * CAST(n_chars AS DOUBLE) END) AS r_yy,
+                       sum(CASE WHEN doc_id IS NOT NULL AND n_chars IS NOT NULL
+                                THEN CAST(doc_id AS DOUBLE)
+                                     * CAST(n_chars AS DOUBLE) END) AS r_xy
                 FROM documents
             ), v AS (
                 SELECT * FROM (
@@ -2407,6 +2426,14 @@ def oracle_sql() -> dict[str, str]:
                   UNION ALL
                   SELECT 'distinctness(doc_id)>=', 'doc_id', '>=', 1.0,
                          CAST(s_dst AS DOUBLE) / CAST(n AS DOUBLE),
+                         CAST(-1 AS BIGINT), n FROM a
+                  UNION ALL
+                  SELECT 'corr(doc_id,n_chars)>=', 'doc_id', '>=', -1.0,
+                         CASE WHEN (r_n * r_xx - r_x * r_x) > 0
+                               AND (r_n * r_yy - r_y * r_y) > 0
+                              THEN (r_n * r_xy - r_x * r_y)
+                                   / (sqrt(r_n * r_xx - r_x * r_x)
+                                      * sqrt(r_n * r_yy - r_y * r_y)) END,
                          CAST(-1 AS BIGINT), n FROM a
                 )
             )

@@ -44,6 +44,7 @@ _SPEC_METHODS = frozenset({
     "satisfies", "is_complete", "has_completeness", "is_contained_in",
     "has_pattern", "is_non_negative", "has_min", "has_max", "has_mean",
     "has_sum", "has_size", "has_distinctness", "is_unique",
+    "has_correlation",
 })
 
 
@@ -53,9 +54,10 @@ class _Rule:
     name: str
     column: str
     predicate: str | None  # SQL predicate for kind='frac'
-    agg: str | None  # 'min'|'max'|'mean'|'sum'|'size'|'distinctness'
+    agg: str | None  # 'min'|'max'|'mean'|'sum'|'size'|'distinctness'|'corr'
     op: str
     threshold: float
+    column2: str | None = None  # second column for 'corr'
 
 
 def check_from_spec(spec: dict) -> "Check":
@@ -174,6 +176,28 @@ class Check:
     def has_size(self, at_least=None, at_most=None) -> "Check":
         return self._agg("size", "*", at_least, at_most)
 
+    def has_correlation(self, column_a: str, column_b: str,
+                        at_least=None, at_most=None) -> "Check":
+        """Pearson correlation of two numeric columns from the SAME
+        single-pass aggregate: rows where either side is NULL are
+        excluded pairwise (SQL corr semantics), metric =
+        (n·Σxy − Σx·Σy) / (√(n·Σxx − Σx²) · √(n·Σyy − Σy²)). The
+        one-pass moment formula is engine-consistent (an oracle can
+        replay the identical shape); NULL (fail closed) when either
+        variance is 0 or no complete pairs exist."""
+        if at_least is None and at_most is None:
+            raise ValueError(
+                f"corr({column_a},{column_b}): need at_least and/or at_most"
+            )
+        pair = f"corr({column_a},{column_b})"
+        if at_least is not None:
+            self._rules.append(_Rule("agg", f"{pair}>=", column_a, None,
+                                     "corr", ">=", float(at_least), column_b))
+        if at_most is not None:
+            self._rules.append(_Rule("agg", f"{pair}<=", column_a, None,
+                                     "corr", "<=", float(at_most), column_b))
+        return self
+
     def has_distinctness(self, column: str, at_least: float) -> "Check":
         """count(distinct column) / count(*) — EXACT (plans an Expand,
         still one scan)."""
@@ -219,6 +243,17 @@ class Check:
                             .alias(f"__s{i}"))
                 aggs.append(F.count(F.col(r.column))
                             .cast("bigint").alias(f"__c{i}"))
+            elif r.agg == "corr":
+                # pairwise-complete moments for one-pass Pearson
+                both = F.col(r.column).isNotNull() & F.col(r.column2).isNotNull()
+                x = F.when(both, F.col(r.column).cast("double"))
+                y = F.when(both, F.col(r.column2).cast("double"))
+                aggs.append(F.count(x).cast("double").alias(f"__n{i}"))
+                aggs.append(F.sum(x).alias(f"__x{i}"))
+                aggs.append(F.sum(y).alias(f"__y{i}"))
+                aggs.append(F.sum(x * x).alias(f"__xx{i}"))
+                aggs.append(F.sum(y * y).alias(f"__yy{i}"))
+                aggs.append(F.sum(x * y).alias(f"__xy{i}"))
             else:  # min | max | sum
                 fn = {"min": F.min, "max": F.max, "sum": F.sum}[r.agg]
                 aggs.append(fn(F.col(r.column).cast("double"))
@@ -242,6 +277,17 @@ class Check:
             elif r.agg == "mean":
                 c = F.col(f"__c{i}")
                 metric = F.when(c > 0, F.col(f"__s{i}") / c.cast("double"))
+                nviol = F.lit(-1).cast("bigint")
+            elif r.agg == "corr":
+                np_, sx = F.col(f"__n{i}"), F.col(f"__x{i}")
+                sy = F.col(f"__y{i}")
+                vx = np_ * F.col(f"__xx{i}") - sx * sx
+                vy = np_ * F.col(f"__yy{i}") - sy * sy
+                metric = F.when(
+                    (vx > 0) & (vy > 0),
+                    (np_ * F.col(f"__xy{i}") - sx * sy)
+                    / (F.sqrt(vx) * F.sqrt(vy)),
+                )
                 nviol = F.lit(-1).cast("bigint")
             else:
                 metric = F.col(f"__s{i}")

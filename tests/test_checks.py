@@ -224,3 +224,35 @@ def test_job_cli_rules_json(spark, tmp_path):
         "WHERE \"check\" = 'check:cli_rules' ORDER BY scope"
     ).fetchall()
     assert v == [("complete(doc_id)", False), ("size(*)>=", True)]
+
+
+def test_correlation_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=200)
+    y = 0.7 * x + 0.3 * rng.normal(size=200)
+    rows = [(float(a), float(b)) for a, b in zip(x, y)]
+    # plant pairwise-incomplete rows: must be excluded from the moments
+    rows += [(1.0, None), (None, 5.0), (None, None)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    exp = float(np.corrcoef(x, y)[0, 1])
+    out = _run(
+        Check("c")
+        .has_correlation("x", "y", at_least=0.5, at_most=0.99)
+        .has_correlation("x", "x", at_least=1.0),
+        df,
+    )
+    r = out.loc["corr(x,y)>="]
+    assert r["metric"] == pytest.approx(exp, abs=1e-6)
+    assert r["passed"] and out.loc["corr(x,y)<="]["passed"]
+    assert r["n_violations"] == -1
+    # self-correlation is exactly 1 up to rounding
+    assert out.loc["corr(x,x)>="]["metric"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_correlation_zero_variance_fails_closed(spark):
+    df = spark.createDataFrame([(1.0, 2.0), (1.0, 3.0)], "x double, y double")
+    out = _run(Check("c").has_correlation("x", "y", at_least=0.0), df)
+    r = out.loc["corr(x,y)>="]
+    assert not r["passed"]  # x has zero variance -> metric NULL -> fail
