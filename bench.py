@@ -314,6 +314,41 @@ def main() -> None:
 
         timed("lm_quality", run_lm_quality)
 
+        def run_validation_rules():
+            # the declarative-rules + snapshot-drift family over the 2M-row
+            # token table: all JVM conditional/histogram aggregates.
+            # .count() would prune the metric expressions, so force them
+            # through aggregates that reference the outputs.
+            from random_cut_forest_by_aws_spark.operators.checks import Check
+            from random_cut_forest_by_aws_spark.operators.distdrift import (
+                snapshot_drift_multi,
+            )
+
+            base = seqs.filter(F.col("seq") % 2 == 0)
+            curr = seqs.filter(F.col("seq") % 2 == 1)
+            prof = snapshot_drift_multi(
+                base, curr, {"n_tok": 8.0, "source": None}
+            )
+            row = prof.agg(
+                F.sum("psi").alias("a"), F.sum("ks").alias("b")
+            ).collect()[0]
+            n = int(row["a"] is not None) + int(row["b"] is not None)
+            chk = (
+                Check("bench_rules")
+                .is_complete("doc_id")
+                .satisfies("n_tok >= 1", "ntok_pos", min_fraction=1.0)
+                .has_mean("n_tok", at_least=0.0)
+                .has_correlation("n_tok", "seq", at_least=-1.0)
+                .is_unique("doc_id")
+                .run(seqs)
+            )
+            n += int(chk.agg(
+                F.sum(F.col("metric")).alias("x")
+            ).collect()[0]["x"] is not None)
+            return n
+
+        timed("validation_rules", run_validation_rules)
+
         def run_pipeline_curate():
             # the full curation composition (plans/pipeline.py): funnel →
             # minhash/Jaccard keep-one dedup → cluster-keyed splits →
