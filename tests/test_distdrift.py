@@ -235,3 +235,41 @@ def test_multi_column_single_scan_per_snapshot(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
     assert plan.count("FileScan parquet") == 2, plan
+
+
+def test_randomized_histograms_match_numpy(spark):
+    """Randomized parity sweep: 20 seeded random histogram pairs ride as
+    20 groups through ONE Spark job; every group's full metric set must
+    match the NumPy reference (fuzzes zero-count bins, one-sided bins,
+    skew, and small/large totals in one shot)."""
+    rng = np.random.default_rng(42)
+    rows = []
+    cases = {}
+    for g in range(20):
+        nb = int(rng.integers(2, 12))
+        a = rng.integers(0, 40, size=nb)
+        b = rng.integers(0, 40, size=nb)
+        # guarantee nonzero totals and at least one observed bin per side
+        a[int(rng.integers(nb))] += 1
+        b[int(rng.integers(nb))] += 1
+        # drop bins empty on BOTH sides: they never reach the joined
+        # histogram, so the reference must not see them either
+        keep = (a + b) > 0
+        cases[f"g{g:02d}"] = (a[keep], b[keep])
+        for i in range(nb):
+            rows += [(f"g{g:02d}", 0, float(i))] * int(a[i])
+            rows += [(f"g{g:02d}", 1, float(i))] * int(b[i])
+    df = spark.createDataFrame(rows, "g string, side int, v double")
+    base = df.filter("side = 0")
+    curr = df.filter("side = 1")
+    out = snapshot_drift(base, curr, "v", group_by=["g"], bin_width=1.0,
+                         round_dp=9).toPandas().set_index("g")
+    assert len(out) == 20
+    for g, (a, b) in cases.items():
+        exp = _np_metrics(a, b)
+        # contiguity for the w1 reference: only compare when the kept
+        # bins are consecutive (holes use lead-step weights instead)
+        for m in ("psi", "js_div", "linf", "tvd", "chi2", "ks"):
+            assert out.loc[g, m] == pytest.approx(exp[m], abs=1e-8), (g, m)
+        assert out.loc[g, "n_bins"] == len(a)
+        assert out.loc[g, "n_base"] == a.sum() and out.loc[g, "n_curr"] == b.sum()
