@@ -38,7 +38,23 @@ def main(argv=None) -> int:
         "a spec object or list of spec objects (see operators/checks."
         "check_from_spec)",
     )
+    ap.add_argument(
+        "--expect-schema-json", default=None,
+        help="structural schema contract: inline JSON or a file path; "
+        '{"columns": {name: ddl_type, ...}, "non_nullable": [...], '
+        '"allow_extra": true} — verified from table metadata before any '
+        "data is scanned",
+    )
     args = ap.parse_args(argv)
+
+    def _load_json(raw: str):
+        import json
+        import os
+
+        if os.path.exists(raw):
+            with open(raw) as fh:
+                raw = fh.read()
+        return json.loads(raw)
 
     from random_cut_forest_by_aws_spark import get_spark
     from random_cut_forest_by_aws_spark.operators.checks import check_from_spec
@@ -47,17 +63,17 @@ def main(argv=None) -> int:
 
     checks = ()
     if args.rules_json:
-        import json
-        import os
-
-        raw = args.rules_json
-        if os.path.exists(raw):
-            with open(raw) as fh:
-                raw = fh.read()
-        specs = json.loads(raw)
+        specs = _load_json(args.rules_json)
         if isinstance(specs, dict):
             specs = [specs]
         checks = tuple(check_from_spec(s) for s in specs)
+
+    expected_schema, schema_nn, schema_extra = None, (), True
+    if args.expect_schema_json:
+        sc_spec = _load_json(args.expect_schema_json)
+        expected_schema = sc_spec["columns"]
+        schema_nn = tuple(sc_spec.get("non_nullable") or ())
+        schema_extra = bool(sc_spec.get("allow_extra", True))
 
     master = f"local[{args.cpus}]" if args.cpus else None
     spark = get_spark(app_name="rcf-validate", master=master)
@@ -72,6 +88,9 @@ def main(argv=None) -> int:
             checkpoint_dir=args.checkpoint_dir,
         ),
         checks=checks,
+        expected_schema=expected_schema,
+        schema_non_nullable=schema_nn,
+        schema_allow_extra=schema_extra,
     )
     res = ValidationSuite(spark, cfg).run(df, ref_dim=ref_dim)
     res.verdicts.write.mode("overwrite").parquet(f"{args.output}/verdicts")

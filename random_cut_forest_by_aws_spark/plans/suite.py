@@ -63,6 +63,14 @@ class SuiteConfig:
     # and contributes one verdict row per constraint (scope = the
     # constraint name). Aggregate-only — no per-row violation evidence.
     checks: tuple = ()
+    # Structural contract (operators/schema.validate_schema): expected
+    # column -> DDL type. Pure metadata — verified from the table schema
+    # before any data is scanned; one verdict row per column under
+    # check="schema". Key columns are additionally required to be
+    # DECLARED non-nullable.
+    expected_schema: dict | None = None
+    schema_non_nullable: tuple[str, ...] = ()
+    schema_allow_extra: bool = True
 
 
 @dataclass
@@ -296,6 +304,32 @@ class ValidationSuite:
             )
             .limit(cfg.max_violation_rows)
         )
+
+        # ---- structural schema contract (metadata-only, zero scan) -------
+        if cfg.expected_schema:
+            from ..operators.schema import validate_schema
+
+            sv = validate_schema(
+                df, cfg.expected_schema,
+                non_nullable=cfg.schema_non_nullable,
+                allow_extra=cfg.schema_allow_extra,
+            )
+            verdict_dfs.append(
+                sv.select(
+                    F.lit("schema").alias("check"),
+                    F.col("column").alias("scope"),
+                    F.col("passed"),
+                    F.lit(0).cast("long").alias("violation_count"),
+                    F.concat_ws(
+                        " ",
+                        F.col("status"),
+                        F.lit("expected"),
+                        F.coalesce(F.col("expected_type"), F.lit("-")),
+                        F.lit("actual"),
+                        F.coalesce(F.col("actual_type"), F.lit("-")),
+                    ).alias("detail"),
+                )
+            )
 
         # ---- declarative per-table rules (operators/checks.Check) --------
         for chk, cdf in custom:
