@@ -57,9 +57,9 @@ from pyspark.sql import functions as F
 
 
 def _pivot_counts(tagged: DataFrame, keys: list[str], gkeys: list[str]) -> DataFrame:
-    """Aggregate a side-tagged entry relation (``keys..., __side``) into
-    the joined histogram ``(keys..., cnt_a, cnt_b, n_base, n_curr,
-    n_bins)`` with ONE shuffle.
+    """Aggregate a side-tagged weighted entry relation (``keys...,
+    __side, __w``) into the joined histogram ``(keys..., cnt_a, cnt_b,
+    n_base, n_curr, n_bins)`` with ONE shuffle.
 
     Earlier shape was two per-side aggregates full-outer-joined on
     null-safe keys — two exchanges plus a join stage; tagging the sides
@@ -67,12 +67,14 @@ def _pivot_counts(tagged: DataFrame, keys: list[str], gkeys: list[str]) -> DataF
     the stage count (measured ~2× wall at 2M rows) and makes NULL-bin
     handling trivial: a (group, bin) observed on either side gets a row
     with the other side's count 0, exactly the full-outer-with-coalesce
-    semantics, and groupBy already treats NULL as a key.
+    semantics, and groupBy already treats NULL as a key. ``__w`` is 1
+    for raw rows and the stored count for pre-aggregated baseline
+    profile rows (snapshot_drift_vs_profile).
     """
     joined = tagged.groupBy(*keys).agg(
-        F.sum(F.when(F.col("__side") == 0, 1).otherwise(0))
+        F.sum(F.when(F.col("__side") == 0, F.col("__w")).otherwise(0))
         .cast("long").alias("cnt_a"),
-        F.sum(F.when(F.col("__side") == 1, 1).otherwise(0))
+        F.sum(F.when(F.col("__side") == 1, F.col("__w")).otherwise(0))
         .cast("long").alias("cnt_b"),
     )
     # Per-group totals + union-bin counts: aggregate of an aggregate —
@@ -99,7 +101,8 @@ def _joined_hist(
         b = (F.floor(v / F.lit(bin_width)).cast("long")
              if bin_width is not None else v.cast("string"))
         return df.select(*group_by, b.alias("bin"),
-                         F.lit(side).alias("__side"))
+                         F.lit(side).alias("__side"),
+                         F.lit(1).cast("long").alias("__w"))
 
     tagged = tag(base, 0).unionByName(tag(current, 1))
     return _pivot_counts(tagged, group_by + ["bin"], group_by)
@@ -267,34 +270,103 @@ def snapshot_drift_multi(
         raise ValueError("value_cols must name at least one column")
     group_by = list(group_by)
 
-    def stacked(df: DataFrame, side: int) -> DataFrame:
-        entries = []
-        for c, bw in value_cols.items():
-            v = F.col(c)
-            if bw is not None:
-                bn = F.floor(v / F.lit(float(bw))).cast("long")
-                bc = F.lit(None).cast("string")
-            else:
-                bn = F.lit(None).cast("long")
-                bc = v.cast("string")
-            entries.append(F.struct(
-                F.lit(c).alias("column"), bn.alias("bin_num"), bc.alias("bin_cat")
-            ))
-        ex = df.select(*group_by, F.explode(F.array(*entries)).alias("e"))
-        return ex.select(*group_by, "e.column", "e.bin_num", "e.bin_cat",
-                         F.lit(side).alias("__side"))
-
-    tagged = stacked(base, 0).unionByName(stacked(current, 1))
+    tagged = (_stacked_entries(base, value_cols, group_by, 0)
+              .unionByName(_stacked_entries(current, value_cols, group_by, 1)))
     gkeys = group_by + ["column"]
     hist = _pivot_counts(tagged, gkeys + ["bin_num", "bin_cat"], gkeys)
+    return _drift_metrics(hist, gkeys, ["bin_num", "bin_cat"], "bin_num",
+                          _w1_width(value_cols), smoothing, round_dp)
 
-    # per-column W1 width: NULL for categorical columns (W1 undefined)
+
+def _stacked_entries(
+    df: DataFrame,
+    value_cols: dict[str, float | None],
+    group_by: list[str],
+    side: int,
+) -> DataFrame:
+    """Explode each row into k (column, bin_num, bin_cat) entries with a
+    side tag and unit weight — the input shape of _pivot_counts."""
+    entries = []
+    for c, bw in value_cols.items():
+        v = F.col(c)
+        if bw is not None:
+            bn = F.floor(v / F.lit(float(bw))).cast("long")
+            bc = F.lit(None).cast("string")
+        else:
+            bn = F.lit(None).cast("long")
+            bc = v.cast("string")
+        entries.append(F.struct(
+            F.lit(c).alias("column"), bn.alias("bin_num"), bc.alias("bin_cat")
+        ))
+    ex = df.select(*group_by, F.explode(F.array(*entries)).alias("e"))
+    return ex.select(*group_by, "e.column", "e.bin_num", "e.bin_cat",
+                     F.lit(side).alias("__side"),
+                     F.lit(1).cast("long").alias("__w"))
+
+
+def _w1_width(value_cols: dict[str, float | None]):
+    """Per-column W1 step width: NULL for categorical columns."""
     width = F.lit(None).cast("double")
     for c, bw in value_cols.items():
         if bw is not None:
             width = F.when(F.col("column") == c, F.lit(float(bw))).otherwise(width)
+    return width
+
+
+def histogram_profile(
+    df: DataFrame,
+    value_cols: dict[str, float | None],
+    group_by: Sequence[str] = (),
+) -> DataFrame:
+    """Persistable histogram snapshot of a corpus: per-(group, column,
+    bin) counts — ``(group..., column, bin_num, bin_cat, cnt)`` — from
+    ONE scan, sized |groups|·k·|bins| however large the corpus.
+
+    This is the baseline-comparison workflow at 100 TB: store TODAY's
+    tiny profile next to the data; tomorrow's drift check reads the
+    stored profile and scans only tomorrow's corpus
+    (``snapshot_drift_vs_profile``) — yesterday's 100 TB is never
+    rescanned.
+    """
+    if not value_cols:
+        raise ValueError("value_cols must name at least one column")
+    group_by = list(group_by)
+    ex = _stacked_entries(df, value_cols, group_by, 0)
+    return (
+        ex.groupBy(*group_by, "column", "bin_num", "bin_cat")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def snapshot_drift_vs_profile(
+    profile: DataFrame,
+    current: DataFrame,
+    value_cols: dict[str, float | None],
+    group_by: Sequence[str] = (),
+    smoothing: float = 0.5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """``snapshot_drift_multi`` of ``current`` against a STORED
+    ``histogram_profile`` — identical output, but the baseline side
+    enters the single pivot aggregate as pre-weighted profile rows
+    (weight = stored count), so only ``current`` is scanned.
+    ``value_cols`` must match the profile's binning exactly (same
+    columns, same bin widths) — the bins are compared by value.
+    """
+    if not value_cols:
+        raise ValueError("value_cols must name at least one column")
+    group_by = list(group_by)
+    base_tagged = profile.select(
+        *group_by, "column", "bin_num", "bin_cat",
+        F.lit(0).alias("__side"), F.col("cnt").cast("long").alias("__w"),
+    )
+    tagged = base_tagged.unionByName(
+        _stacked_entries(current, value_cols, group_by, 1)
+    )
+    gkeys = group_by + ["column"]
+    hist = _pivot_counts(tagged, gkeys + ["bin_num", "bin_cat"], gkeys)
     return _drift_metrics(hist, gkeys, ["bin_num", "bin_cat"], "bin_num",
-                          width, smoothing, round_dp)
+                          _w1_width(value_cols), smoothing, round_dp)
 
 
 def embedding_drift(

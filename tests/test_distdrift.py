@@ -273,3 +273,53 @@ def test_randomized_histograms_match_numpy(spark):
             assert out.loc[g, m] == pytest.approx(exp[m], abs=1e-8), (g, m)
         assert out.loc[g, "n_bins"] == len(a)
         assert out.loc[g, "n_base"] == a.sum() and out.loc[g, "n_curr"] == b.sum()
+
+
+def test_profile_roundtrip_equals_direct_multi(spark, tmp_path):
+    """The baseline-profile workflow must be exact: histogram_profile
+    written to parquet and compared via snapshot_drift_vs_profile gives
+    the identical result as scanning both snapshots directly."""
+    from random_cut_forest_by_aws_spark.operators.distdrift import (
+        histogram_profile,
+        snapshot_drift_multi,
+        snapshot_drift_vs_profile,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    base = e.filter("event_id % 2 = 0")
+    curr = e.filter("event_id % 2 = 1")
+    cols = {"value": 25.0, "event_type": None}
+
+    direct = snapshot_drift_multi(base, curr, cols,
+                                  group_by=["event_type"]).toPandas()
+    p = str(tmp_path / "profile")
+    histogram_profile(base, cols, group_by=["event_type"]).write.parquet(p)
+    via = snapshot_drift_vs_profile(
+        spark.read.parquet(p), curr, cols, group_by=["event_type"]
+    ).toPandas()
+
+    key = ["event_type", "column"]
+    direct = direct.sort_values(key).reset_index(drop=True)
+    via = via.sort_values(key).reset_index(drop=True)
+    assert list(direct.columns) == list(via.columns)
+    for c in direct.columns:
+        a, b = direct[c].to_numpy(), via[c].to_numpy()
+        if a.dtype.kind == "f":
+            assert bool(np.all((a == b) | (np.isnan(a) & np.isnan(b)))), c
+        else:
+            assert np.array_equal(a, b), c
+
+
+def test_profile_is_tiny_and_complete(spark):
+    from random_cut_forest_by_aws_spark.operators.distdrift import (
+        histogram_profile,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    prof = histogram_profile(e, {"value": 25.0, "event_type": None},
+                             group_by=["event_type"]).toPandas()
+    n = e.count()
+    # every row lands in exactly one bin per column
+    assert prof.groupby("column")["cnt"].sum().eq(n).all()
+    # and the profile is aggregate-sized, not row-sized
+    assert len(prof) < 200
