@@ -39,6 +39,17 @@ def main(argv=None) -> int:
         "check_from_spec)",
     )
     ap.add_argument(
+        "--baseline-profile", default=None,
+        help="path of a previous run's {output}/profile — adds "
+        "check=baseline_drift verdicts (PSI vs the stored histogram; "
+        "only the current input is scanned)",
+    )
+    ap.add_argument(
+        "--psi-threshold", type=float, default=0.25,
+        help="baseline_drift passes while PSI <= this (0.25 = the "
+        "industry 'major shift' line)",
+    )
+    ap.add_argument(
         "--expect-schema-json", default=None,
         help="structural schema contract: inline JSON or a file path; "
         '{"columns": {name: ddl_type, ...}, "non_nullable": [...], '
@@ -91,6 +102,15 @@ def main(argv=None) -> int:
         expected_schema=expected_schema,
         schema_non_nullable=schema_nn,
         schema_allow_extra=schema_extra,
+        # every run emits a histogram profile of its input; the next
+        # run's --baseline-profile points at it for a drift check that
+        # never rescans this run's data
+        profile_cols={"n_tok": 16.0, "source": None},
+        baseline_profile=(
+            spark.read.parquet(args.baseline_profile)
+            if args.baseline_profile else None
+        ),
+        psi_threshold=args.psi_threshold,
     )
     res = ValidationSuite(spark, cfg).run(df, ref_dim=ref_dim)
     res.verdicts.write.mode("overwrite").parquet(f"{args.output}/verdicts")
@@ -98,6 +118,8 @@ def main(argv=None) -> int:
     res.metrics.write.mode("overwrite").parquet(f"{args.output}/metrics")
     res.stats.write.mode("overwrite").parquet(f"{args.output}/stats")
     res.lineage.write.mode("overwrite").parquet(f"{args.output}/lineage")
+    if res.profile is not None:
+        res.profile.write.mode("overwrite").parquet(f"{args.output}/profile")
     n_fail = res.verdicts.filter("passed = false").count()
     print(f"validation finished in {time.time()-t0:.1f}s; failing checks: {n_fail}")
     return 0 if n_fail == 0 else 2

@@ -71,6 +71,16 @@ class SuiteConfig:
     expected_schema: dict | None = None
     schema_non_nullable: tuple[str, ...] = ()
     schema_allow_extra: bool = True
+    # Histogram-profile workflow (operators/distdrift.py): when
+    # profile_cols is set (column -> bin_width, None = categorical) the
+    # run emits a persistable |cols|·|bins| histogram of the input as
+    # ValidationResult.profile (write it next to the verdicts); when
+    # baseline_profile (a STORED profile DataFrame from a previous run)
+    # is also given, the run adds check="baseline_drift" verdicts —
+    # PSI vs the stored histogram, scanning only the current input.
+    profile_cols: dict | None = None
+    baseline_profile: DataFrame | None = None
+    psi_threshold: float = 0.25
 
 
 @dataclass
@@ -82,6 +92,10 @@ class ValidationResult:
     #: per-(group, bucket) drift lineage — the audit grain of the resume
     #: checkpoints (north-star "per-partition lineage and metrics")
     lineage: DataFrame = None
+    #: persistable histogram profile of THIS run's input (when
+    #: SuiteConfig.profile_cols is set) — store it and pass it to the
+    #: next run as baseline_profile
+    profile: DataFrame = None
 
 
 VERDICT_SCHEMA = "check string, scope string, passed boolean, violation_count long, detail string"
@@ -136,6 +150,20 @@ class ValidationSuite:
 
         custom = [(chk, chk.run(df).cache()) for chk in cfg.checks]
 
+        profile = None
+        baseline_drift = None
+        if cfg.profile_cols:
+            from ..operators.distdrift import (
+                histogram_profile,
+                snapshot_drift_vs_profile,
+            )
+
+            profile = histogram_profile(df, cfg.profile_cols)
+            if cfg.baseline_profile is not None:
+                baseline_drift = snapshot_drift_vs_profile(
+                    cfg.baseline_profile, df, cfg.profile_cols
+                ).cache()
+
         # ---- materialize checks (concurrently on clusters) ---------------
         workers = (5 + len(custom)) if cfg.concurrent else 1
         with ThreadPoolExecutor(max_workers=workers) as ex:
@@ -148,6 +176,14 @@ class ValidationSuite:
                           (lambda c: lambda: c.filter(~F.col("passed")).count())(cdf))
                 for chk, cdf in custom
             ]
+            f_bd = None
+            if baseline_drift is not None:
+                f_bd = ex.submit(
+                    timed, "baseline_drift",
+                    lambda: baseline_drift.filter(
+                        F.col("psi") > cfg.psi_threshold
+                    ).count(),
+                )
             f_stats.result()
             refv = None
             f_ref = None
@@ -173,6 +209,8 @@ class ValidationSuite:
             n_ref = f_ref.result() if f_ref is not None else 0
             for f in f_custom:
                 f.result()
+            if f_bd is not None:
+                f_bd.result()
         raw, dv = holder["raw"], holder["dv"]
 
         # ---- verdict + violation tables -----------------------------------
@@ -331,6 +369,25 @@ class ValidationSuite:
                 )
             )
 
+        # ---- baseline-profile drift (vs a previous run's histogram) ------
+        if baseline_drift is not None:
+            verdict_dfs.append(
+                baseline_drift.select(
+                    F.lit("baseline_drift").alias("check"),
+                    F.col("column").alias("scope"),
+                    (F.col("psi") <= F.lit(cfg.psi_threshold)).alias("passed"),
+                    F.lit(0).cast("long").alias("violation_count"),
+                    F.concat_ws(
+                        " ",
+                        F.lit("psi"), F.col("psi").cast("string"),
+                        F.lit("js"), F.col("js_div").cast("string"),
+                        F.lit("ks"), F.col("ks").cast("string"),
+                        F.lit("n_base"), F.col("n_base").cast("string"),
+                        F.lit("n_curr"), F.col("n_curr").cast("string"),
+                    ).alias("detail"),
+                )
+            )
+
         # ---- declarative per-table rules (operators/checks.Check) --------
         for chk, cdf in custom:
             verdict_dfs.append(
@@ -369,4 +426,5 @@ class ValidationSuite:
         )
         _ = (n_dup, n_inv, n_drifted)  # counted above; verdicts carry them
         lineage = drift_lineage(raw, (cfg.group_col,), cfg.drift)
-        return ValidationResult(verdicts, violations, metrics, stats, lineage)
+        return ValidationResult(verdicts, violations, metrics, stats, lineage,
+                                profile)

@@ -122,3 +122,51 @@ def test_job_cli_expect_schema(spark, tmp_path):
         "WHERE \"check\" = 'schema' ORDER BY scope"
     ).fetchall()
     assert ("bogus", False) in v and ("doc_id", True) in v and len(v) == 3
+
+
+def test_job_cli_baseline_profile_chain(spark, tmp_path):
+    """Two chained runs: run 1 writes its histogram profile; run 2
+    compares against it (check=baseline_drift). Same-distribution input
+    passes; a shifted input fails."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from random_cut_forest_by_aws_spark.plans.job import main
+    from random_cut_forest_by_aws_spark.sources import sequences
+
+    in1, out1 = str(tmp_path / "in1"), str(tmp_path / "out1")
+    in2, out2 = str(tmp_path / "in2"), str(tmp_path / "out2")
+    in3, out3 = str(tmp_path / "in3"), str(tmp_path / "out3")
+    sequences(spark, 3_000, seed=21).write.parquet(in1)
+    sequences(spark, 3_000, seed=22).write.parquet(in2)  # same law
+    # shifted corpus: n_tok scaled 4x moves the histogram bins
+    shifted = sequences(spark, 3_000, seed=23).withColumn(
+        "n_tok", (F.col("n_tok") * 4).cast("int")
+    )
+    shifted.write.parquet(in3)
+
+    main(["--input", in1, "--output", out1, "--cpus", "8",
+          "--trees", "5", "--sample-size", "16"])
+    assert duckdb.sql(
+        f"SELECT count(*) FROM '{out1}/profile/*.parquet'"
+    ).fetchone()[0] > 0
+
+    main(["--input", in2, "--output", out2, "--cpus", "8",
+          "--trees", "5", "--sample-size", "16",
+          "--baseline-profile", f"{out1}/profile"])
+    bd = dict(duckdb.sql(
+        f"SELECT scope, passed FROM '{out2}/verdicts/*.parquet' "
+        "WHERE \"check\" = 'baseline_drift'"
+    ).fetchall())
+    assert set(bd) == {"n_tok", "source"}
+    assert bd["n_tok"] and bd["source"]  # same generative law: no drift
+
+    main(["--input", in3, "--output", out3, "--cpus", "8",
+          "--trees", "5", "--sample-size", "16",
+          "--baseline-profile", f"{out1}/profile"])
+    bd3 = dict(duckdb.sql(
+        f"SELECT scope, passed FROM '{out3}/verdicts/*.parquet' "
+        "WHERE \"check\" = 'baseline_drift'"
+    ).fetchall())
+    assert not bd3["n_tok"]  # the planted 4x token shift is flagged
+    assert bd3["source"]     # the source mix did not move
