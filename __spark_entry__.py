@@ -1270,15 +1270,37 @@ def _q_constraint_check_docs(spark, sf_dir):
 
 
 def _q_suite_verdicts(spark, sf_dir):
+    """Full ValidationSuite verdict surface, exercising every check
+    family in one run: stats/uniqueness/referential/invariants/RCF
+    drift plus the round-5 additions — structural schema contract,
+    declarative Check rules, and run-over-run baseline drift (the
+    baseline here is the same corpus's own profile ⇒ zero drift by
+    construction, pinning the PSI plumbing end-to-end)."""
+    from random_cut_forest_by_aws_spark.operators.checks import Check
+    from random_cut_forest_by_aws_spark.operators.distdrift import (
+        histogram_profile,
+    )
     from random_cut_forest_by_aws_spark.operators.drift import DriftConfig
     from random_cut_forest_by_aws_spark.plans import SuiteConfig, ValidationSuite
     from random_cut_forest_by_aws_spark.sources import tokenized_documents
 
     docs = _docs(spark, sf_dir)
     seqs = tokenized_documents(docs)
+    profile_cols = {"n_tok": 16.0, "source": None}
     cfg = SuiteConfig(
         drift=DriftConfig(num_trees=10, sample_size=16, window=8,
-                          min_baseline_windows=2, buckets=1, chunk_size=256)
+                          min_baseline_windows=2, buckets=1, chunk_size=256),
+        expected_schema={"doc_id": "string", "tokens": "array<int>",
+                         "n_tok": "int", "source": "string"},
+        checks=(
+            Check("seq_rules")
+            .is_complete("doc_id")
+            .satisfies("n_tok >= 1", "n_tok_positive_rule")
+            .has_mean("n_tok", at_least=1.0)
+            .is_unique("doc_id"),
+        ),
+        profile_cols=profile_cols,
+        baseline_profile=histogram_profile(seqs, profile_cols),
     )
     return ValidationSuite(spark, cfg).run(seqs, ref_dim=docs.select("source").distinct()).verdicts
 
