@@ -313,6 +313,57 @@ def _w1_width(value_cols: dict[str, float | None]):
     return width
 
 
+def snapshot_drift_split(
+    df: DataFrame,
+    base_predicate,
+    value_cols: dict[str, float | None],
+    group_by: Sequence[str] = (),
+    smoothing: float = 0.5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """``snapshot_drift_multi`` where both snapshots live in ONE table
+    split by a predicate (yesterday/today partitions, A/B cohorts,
+    train/serve flags) — the most common comparison, and the one where
+    two-DataFrame snapshots waste a scan: ``base.filter(p)`` and
+    ``current.filter(!p)`` of the same table plan two FileScans.
+    Here the side is computed as an expression inside ONE scan.
+
+    ``base_predicate`` is a boolean Column or SQL string; rows where it
+    is TRUE are the baseline, FALSE the current snapshot, NULL excluded
+    (a row that cannot be attributed to a side must not silently load
+    either histogram).
+    """
+    if not value_cols:
+        raise ValueError("value_cols must name at least one column")
+    group_by = list(group_by)
+    pred = F.expr(base_predicate) if isinstance(base_predicate, str) else base_predicate
+    sided = df.withColumn(
+        "__side", F.when(pred, F.lit(0)).when(~pred, F.lit(1))
+    ).filter(F.col("__side").isNotNull())
+    # _stacked_entries would overwrite __side; inline the stacking with
+    # the computed side instead.
+    entries = []
+    for c, bw in value_cols.items():
+        v = F.col(c)
+        if bw is not None:
+            bn = F.floor(v / F.lit(float(bw))).cast("long")
+            bc = F.lit(None).cast("string")
+        else:
+            bn = F.lit(None).cast("long")
+            bc = v.cast("string")
+        entries.append(F.struct(
+            F.lit(c).alias("column"), bn.alias("bin_num"), bc.alias("bin_cat")
+        ))
+    tagged = sided.select(
+        *group_by, F.col("__side"), F.explode(F.array(*entries)).alias("e")
+    ).select(*group_by, "e.column", "e.bin_num", "e.bin_cat", "__side",
+             F.lit(1).cast("long").alias("__w"))
+    gkeys = group_by + ["column"]
+    hist = _pivot_counts(tagged, gkeys + ["bin_num", "bin_cat"], gkeys)
+    return _drift_metrics(hist, gkeys, ["bin_num", "bin_cat"], "bin_num",
+                          _w1_width(value_cols), smoothing, round_dp)
+
+
 def histogram_profile(
     df: DataFrame,
     value_cols: dict[str, float | None],
@@ -424,6 +475,12 @@ def embedding_drift(
         )
         .filter((F.col("c_a") > 0) & (F.col("c_b") > 0))
     )
+    return _centroid_metrics(cent, group_by, round_dp)
+
+
+def _centroid_metrics(cent: DataFrame, group_by: list[str], round_dp: int) -> DataFrame:
+    """Final per-group cosine/L2/L-inf arithmetic over a per-(group,
+    dim) moment relation ``(group..., dim, s_a, c_a, s_b, c_b)``."""
     j = cent.select(
         *group_by,
         "dim",
@@ -459,6 +516,67 @@ def embedding_drift(
         F.round(F.sqrt(F.col("__na2")), round_dp).alias("norm_base"),
         F.round(F.sqrt(F.col("__nb2")), round_dp).alias("norm_curr"),
     )
+
+
+def embedding_profile(
+    df: DataFrame,
+    emb_col: str,
+    group_by: Sequence[str] = (),
+) -> DataFrame:
+    """Persistable centroid-moment snapshot of an embedding column:
+    per-(group, dim) ``(s, c)`` sums/counts — |groups|·dims rows from
+    one scan, the embedding-space analogue of ``histogram_profile``.
+    Store it per corpus snapshot; ``embedding_drift_vs_profile``
+    compares a later corpus against it without rescanning this one.
+    """
+    group_by = list(group_by)
+    ex = df.select(*group_by, F.posexplode(F.col(emb_col)).alias("dim", "val"))
+    return ex.groupBy(*group_by, "dim").agg(
+        F.sum(F.col("val").cast("double")).alias("s"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+
+
+def embedding_drift_vs_profile(
+    profile: DataFrame,
+    current: DataFrame,
+    emb_col: str,
+    group_by: Sequence[str] = (),
+    round_dp: int = 6,
+) -> DataFrame:
+    """``embedding_drift`` of ``current`` against a STORED
+    ``embedding_profile`` — the baseline side enters the single
+    (group, dim) aggregate as pre-aggregated moment rows, so only
+    ``current`` is scanned."""
+    group_by = list(group_by)
+    base_tagged = profile.select(
+        *group_by, "dim",
+        F.col("s").cast("double").alias("val"),
+        F.col("c").cast("long").alias("__w"),
+        F.lit(0).alias("__side"),
+    )
+    curr_tagged = current.select(
+        *group_by,
+        F.posexplode(F.col(emb_col)).alias("dim", "val"),
+    ).select(
+        *group_by, "dim", F.col("val").cast("double").alias("val"),
+        F.lit(1).cast("long").alias("__w"), F.lit(1).alias("__side"),
+    )
+    u = base_tagged.unionByName(curr_tagged)
+    side_a = F.col("__side") == 0
+    side_b = F.col("__side") == 1
+    cent = (
+        u.groupBy(*group_by, "dim")
+        .agg(
+            F.sum(F.when(side_a, F.col("val"))).alias("s_a"),
+            F.sum(F.when(side_a, F.col("__w"))).alias("c_a"),
+            F.sum(F.when(side_b, F.col("val"))).alias("s_b"),
+            F.sum(F.when(side_b, F.col("__w"))).alias("c_b"),
+        )
+        .filter(F.col("c_a").isNotNull() & F.col("c_b").isNotNull()
+                & (F.col("c_a") > 0) & (F.col("c_b") > 0))
+    )
+    return _centroid_metrics(cent, group_by, round_dp)
 
 
 def snapshot_drift_bins(

@@ -323,3 +323,71 @@ def test_profile_is_tiny_and_complete(spark):
     assert prof.groupby("column")["cnt"].sum().eq(n).all()
     # and the profile is aggregate-sized, not row-sized
     assert len(prof) < 200
+
+
+def test_split_predicate_equals_two_dataframe_path(spark):
+    """snapshot_drift_split (one scan, side computed in the scan) must
+    equal snapshot_drift_multi on the two filtered DataFrames; NULL
+    predicates are excluded from both sides; the plan has ONE FileScan."""
+    from random_cut_forest_by_aws_spark.operators.distdrift import (
+        snapshot_drift_multi,
+        snapshot_drift_split,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    cols = {"value": 25.0, "event_type": None}
+    direct = snapshot_drift_multi(
+        e.filter("event_id % 2 = 0"), e.filter("event_id % 2 = 1"), cols
+    ).toPandas().sort_values("column").reset_index(drop=True)
+    split = snapshot_drift_split(e, "event_id % 2 = 0", cols)
+    got = split.toPandas().sort_values("column").reset_index(drop=True)
+    assert list(got.columns) == list(direct.columns)
+    for c in got.columns:
+        a, b = got[c].to_numpy(), direct[c].to_numpy()
+        if a.dtype.kind == "f":
+            assert bool(np.all((a == b) | (np.isnan(a) & np.isnan(b)))), c
+        else:
+            assert np.array_equal(a, b), c
+
+    split.collect()
+    plan = split._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("FileScan parquet") == 1, plan
+
+    # NULL predicate rows land on neither side
+    df = spark.createDataFrame(
+        [(None, 1.0)] * 10 + [(0, 1.0)] * 5 + [(1, 2.0)] * 7,
+        "flag int, v double",
+    )
+    out = snapshot_drift_split(df, "flag = 0", {"v": 1.0}).toPandas().iloc[0]
+    assert out["n_base"] == 5 and out["n_curr"] == 7
+
+
+def test_embedding_profile_roundtrip_equals_direct(spark, tmp_path):
+    """embedding_drift_vs_profile through a parquet round-trip equals
+    the direct two-scan embedding_drift (float sums: addend sets are
+    identical, order differs -> compare at 1e-9 on 6-dp metrics)."""
+    from random_cut_forest_by_aws_spark.operators.distdrift import (
+        embedding_drift,
+        embedding_drift_vs_profile,
+        embedding_profile,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    base = e.filter("vec_id % 2 = 0")
+    curr = e.filter("vec_id % 2 = 1")
+    direct = embedding_drift(base, curr, "embedding", group_by=["label"]
+                             ).toPandas().sort_values("label").reset_index(drop=True)
+    p = str(tmp_path / "emb_profile")
+    embedding_profile(base, "embedding", group_by=["label"]).write.parquet(p)
+    via = embedding_drift_vs_profile(
+        spark.read.parquet(p), curr, "embedding", group_by=["label"]
+    ).toPandas().sort_values("label").reset_index(drop=True)
+    assert list(direct.columns) == list(via.columns)
+    assert len(direct) == len(via) == 10
+    for c in direct.columns:
+        a, b = direct[c].to_numpy(), via[c].to_numpy()
+        if a.dtype.kind == "f":
+            assert np.allclose(a, b, rtol=0, atol=1e-9, equal_nan=True), c
+        else:
+            assert np.array_equal(a, b), c
