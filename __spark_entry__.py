@@ -1269,6 +1269,24 @@ def _q_constraint_check_docs(spark, sf_dir):
     )
 
 
+def _q_constraint_check_by_source(spark, sf_dir):
+    """Per-partition pass/fail: the same declarative rule set judged
+    independently per source (north-rule per-partition verdicts). Still
+    ONE aggregate over ONE scan — grouping only changes the aggregate
+    keys, so the exchange carries |groups| aggregate rows."""
+    from random_cut_forest_by_aws_spark.operators.checks import Check
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        Check("docs_by_source")
+        .is_complete("text")
+        .satisfies("n_chars >= 10", "min_chars", min_fraction=0.99)
+        .has_mean("n_chars", at_least=1.0)
+        .is_unique("doc_id")
+        .run(d, group_by=("source",))
+    )
+
+
 def _q_suite_verdicts(spark, sf_dir):
     """Full ValidationSuite verdict surface, exercising every check
     family in one run: stats/uniqueness/referential/invariants/RCF
@@ -1372,6 +1390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_drift_events": _q_snapshot_drift_events,
         "snapshot_drift_bins_events": _q_snapshot_drift_bins_events,
         "constraint_check_docs": _q_constraint_check_docs,
+        "constraint_check_by_source": _q_constraint_check_by_source,
         "embedding_drift_labels": _q_embedding_drift_labels,
         "snapshot_drift_multi_events": _q_snapshot_drift_multi_events,
         "validation_suite_verdicts": _q_suite_verdicts,
@@ -2598,6 +2617,52 @@ def oracle_sql() -> dict[str, str]:
                 FROM tm2_c
             )
             SELECT * FROM out_v UNION ALL SELECT * FROM out_c
+        """,
+        # grouped declarative check: same arithmetic per source group
+        "constraint_check_by_source": """
+            WITH a AS (
+                SELECT source,
+                       count(*) AS n,
+                       sum(CASE WHEN COALESCE(text IS NOT NULL, FALSE)
+                                THEN 1 ELSE 0 END) AS s_ct,
+                       sum(CASE WHEN COALESCE(n_chars >= 10, FALSE)
+                                THEN 1 ELSE 0 END) AS s_mc,
+                       sum(CAST(n_chars AS DOUBLE)) AS v_sum,
+                       count(n_chars) AS c_mean,
+                       count(DISTINCT doc_id) AS s_dst
+                FROM documents GROUP BY source
+            ), v AS (
+                SELECT * FROM (
+                  SELECT source, 'complete(text)' AS con, 'text' AS col,
+                         '>=' AS op, CAST(1.0 AS DOUBLE) AS th,
+                         CAST(s_ct AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+                         CAST(n - s_ct AS BIGINT) AS nv, n FROM a
+                  UNION ALL
+                  SELECT source, 'min_chars', '', '>=', 0.99,
+                         CAST(s_mc AS DOUBLE) / CAST(n AS DOUBLE),
+                         CAST(n - s_mc AS BIGINT), n FROM a
+                  UNION ALL
+                  SELECT source, 'mean(n_chars)>=', 'n_chars', '>=', 1.0,
+                         v_sum / CAST(c_mean AS DOUBLE),
+                         CAST(-1 AS BIGINT), n FROM a
+                  UNION ALL
+                  SELECT source, 'distinctness(doc_id)>=', 'doc_id', '>=', 1.0,
+                         CAST(s_dst AS DOUBLE) / CAST(n AS DOUBLE),
+                         CAST(-1 AS BIGINT), n FROM a
+                )
+            )
+            SELECT source,
+                   'docs_by_source' AS "check",
+                   con AS "constraint",
+                   col AS "column",
+                   round(m, 6) AS metric,
+                   op,
+                   CAST(th AS DOUBLE) AS threshold,
+                   COALESCE(CASE WHEN op = '>=' THEN m >= th
+                                 ELSE m <= th END, FALSE) AS passed,
+                   CAST(n AS BIGINT) AS n_rows,
+                   nv AS n_violations
+            FROM v
         """,
         # embedding centroid drift: zipped unnest + generate_subscripts
         # replicate posexplode; mean = sum(double)/count, then dot/norm

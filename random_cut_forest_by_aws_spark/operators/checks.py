@@ -211,17 +211,22 @@ class Check:
 
     # -- compilation ----------------------------------------------------
 
-    def run(self, df: DataFrame) -> DataFrame:
-        """One verdict row per constraint:
-        ``(check, constraint, column, metric, op, threshold, passed,
-        n_rows, n_violations)`` — ``n_violations`` is the failing-row
-        count for row-predicate rules and -1 for aggregate rules (no
-        per-row notion of violation)."""
+    def run(self, df: DataFrame, group_by: tuple[str, ...] = ()) -> DataFrame:
+        """One verdict row per constraint (× group when ``group_by`` is
+        set — per-partition pass/fail, e.g. every source must satisfy
+        the rule set independently):
+        ``(group..., check, constraint, column, metric, op, threshold,
+        passed, n_rows, n_violations)`` — ``n_violations`` is the
+        failing-row count for row-predicate rules and -1 for aggregate
+        rules (no per-row notion of violation). Grouped or not, the
+        whole rule set stays ONE aggregate over ONE scan; grouped runs
+        shuffle only the per-group aggregate rows."""
         if not self._rules:
             raise ValueError("Check has no constraints")
         names = [r.name for r in self._rules]
         if len(set(names)) != len(names):
             raise ValueError(f"duplicate constraint names: {names}")
+        group_by = list(group_by)
 
         aggs: list[Column] = [F.count(F.lit(1)).cast("bigint").alias("__n")]
         for i, r in enumerate(self._rules):
@@ -258,7 +263,7 @@ class Check:
                 fn = {"min": F.min, "max": F.max, "sum": F.sum}[r.agg]
                 aggs.append(fn(F.col(r.column).cast("double"))
                             .alias(f"__s{i}"))
-        one = df.agg(*aggs)
+        one = df.groupBy(*group_by).agg(*aggs) if group_by else df.agg(*aggs)
 
         n = F.col("__n")
         nd = n.cast("double")
@@ -305,4 +310,4 @@ class Check:
                 n.alias("n_rows"),
                 nviol.alias("n_violations"),
             ))
-        return one.select(F.inline(F.array(*rows)))
+        return one.select(*group_by, F.inline(F.array(*rows)))

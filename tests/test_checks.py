@@ -256,3 +256,41 @@ def test_correlation_zero_variance_fails_closed(spark):
     out = _run(Check("c").has_correlation("x", "y", at_least=0.0), df)
     r = out.loc["corr(x,y)>="]
     assert not r["passed"]  # x has zero variance -> metric NULL -> fail
+
+
+def test_grouped_check_per_partition_verdicts(spark, docs):
+    """group_by gives per-partition pass/fail: each lang judged on its
+    own rows, equal to running the Check on each group's filter."""
+    chk = (Check("by_lang")
+           .is_complete("text")
+           .satisfies("n_chars >= 5", "min_chars", min_fraction=1.0)
+           .has_mean("n_chars", at_least=5.0)
+           .is_unique("doc_id"))
+    out = chk.run(docs, group_by=("lang",)).toPandas()
+    assert set(out.columns) == {
+        "lang", "check", "constraint", "column", "metric", "op",
+        "threshold", "passed", "n_rows", "n_violations",
+    }
+    # NULL group key is a real group
+    assert set(out["lang"].fillna("<null>")) == {"en", "fr", "xx", "<null>"}
+    for lang in ["en", "fr", "xx", None]:
+        sub = (out[out["lang"].isna()] if lang is None
+               else out[out["lang"] == lang]).set_index("constraint")
+        ref = chk.run(
+            docs.filter("lang IS NULL" if lang is None else f"lang = '{lang}'")
+        ).toPandas().set_index("constraint")
+        for cname in ref.index:
+            for col in ["metric", "passed", "n_rows", "n_violations"]:
+                a, b = sub.loc[cname, col], ref.loc[cname, col]
+                assert a == b or (a != a and b != b), (lang, cname, col)
+    # the doc_id=5 duplicate straddles langs ('en' + NULL), so per-lang
+    # uniqueness PASSES everywhere while the global check fails — the
+    # grouped run answers a genuinely different question
+    en = out[out["lang"] == "en"].set_index("constraint")
+    assert en.loc["distinctness(doc_id)>=", "passed"]
+    assert not chk.run(docs).toPandas().set_index("constraint").loc[
+        "distinctness(doc_id)>=", "passed"]
+    # the NULL text row is in 'en' -> completeness fails there only
+    assert not en.loc["complete(text)", "passed"]
+    fr = out[out["lang"] == "fr"].set_index("constraint")
+    assert fr["passed"].all()
