@@ -1287,6 +1287,22 @@ def _q_constraint_check_by_source(spark, sf_dir):
     )
 
 
+def _q_suggest_rules_docs(spark, sf_dir):
+    """Constraint suggestion (operators/suggest.py — deequ's
+    ConstraintSuggestionRunner analogue): ONE conditional aggregate
+    profiles every column (completeness, exact distinctness, numeric
+    bounds), one more stacked scan gathers the observed value sets of
+    qualifying categorical columns, and the proposed rule set comes out
+    as rows a human can review or `check_from_suggestions` can enforce.
+    The oracle replays the whole decision tree — conditional rule
+    emission included — from the same aggregates."""
+    from random_cut_forest_by_aws_spark.operators.suggest import suggest_rules
+
+    return suggest_rules(
+        _t(spark, sf_dir, "documents"), max_categories=32, exact=True
+    )
+
+
 def _q_suite_verdicts(spark, sf_dir):
     """Full ValidationSuite verdict surface, exercising every check
     family in one run: stats/uniqueness/referential/invariants/RCF
@@ -1391,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_drift_bins_events": _q_snapshot_drift_bins_events,
         "constraint_check_docs": _q_constraint_check_docs,
         "constraint_check_by_source": _q_constraint_check_by_source,
+        "suggest_rules_docs": _q_suggest_rules_docs,
         "embedding_drift_labels": _q_embedding_drift_labels,
         "snapshot_drift_multi_events": _q_snapshot_drift_multi_events,
         "validation_suite_verdicts": _q_suite_verdicts,
@@ -2663,6 +2680,140 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n AS BIGINT) AS n_rows,
                    nv AS n_violations
             FROM v
+        """,
+        # constraint suggestion: replay the WHOLE decision tree — which
+        # rules get proposed is itself data-dependent (conditional
+        # UNION ALL branches gated on the same profile aggregates the
+        # operator computes), so a drifted emission rule mismatches on
+        # row count, not just values. floor(x*1e4)/1e4 is the identical
+        # IEEE sequence as the operator's _floor4.
+        "suggest_rules_docs": """
+            WITH a AS (
+                SELECT count(*) AS n,
+                       count(doc_id) AS nn_doc,
+                       count(DISTINCT doc_id) AS d_doc,
+                       min(CAST(doc_id AS DOUBLE)) AS mn_doc,
+                       max(CAST(doc_id AS DOUBLE)) AS mx_doc,
+                       count(text) AS nn_text,
+                       count(DISTINCT text) AS d_text,
+                       count(lang) AS nn_lang,
+                       count(DISTINCT lang) AS d_lang,
+                       count(source) AS nn_src,
+                       count(DISTINCT source) AS d_src,
+                       count(n_chars) AS nn_nc,
+                       count(DISTINCT n_chars) AS d_nc,
+                       min(CAST(n_chars AS DOUBLE)) AS mn_nc,
+                       max(CAST(n_chars AS DOUBLE)) AS mx_nc
+                FROM documents
+            ), vl AS (
+                SELECT string_agg(DISTINCT lang, chr(31) ORDER BY lang) AS v
+                FROM documents WHERE lang IS NOT NULL
+            ), vs AS (
+                SELECT string_agg(DISTINCT source, chr(31) ORDER BY source) AS v
+                FROM documents WHERE source IS NOT NULL
+            )
+            SELECT 'doc_id' AS "column", 'is_complete' AS rule,
+                   CAST(1.0 AS DOUBLE) AS threshold,
+                   CAST(NULL AS VARCHAR) AS allowed,
+                   CAST(nn_doc AS DOUBLE) / CAST(n AS DOUBLE) AS metric,
+                   CAST(n AS BIGINT) AS n_rows
+            FROM a WHERE n > 0 AND nn_doc = n
+            UNION ALL
+            SELECT 'doc_id', 'has_completeness',
+                   floor(CAST(nn_doc AS DOUBLE)/CAST(n AS DOUBLE)*10000)/10000,
+                   NULL, CAST(nn_doc AS DOUBLE)/CAST(n AS DOUBLE), n
+            FROM a WHERE n > 0 AND nn_doc > 0 AND nn_doc < n
+            UNION ALL
+            SELECT 'doc_id', 'has_min', mn_doc, NULL, mn_doc, n
+            FROM a WHERE nn_doc > 0
+            UNION ALL
+            SELECT 'doc_id', 'has_max', mx_doc, NULL, mx_doc, n
+            FROM a WHERE nn_doc > 0
+            UNION ALL
+            SELECT 'doc_id', 'is_non_negative', 1.0, NULL, mn_doc, n
+            FROM a WHERE nn_doc > 0 AND mn_doc >= 0
+            UNION ALL
+            SELECT 'doc_id', 'is_unique', 1.0, NULL,
+                   CAST(d_doc AS DOUBLE)/CAST(n AS DOUBLE), n
+            FROM a WHERE n > 1 AND nn_doc = n AND d_doc = n
+            UNION ALL
+            SELECT 'text', 'is_complete', 1.0, NULL,
+                   CAST(nn_text AS DOUBLE)/CAST(n AS DOUBLE), n
+            FROM a WHERE n > 0 AND nn_text = n
+            UNION ALL
+            SELECT 'text', 'has_completeness',
+                   floor(CAST(nn_text AS DOUBLE)/CAST(n AS DOUBLE)*10000)/10000,
+                   NULL, CAST(nn_text AS DOUBLE)/CAST(n AS DOUBLE), n
+            FROM a WHERE n > 0 AND nn_text > 0 AND nn_text < n
+            UNION ALL
+            SELECT 'text', 'is_unique', 1.0, NULL,
+                   CAST(d_text AS DOUBLE)/CAST(n AS DOUBLE), n
+            FROM a WHERE n > 1 AND nn_text = n AND d_text = n
+            UNION ALL
+            SELECT 'text', 'is_contained_in', 1.0,
+                   (SELECT string_agg(DISTINCT text, chr(31) ORDER BY text)
+                    FROM documents WHERE text IS NOT NULL),
+                   CAST(d_text AS DOUBLE), n
+            FROM a WHERE d_text > 0 AND d_text <= 32
+                    AND NOT (d_text = nn_text AND nn_text = n AND n > 1)
+            UNION ALL
+            SELECT 'lang', 'is_complete', 1.0, NULL,
+                   CAST(nn_lang AS DOUBLE)/CAST(n AS DOUBLE), n
+            FROM a WHERE n > 0 AND nn_lang = n
+            UNION ALL
+            SELECT 'lang', 'has_completeness',
+                   floor(CAST(nn_lang AS DOUBLE)/CAST(n AS DOUBLE)*10000)/10000,
+                   NULL, CAST(nn_lang AS DOUBLE)/CAST(n AS DOUBLE), n
+            FROM a WHERE n > 0 AND nn_lang > 0 AND nn_lang < n
+            UNION ALL
+            SELECT 'lang', 'is_unique', 1.0, NULL,
+                   CAST(d_lang AS DOUBLE)/CAST(n AS DOUBLE), n
+            FROM a WHERE n > 1 AND nn_lang = n AND d_lang = n
+            UNION ALL
+            SELECT 'lang', 'is_contained_in', 1.0, (SELECT v FROM vl),
+                   CAST(d_lang AS DOUBLE), n
+            FROM a WHERE d_lang > 0 AND d_lang <= 32
+                    AND NOT (d_lang = nn_lang AND nn_lang = n AND n > 1)
+            UNION ALL
+            SELECT 'source', 'is_complete', 1.0, NULL,
+                   CAST(nn_src AS DOUBLE)/CAST(n AS DOUBLE), n
+            FROM a WHERE n > 0 AND nn_src = n
+            UNION ALL
+            SELECT 'source', 'has_completeness',
+                   floor(CAST(nn_src AS DOUBLE)/CAST(n AS DOUBLE)*10000)/10000,
+                   NULL, CAST(nn_src AS DOUBLE)/CAST(n AS DOUBLE), n
+            FROM a WHERE n > 0 AND nn_src > 0 AND nn_src < n
+            UNION ALL
+            SELECT 'source', 'is_unique', 1.0, NULL,
+                   CAST(d_src AS DOUBLE)/CAST(n AS DOUBLE), n
+            FROM a WHERE n > 1 AND nn_src = n AND d_src = n
+            UNION ALL
+            SELECT 'source', 'is_contained_in', 1.0, (SELECT v FROM vs),
+                   CAST(d_src AS DOUBLE), n
+            FROM a WHERE d_src > 0 AND d_src <= 32
+                    AND NOT (d_src = nn_src AND nn_src = n AND n > 1)
+            UNION ALL
+            SELECT 'n_chars', 'is_complete', 1.0, NULL,
+                   CAST(nn_nc AS DOUBLE)/CAST(n AS DOUBLE), n
+            FROM a WHERE n > 0 AND nn_nc = n
+            UNION ALL
+            SELECT 'n_chars', 'has_completeness',
+                   floor(CAST(nn_nc AS DOUBLE)/CAST(n AS DOUBLE)*10000)/10000,
+                   NULL, CAST(nn_nc AS DOUBLE)/CAST(n AS DOUBLE), n
+            FROM a WHERE n > 0 AND nn_nc > 0 AND nn_nc < n
+            UNION ALL
+            SELECT 'n_chars', 'has_min', mn_nc, NULL, mn_nc, n
+            FROM a WHERE nn_nc > 0
+            UNION ALL
+            SELECT 'n_chars', 'has_max', mx_nc, NULL, mx_nc, n
+            FROM a WHERE nn_nc > 0
+            UNION ALL
+            SELECT 'n_chars', 'is_non_negative', 1.0, NULL, mn_nc, n
+            FROM a WHERE nn_nc > 0 AND mn_nc >= 0
+            UNION ALL
+            SELECT 'n_chars', 'is_unique', 1.0, NULL,
+                   CAST(d_nc AS DOUBLE)/CAST(n AS DOUBLE), n
+            FROM a WHERE n > 1 AND nn_nc = n AND d_nc = n
         """,
         # embedding centroid drift: zipped unnest + generate_subscripts
         # replicate posexplode; mean = sum(double)/count, then dot/norm
