@@ -1303,6 +1303,67 @@ def _q_suggest_rules_docs(spark, sf_dir):
     )
 
 
+def _metric_history(spark, sf_dir):
+    """Daily event counts per type — a realistic metrics table (runs ×
+    checks) for the metric-anomaly detectors. Integer-valued doubles ⇒
+    window sums are exact and summation order cannot matter. ``day`` is
+    an ISO-8601 STRING (not DATE): it sorts identically, and the
+    driver's canonicalizer str()s non-numeric columns, where Spark's
+    datetime.date and DuckDB's datetime64 render differently."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type",
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+
+
+def _q_metric_anomaly_events(spark, sf_dir):
+    """Anomaly detection over metric history (operators/
+    metrics_anomaly.py — deequ's addAnomalyCheck over a
+    MetricsRepository): each day's count is judged against the PRIOR
+    days only via expanding-window mean/sample-variance (plain ANSI
+    window SQL — the oracle replays the identical expression shapes)."""
+    from random_cut_forest_by_aws_spark.operators.metrics_anomaly import (
+        metric_anomalies,
+    )
+
+    return metric_anomalies(
+        _metric_history(spark, sf_dir), ("event_type",), "day", "cnt",
+        method="zscore", z=3.0, min_history=5,
+    )
+
+
+def _q_metric_anomaly_online_events(spark, sf_dir):
+    """Discounted online-normal variant (core Deviation sketch —
+    deequ's OnlineNormalStrategy): the band tracks slow drift in the
+    metric itself. Sequential state per key ⇒ no SQL oracle
+    (rows-only gate; scalar-replay parity pinned in
+    tests/test_metrics_anomaly.py)."""
+    from random_cut_forest_by_aws_spark.operators.metrics_anomaly import (
+        metric_anomalies,
+    )
+
+    return metric_anomalies(
+        _metric_history(spark, sf_dir), ("event_type",), "day", "cnt",
+        method="online", z=3.0, min_history=5, discount=0.05,
+    )
+
+
+def _q_metric_anomaly_change_events(spark, sf_dir):
+    """Rate-of-change variant (deequ RelativeRateOfChangeStrategy):
+    each day's count vs the previous day's, flagged outside
+    [0.5, 2.0]. Pure lag arithmetic — the oracle replays the identical
+    ratio + bounds expressions (IEEE double division both engines)."""
+    from random_cut_forest_by_aws_spark.operators.metrics_anomaly import (
+        metric_anomalies,
+    )
+
+    return metric_anomalies(
+        _metric_history(spark, sf_dir), ("event_type",), "day", "cnt",
+        method="rel_change", lower=0.5, upper=2.0,
+    )
+
+
 def _q_suite_verdicts(spark, sf_dir):
     """Full ValidationSuite verdict surface, exercising every check
     family in one run: stats/uniqueness/referential/invariants/RCF
@@ -1408,6 +1469,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "constraint_check_docs": _q_constraint_check_docs,
         "constraint_check_by_source": _q_constraint_check_by_source,
         "suggest_rules_docs": _q_suggest_rules_docs,
+        "metric_anomaly_events": _q_metric_anomaly_events,
+        "metric_anomaly_online_events": _q_metric_anomaly_online_events,
+        "metric_anomaly_change_events": _q_metric_anomaly_change_events,
         "embedding_drift_labels": _q_embedding_drift_labels,
         "snapshot_drift_multi_events": _q_snapshot_drift_multi_events,
         "validation_suite_verdicts": _q_suite_verdicts,
@@ -2680,6 +2744,77 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n AS BIGINT) AS n_rows,
                    nv AS n_violations
             FROM v
+        """,
+        # metric-history anomaly (zscore): expanding prior-only window
+        # frames; integer-valued doubles make every sum exact, so the
+        # guards + variance arithmetic replay bit-for-bit.
+        "metric_anomaly_events": """
+            WITH h AS (
+                SELECT event_type,
+                       strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                       CAST(count(*) AS DOUBLE) AS v
+                FROM events GROUP BY event_type, CAST(ts AS DATE)
+            ), w AS (
+                SELECT event_type, day, v,
+                       count(v) OVER f AS n,
+                       sum(v) OVER f AS s1,
+                       sum(v * v) OVER f AS s2
+                FROM h
+                WINDOW f AS (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING)
+            )
+            SELECT event_type, day, v AS value,
+                   CAST(COALESCE(n, 0) AS BIGINT) AS n_prior,
+                   CASE WHEN n > 0
+                        THEN round(s1 / CAST(n AS DOUBLE), 6) END
+                       AS mean_prior,
+                   CASE WHEN n >= 2 AND greatest(
+                            (s2 - s1 * s1 / CAST(n AS DOUBLE))
+                            / (CAST(n AS DOUBLE) - 1.0), 0.0) > 0
+                        THEN round(
+                            (v - s1 / CAST(n AS DOUBLE))
+                            / sqrt(greatest(
+                                (s2 - s1 * s1 / CAST(n AS DOUBLE))
+                                / (CAST(n AS DOUBLE) - 1.0), 0.0)), 6)
+                   END AS z_score,
+                   (n >= 5 AND COALESCE(
+                       CASE WHEN (CASE WHEN n >= 2 THEN greatest(
+                                      (s2 - s1 * s1 / CAST(n AS DOUBLE))
+                                      / (CAST(n AS DOUBLE) - 1.0), 0.0)
+                                  END) > 0
+                            THEN abs((v - s1 / CAST(n AS DOUBLE))
+                                     / sqrt(greatest(
+                                         (s2 - s1 * s1 / CAST(n AS DOUBLE))
+                                         / (CAST(n AS DOUBLE) - 1.0), 0.0)))
+                                 > 3.0
+                            ELSE v <> s1 / CAST(n AS DOUBLE) END,
+                       FALSE)) AS is_anomaly
+            FROM w
+        """,
+        # metric-history anomaly (rel_change): lag ratio + bounds —
+        # IEEE double division replays identically in both engines;
+        # NULL/zero previous value ⇒ NULL change, never a flag.
+        "metric_anomaly_change_events": """
+            WITH h AS (
+                SELECT event_type,
+                       strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                       CAST(count(*) AS DOUBLE) AS v
+                FROM events GROUP BY event_type, CAST(ts AS DATE)
+            ), c AS (
+                SELECT event_type, day, v,
+                       lag(v) OVER (PARTITION BY event_type
+                                    ORDER BY day) AS prev
+                FROM h
+            )
+            SELECT event_type, day, v AS value,
+                   round(CASE WHEN prev <> 0 THEN v / prev END, 6)
+                       AS change,
+                   COALESCE(
+                       (CASE WHEN prev <> 0 THEN v / prev END) < 0.5
+                       OR (CASE WHEN prev <> 0 THEN v / prev END) > 2.0,
+                       FALSE) AS is_anomaly
+            FROM c
         """,
         # constraint suggestion: replay the WHOLE decision tree — which
         # rules get proposed is itself data-dependent (conditional
