@@ -1287,6 +1287,31 @@ def _q_constraint_check_by_source(spark, sf_dir):
     )
 
 
+def _q_constraint_profile_docs(spark, sf_dir):
+    """deequ's remaining analyzer families as Check rules
+    (operators/checks.py): scan-sharing population stddev and
+    min/max length in the single conditional aggregate, plus the
+    frequency-based grouping analyzers — Shannon entropy (order-stable
+    ln(N) − Σc·ln(c)/N form), uniqueness (exactly-once fraction),
+    unique-value ratio, and pairwise mutual information (marginals via
+    window sums over the distinct-pair table, never a second scan of
+    the input). The oracle replays every closed form verbatim."""
+    from random_cut_forest_by_aws_spark.operators.checks import Check
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        Check("docs_profile")
+        .has_standard_deviation("n_chars", at_least=1.0)
+        .has_min_length("text", at_least=0.0)
+        .has_max_length("text", at_most=100000.0)
+        .has_entropy("lang", at_least=0.1)
+        .has_uniqueness("doc_id", at_least=0.999)
+        .has_unique_value_ratio("source", at_least=0.0)
+        .has_mutual_information("lang", "source", at_least=0.0)
+        .run(d)
+    )
+
+
 def _q_suggest_rules_docs(spark, sf_dir):
     """Constraint suggestion (operators/suggest.py — deequ's
     ConstraintSuggestionRunner analogue): ONE conditional aggregate
@@ -1469,6 +1494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "constraint_check_docs": _q_constraint_check_docs,
         "constraint_check_by_source": _q_constraint_check_by_source,
         "suggest_rules_docs": _q_suggest_rules_docs,
+        "constraint_profile_docs": _q_constraint_profile_docs,
         "metric_anomaly_events": _q_metric_anomaly_events,
         "metric_anomaly_online_events": _q_metric_anomaly_online_events,
         "metric_anomaly_change_events": _q_metric_anomaly_change_events,
@@ -2743,6 +2769,95 @@ def oracle_sql() -> dict[str, str]:
                                  ELSE m <= th END, FALSE) AS passed,
                    CAST(n AS BIGINT) AS n_rows,
                    nv AS n_violations
+            FROM v
+        """,
+        # deequ analyzer-profile rules: scan-sharing moments (population
+        # stddev, min/max length) + frequency-based grouping analyzers
+        # (entropy in the order-stable ln(N)−Σc·ln(c)/N form,
+        # exactly-once uniqueness, unique-value ratio, pairwise MI via
+        # window-sum marginals over the distinct-pair table) — every
+        # closed form replayed verbatim; round(·,6) absorbs summation
+        # order.
+        "constraint_profile_docs": """
+            WITH a AS (
+                SELECT count(*) AS n,
+                       sum(CAST(n_chars AS DOUBLE)) AS sd_x,
+                       sum(CAST(n_chars AS DOUBLE)
+                           * CAST(n_chars AS DOUBLE)) AS sd_xx,
+                       CAST(count(n_chars) AS DOUBLE) AS sd_c,
+                       CAST(min(length(text)) AS DOUBLE) AS len_min,
+                       CAST(max(length(text)) AS DOUBLE) AS len_max
+                FROM documents
+            ), fl AS (
+                SELECT CAST(count(*) AS DOUBLE) AS c
+                FROM documents WHERE lang IS NOT NULL GROUP BY lang
+            ), el AS (
+                SELECT sum(c) AS nn, sum(c * ln(c)) AS s FROM fl
+            ), fd AS (
+                SELECT CAST(count(*) AS DOUBLE) AS c
+                FROM documents WHERE doc_id IS NOT NULL GROUP BY doc_id
+            ), ud AS (
+                SELECT sum(c) AS nn,
+                       sum(CASE WHEN c = 1.0 THEN 1.0 ELSE 0.0 END) AS u
+                FROM fd
+            ), fs AS (
+                SELECT CAST(count(*) AS DOUBLE) AS c
+                FROM documents WHERE source IS NOT NULL GROUP BY source
+            ), us AS (
+                SELECT CAST(count(*) AS DOUBLE) AS d,
+                       sum(CASE WHEN c = 1.0 THEN 1.0 ELSE 0.0 END) AS u
+                FROM fs
+            ), jt AS (
+                SELECT lang, source, CAST(count(*) AS DOUBLE) AS c
+                FROM documents
+                WHERE lang IS NOT NULL AND source IS NOT NULL
+                GROUP BY lang, source
+            ), jw AS (
+                SELECT c,
+                       sum(c) OVER (PARTITION BY lang) AS ca,
+                       sum(c) OVER (PARTITION BY source) AS cb,
+                       sum(c) OVER () AS nn
+                FROM jt
+            ), mi AS (
+                SELECT sum((c / nn) * ln(c * nn / (ca * cb))) AS m
+                FROM jw
+            ), v AS (
+                SELECT 'stddev(n_chars)>=' AS con, 'n_chars' AS col,
+                       '>=' AS op, 1.0 AS th,
+                       CASE WHEN sd_c > 0 THEN
+                           sqrt(greatest(sd_xx / sd_c
+                                         - (sd_x / sd_c) * (sd_x / sd_c),
+                                         0.0)) END AS m,
+                       n FROM a
+                UNION ALL
+                SELECT 'min_length(text)>=', 'text', '>=', 0.0,
+                       len_min, n FROM a
+                UNION ALL
+                SELECT 'max_length(text)<=', 'text', '<=', 100000.0,
+                       len_max, n FROM a
+                UNION ALL
+                SELECT 'entropy(lang)>=', 'lang', '>=', 0.1,
+                       (SELECT CASE WHEN nn > 0 THEN ln(nn) - s / nn END
+                        FROM el), n FROM a
+                UNION ALL
+                SELECT 'uniqueness(doc_id)>=', 'doc_id', '>=', 0.999,
+                       (SELECT CASE WHEN nn > 0 THEN u / nn END FROM ud),
+                       n FROM a
+                UNION ALL
+                SELECT 'unique_value_ratio(source)>=', 'source', '>=', 0.0,
+                       (SELECT CASE WHEN d > 0 THEN u / d END FROM us),
+                       n FROM a
+                UNION ALL
+                SELECT 'mi(lang,source)>=', 'lang', '>=', 0.0,
+                       (SELECT m FROM mi), n FROM a
+            )
+            SELECT 'docs_profile' AS "check", con AS "constraint",
+                   col AS "column", round(m, 6) AS metric, op,
+                   CAST(th AS DOUBLE) AS threshold,
+                   COALESCE(CASE WHEN op = '>=' THEN m >= th
+                                 ELSE m <= th END, FALSE) AS passed,
+                   CAST(n AS BIGINT) AS n_rows,
+                   CAST(-1 AS BIGINT) AS n_violations
             FROM v
         """,
         # metric-history anomaly (zscore): expanding prior-only window

@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _OPS = {">=", "<="}
@@ -44,7 +44,20 @@ _SPEC_METHODS = frozenset({
     "satisfies", "is_complete", "has_completeness", "is_contained_in",
     "has_pattern", "is_non_negative", "has_min", "has_max", "has_mean",
     "has_sum", "has_size", "has_distinctness", "is_unique",
-    "has_correlation",
+    "has_correlation", "has_standard_deviation", "has_min_length",
+    "has_max_length", "has_entropy", "has_uniqueness",
+    "has_unique_value_ratio", "has_mutual_information",
+})
+
+#: frequency-based analyzers that need a per-value aggregation of their
+#: own (deequ's "grouping" analyzers — its AnalysisRunner separates
+#: these from scan-sharing analyzers for exactly this reason). Each
+#: distinct basis (one column, or the column pair for MI) costs ONE
+#: extra aggregation whose exchange carries only the distinct values;
+#: all rules on the same basis share it, and the per-group metric rows
+#: are broadcast-joined back onto the scan-sharing verdict row.
+_GROUPING_AGGS = frozenset({
+    "entropy", "uniqueness", "unique_value_ratio", "mutual_information",
 })
 
 
@@ -198,6 +211,71 @@ class Check:
                                      "corr", "<=", float(at_most), column_b))
         return self
 
+    def has_standard_deviation(self, column: str,
+                               at_least=None, at_most=None) -> "Check":
+        """Population standard deviation (deequ's StandardDeviation)
+        from one-pass moments over non-null values:
+        √(max(Σx²/n − (Σx/n)², 0)). Same single scan."""
+        return self._agg("stddev", column, at_least, at_most)
+
+    def has_min_length(self, column: str,
+                       at_least=None, at_most=None) -> "Check":
+        """min(length(column)) over non-null values (deequ MinLength).
+        Codepoint semantics in both engines."""
+        return self._agg("min_length", column, at_least, at_most)
+
+    def has_max_length(self, column: str,
+                       at_least=None, at_most=None) -> "Check":
+        """max(length(column)) over non-null values (deequ MaxLength)."""
+        return self._agg("max_length", column, at_least, at_most)
+
+    # -- frequency-based (grouping) rules -------------------------------
+
+    def has_entropy(self, column: str,
+                    at_least=None, at_most=None) -> "Check":
+        """Shannon entropy (nats) of the column's value distribution
+        over non-null rows: −Σ (c/N)·ln(c/N), computed in the
+        order-stable closed form ln(N) − Σ c·ln(c)/N (deequ Entropy).
+        Frequency-based: adds one per-value aggregation for this
+        column's basis (shared with uniqueness/unique-value-ratio on
+        the same column)."""
+        return self._agg("entropy", column, at_least, at_most)
+
+    def has_uniqueness(self, column: str, at_least: float) -> "Check":
+        """deequ Uniqueness: (#values occurring exactly once) /
+        (#non-null rows). Distinct from has_distinctness
+        (distinct/total): a column where every value appears twice has
+        distinctness 0.5 but uniqueness 0."""
+        return self._agg("uniqueness", column, at_least, None)
+
+    def has_unique_value_ratio(self, column: str, at_least: float) -> "Check":
+        """deequ UniqueValueRatio: (#values occurring exactly once) /
+        (#distinct values)."""
+        return self._agg("unique_value_ratio", column, at_least, None)
+
+    def has_mutual_information(self, column_a: str, column_b: str,
+                               at_least=None, at_most=None) -> "Check":
+        """Mutual information (nats) of two columns over rows where
+        both are non-null: Σ p(x,y)·ln(p(x,y)/(p(x)·p(y))) (deequ
+        MutualInformation). Frequency-based on the PAIR basis: one
+        aggregation to the distinct (a,b) table, marginals recovered
+        with window sums over that small table — never a second scan
+        of the input. MI(a,a) equals entropy(a) (pinned in tests)."""
+        if at_least is None and at_most is None:
+            raise ValueError(
+                f"mi({column_a},{column_b}): need at_least and/or at_most"
+            )
+        pair = f"mi({column_a},{column_b})"
+        if at_least is not None:
+            self._rules.append(_Rule(
+                "agg", f"{pair}>=", column_a, None, "mutual_information",
+                ">=", float(at_least), column_b))
+        if at_most is not None:
+            self._rules.append(_Rule(
+                "agg", f"{pair}<=", column_a, None, "mutual_information",
+                "<=", float(at_most), column_b))
+        return self
+
     def has_distinctness(self, column: str, at_least: float) -> "Check":
         """count(distinct column) / count(*) — EXACT (plans an Expand,
         still one scan)."""
@@ -210,6 +288,87 @@ class Check:
         return self.has_distinctness(column, 1.0)
 
     # -- compilation ----------------------------------------------------
+
+    def _attach_grouping_metrics(
+        self, one: DataFrame, df: DataFrame, group_by: list[str]
+    ) -> DataFrame:
+        """Compile frequency-based rules: one per-value aggregation per
+        distinct basis (column, or column pair for MI) — deequ's
+        grouping analyzers, which its runner likewise cannot fuse into
+        the scan-sharing pass. The per-group metric rows (|groups|
+        rows) are broadcast-left-joined onto the scan-sharing verdict
+        row; a group with no usable rows stays NULL ⇒ fails closed."""
+        single: dict[str, list[tuple[int, _Rule]]] = {}
+        pairs: dict[tuple[str, str], list[tuple[int, _Rule]]] = {}
+        for i, r in enumerate(self._rules):
+            if r.agg == "mutual_information":
+                pairs.setdefault((r.column, r.column2), []).append((i, r))
+            elif r.agg in _GROUPING_AGGS:
+                single.setdefault(r.column, []).append((i, r))
+        if not single and not pairs:
+            return one
+
+        def attach(sel: DataFrame) -> DataFrame:
+            if group_by:
+                return one.join(F.broadcast(sel), on=group_by, how="left")
+            k = "__jk"
+            return (one.withColumn(k, F.lit(1))
+                    .join(F.broadcast(sel.withColumn(k, F.lit(1))),
+                          on=k, how="left").drop(k))
+
+        for col, rules in single.items():
+            freq = (df.filter(F.col(col).isNotNull())
+                    .groupBy(*group_by, col)
+                    .agg(F.count(F.lit(1)).cast("double").alias("__c")))
+            c = F.col("__c")
+            base = freq.groupBy(*group_by).agg(
+                F.sum(c).alias("__N"),
+                F.count(F.lit(1)).cast("double").alias("__D"),
+                F.sum(F.when(c == 1.0, 1.0).otherwise(0.0)).alias("__U"),
+                # entropy in the order-stable closed form:
+                # −Σ(c/N)ln(c/N) = ln(N) − Σ c·ln(c)/N
+                F.sum(c * F.log(c)).alias("__S"),
+            )
+            N, D, U, S = (F.col("__N"), F.col("__D"),
+                          F.col("__U"), F.col("__S"))
+            exprs = []
+            for i, r in rules:
+                if r.agg == "entropy":
+                    m = F.when(N > 0, F.log(N) - S / N)
+                elif r.agg == "uniqueness":
+                    m = F.when(N > 0, U / N)
+                else:  # unique_value_ratio
+                    m = F.when(D > 0, U / D)
+                exprs.append(m.alias(f"__g{i}"))
+            one = attach(base.select(*group_by, *exprs))
+
+        for (a, b), rules in pairs.items():
+            jt = (df.filter(F.col(a).isNotNull() & F.col(b).isNotNull())
+                  .groupBy(*group_by, a, b)
+                  .agg(F.count(F.lit(1)).cast("double").alias("__c")))
+            # marginals via window sums over the DISTINCT-pair table —
+            # it carries only |distinct (a,b)| rows, never row-scale
+            wa = Window.partitionBy(*group_by, a)
+            wb = Window.partitionBy(*group_by, b)
+            wn = (Window.partitionBy(*group_by) if group_by
+                  else Window.partitionBy(F.lit(1)))
+            c = F.col("__c")
+            jt2 = jt.select(
+                *group_by, c.alias("__c"),
+                F.sum("__c").over(wa).alias("__ca"),
+                F.sum("__c").over(wb).alias("__cb"),
+                F.sum("__c").over(wn).alias("__N"),
+            )
+            term = (F.col("__c") / F.col("__N")) * F.log(
+                F.col("__c") * F.col("__N")
+                / (F.col("__ca") * F.col("__cb"))
+            )
+            base = jt2.groupBy(*group_by).agg(F.sum(term).alias("__mi"))
+            one = attach(base.select(
+                *group_by,
+                *[F.col("__mi").alias(f"__g{i}") for i, _ in rules],
+            ))
+        return one
 
     def run(self, df: DataFrame, group_by: tuple[str, ...] = ()) -> DataFrame:
         """One verdict row per constraint (× group when ``group_by`` is
@@ -230,6 +389,8 @@ class Check:
 
         aggs: list[Column] = [F.count(F.lit(1)).cast("bigint").alias("__n")]
         for i, r in enumerate(self._rules):
+            if r.agg in _GROUPING_AGGS:
+                continue  # compiled separately below
             if r.kind == "frac":
                 ok = F.coalesce(F.expr(r.predicate), F.lit(False))
                 aggs.append(
@@ -259,11 +420,21 @@ class Check:
                 aggs.append(F.sum(x * x).alias(f"__xx{i}"))
                 aggs.append(F.sum(y * y).alias(f"__yy{i}"))
                 aggs.append(F.sum(x * y).alias(f"__xy{i}"))
+            elif r.agg == "stddev":
+                x = F.col(r.column).cast("double")
+                aggs.append(F.sum(x).alias(f"__x{i}"))
+                aggs.append(F.sum(x * x).alias(f"__xx{i}"))
+                aggs.append(F.count(x).cast("double").alias(f"__c{i}"))
+            elif r.agg in ("min_length", "max_length"):
+                fn = F.min if r.agg == "min_length" else F.max
+                aggs.append(fn(F.length(F.col(r.column)))
+                            .cast("double").alias(f"__s{i}"))
             else:  # min | max | sum
                 fn = {"min": F.min, "max": F.max, "sum": F.sum}[r.agg]
                 aggs.append(fn(F.col(r.column).cast("double"))
                             .alias(f"__s{i}"))
         one = df.groupBy(*group_by).agg(*aggs) if group_by else df.agg(*aggs)
+        one = self._attach_grouping_metrics(one, df, group_by)
 
         n = F.col("__n")
         nd = n.cast("double")
@@ -293,6 +464,18 @@ class Check:
                     (np_ * F.col(f"__xy{i}") - sx * sy)
                     / (F.sqrt(vx) * F.sqrt(vy)),
                 )
+                nviol = F.lit(-1).cast("bigint")
+            elif r.agg == "stddev":
+                c = F.col(f"__c{i}")
+                sx, sxx = F.col(f"__x{i}"), F.col(f"__xx{i}")
+                metric = F.when(
+                    c > 0,
+                    F.sqrt(F.greatest(sxx / c - (sx / c) * (sx / c),
+                                      F.lit(0.0))),
+                )
+                nviol = F.lit(-1).cast("bigint")
+            elif r.agg in _GROUPING_AGGS:
+                metric = F.col(f"__g{i}")
                 nviol = F.lit(-1).cast("bigint")
             else:
                 metric = F.col(f"__s{i}")

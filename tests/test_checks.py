@@ -294,3 +294,128 @@ def test_grouped_check_per_partition_verdicts(spark, docs):
     assert not en.loc["complete(text)", "passed"]
     fr = out[out["lang"] == "fr"].set_index("constraint")
     assert fr["passed"].all()
+
+
+# -- frequency-based (grouping) analyzers + new scan-sharing moments ----
+
+
+def test_entropy_uniqueness_uvr_hand_computed(spark):
+    """lang values a,a,b,c,NULL → N=4, D=3, U=2: entropy
+    ln4 − 2ln2/4, uniqueness 2/4, unique-value ratio 2/3."""
+    import math
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("c",), (None,)], "v string"
+    )
+    out = _run(
+        Check("c")
+        .has_entropy("v", at_least=0.0)
+        .has_uniqueness("v", at_least=0.0)
+        .has_unique_value_ratio("v", at_least=0.0),
+        df,
+    )
+    h = math.log(4) - 2 * math.log(2) / 4
+    assert out.loc["entropy(v)>="]["metric"] == pytest.approx(h, abs=1e-6)
+    assert out.loc["uniqueness(v)>="]["metric"] == pytest.approx(0.5, abs=1e-6)
+    assert out.loc["unique_value_ratio(v)>="]["metric"] == pytest.approx(
+        2 / 3, abs=1e-6
+    )
+
+
+def test_mutual_information_hand_computed_and_self_identity(spark):
+    """MI over pairwise-complete rows; MI(v,v) must equal entropy(v)
+    (the defining identity I(X;X)=H(X))."""
+    import math
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("b", "y"), ("c", None), (None, "z")],
+        "v string, w string",
+    )
+    out = _run(
+        Check("c")
+        .has_mutual_information("v", "w", at_least=0.0)
+        .has_mutual_information("v", "v", at_least=0.0)
+        .has_entropy("v", at_least=0.0),
+        df,
+    )
+    # pairs: (a,x)×2, (b,y) → N=3, ca: a=2,b=1, cb: x=2,y=1
+    mi = (2 / 3) * math.log(2 * 3 / 4) + (1 / 3) * math.log(3)
+    assert out.loc["mi(v,w)>="]["metric"] == pytest.approx(mi, abs=1e-6)
+    assert out.loc["mi(v,v)>="]["metric"] == pytest.approx(
+        out.loc["entropy(v)>="]["metric"], abs=1e-6
+    )
+
+
+def test_mi_independent_columns_is_zero(spark):
+    """A perfectly balanced independent joint ⇒ MI exactly 0."""
+    rows = [(a, b) for a in ("p", "q") for b in ("x", "y") for _ in range(3)]
+    df = spark.createDataFrame(rows, "v string, w string")
+    out = _run(Check("c").has_mutual_information("v", "w", at_least=0.0), df)
+    assert out.loc["mi(v,w)>="]["metric"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_stddev_and_lengths(spark):
+    import numpy as np
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "bb"), (3, "ccc"), (4, None), (5, "eeeee")],
+        "x bigint, s string",
+    )
+    out = _run(
+        Check("c")
+        .has_standard_deviation("x", at_least=0.0)
+        .has_min_length("s", at_least=1.0)
+        .has_max_length("s", at_most=5.0),
+        df,
+    )
+    assert out.loc["stddev(x)>="]["metric"] == pytest.approx(
+        float(np.std([1, 2, 3, 4, 5])), abs=1e-6
+    )
+    assert out.loc["min_length(s)>="]["metric"] == 1.0
+    assert out.loc["max_length(s)<="]["metric"] == 5.0
+    assert out["passed"].all()
+
+
+def test_grouping_analyzers_grouped_fail_closed(spark):
+    """Per-group verdicts: a group whose basis column is all-NULL has
+    no frequency rows — metric NULL, passed False (quarantine)."""
+    df = spark.createDataFrame(
+        [("g1", "a"), ("g1", "a"), ("g1", "b"), ("g2", None)],
+        "g string, v string",
+    )
+    out = (
+        Check("c")
+        .has_entropy("v", at_least=0.0)
+        .has_uniqueness("v", at_least=0.0)
+        .run(df, group_by=("g",))
+        .toPandas()
+        .set_index(["g", "constraint"])
+    )
+    assert out.loc[("g1", "entropy(v)>=")]["passed"]
+    assert not out.loc[("g2", "entropy(v)>=")]["passed"]
+    assert out.loc[("g2", "uniqueness(v)>=")]["metric"] != out.loc[
+        ("g2", "uniqueness(v)>=")
+    ]["metric"]  # NaN
+
+
+def test_profile_rules_from_spec(spark, docs):
+    from random_cut_forest_by_aws_spark.operators.checks import check_from_spec
+
+    chk = check_from_spec({
+        "name": "p",
+        "rules": [
+            {"type": "has_entropy", "column": "lang", "at_least": 0.1},
+            {"type": "has_uniqueness", "column": "doc_id", "at_least": 0.5},
+            {"type": "has_unique_value_ratio", "column": "lang",
+             "at_least": 0.1},
+            {"type": "has_mutual_information", "column_a": "lang",
+             "column_b": "text", "at_least": 0.0},
+            {"type": "has_standard_deviation", "column": "n_chars",
+             "at_least": 0.0},
+            {"type": "has_min_length", "column": "text", "at_least": 1.0},
+            {"type": "has_max_length", "column": "text", "at_most": 100.0},
+        ],
+    })
+    out = _run(chk, docs)
+    assert len(out) == 7
+    assert out["metric"].notna().all()

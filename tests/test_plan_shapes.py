@@ -119,3 +119,34 @@ def test_rollup_single_expand_aggregate(spark):
     plan = _final_plan(em.queries()["rollup_report_docs"](spark, SF_DIR))
     assert plan.count("FileScan parquet") == 1, plan
     assert plan.count("Expand") == 1, plan
+
+
+def test_constraint_profile_scan_budget_and_broadcast_joins(spark):
+    """Grouping analyzers (entropy/uniqueness/uvr on 3 bases + one MI
+    pair basis) each cost exactly one extra scan — deequ's own
+    grouping-vs-scan-sharing split — so the profile Check plans
+    1 (scan-sharing) + 3 + 1 = 5 FileScans, every metric row attached
+    by a BROADCAST join (a SortMergeJoin here means the one-row attach
+    started shuffling the verdict side)."""
+    from random_cut_forest_by_aws_spark.operators.checks import Check
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = (
+        Check("p")
+        .has_mean("n_chars", at_least=0.0)
+        .has_entropy("lang", at_least=0.0)
+        .has_uniqueness("doc_id", at_least=0.0)
+        .has_unique_value_ratio("source", at_least=0.0)
+        .has_mutual_information("lang", "source", at_least=0.0)
+        .run(d)
+    )
+    plan = _final_plan(out)
+    assert plan.count("FileScan parquet") == 5, plan
+    # the constant attach key folds away: Catalyst plans the one-row
+    # metric attach as BroadcastNestedLoopJoin BuildRight (build side =
+    # the single aggregated metric row — never the verdict side)
+    assert plan.count("BroadcastNestedLoopJoin BuildRight") == 4, plan
+    assert "SortMergeJoin" not in plan, plan
+    # each basis scan prunes to its own columns and pushes the
+    # not-null filter into the parquet reader
+    assert plan.count("PushedFilters: [IsNotNull(") == 4, plan
