@@ -50,6 +50,28 @@ def main(argv=None) -> int:
         "industry 'major shift' line)",
     )
     ap.add_argument(
+        "--metrics-history", default=None,
+        help="parquet dir accumulating (check, run_ts, value) across "
+        "runs — enables deequ addAnomalyCheck-style verdicts: this "
+        "run's per-check output_rows judged against the metric's own "
+        "history (operators/metrics_anomaly); the run appends itself "
+        "after the verdicts are written",
+    )
+    ap.add_argument(
+        "--anomaly-method", default="zscore",
+        choices=["zscore", "online", "rel_change", "abs_change"],
+    )
+    ap.add_argument("--anomaly-z", type=float, default=3.0)
+    ap.add_argument("--anomaly-min-history", type=int, default=5)
+    ap.add_argument(
+        "--anomaly-lower", type=float, default=0.5,
+        help="rel/abs_change lower bound (anomaly when change < this)",
+    )
+    ap.add_argument(
+        "--anomaly-upper", type=float, default=2.0,
+        help="rel/abs_change upper bound (anomaly when change > this)",
+    )
+    ap.add_argument(
         "--expect-schema-json", default=None,
         help="structural schema contract: inline JSON or a file path; "
         '{"columns": {name: ddl_type, ...}, "non_nullable": [...], '
@@ -113,14 +135,66 @@ def main(argv=None) -> int:
         psi_threshold=args.psi_threshold,
     )
     res = ValidationSuite(spark, cfg).run(df, ref_dim=ref_dim)
-    res.verdicts.write.mode("overwrite").parquet(f"{args.output}/verdicts")
+
+    verdicts = res.verdicts
+    hist_cur = None
+    if args.metrics_history:
+        from pyspark.sql import functions as F
+        from pyspark.errors import AnalysisException
+
+        from random_cut_forest_by_aws_spark.operators.metrics_anomaly import (
+            metric_anomalies,
+        )
+
+        run_ts = float(time.time())
+        hist_cur = res.metrics.select(
+            "check",
+            F.lit(run_ts).alias("run_ts"),
+            F.col("output_rows").cast("double").alias("value"),
+        )
+        try:
+            prior = spark.read.parquet(args.metrics_history).select(
+                "check", "run_ts", "value"
+            )
+            combined = prior.unionByName(hist_cur)
+        except AnalysisException:  # first run: no history yet
+            combined = hist_cur
+        kw = {}
+        if args.anomaly_method in ("rel_change", "abs_change"):
+            kw = {"lower": args.anomaly_lower, "upper": args.anomaly_upper}
+        flags = metric_anomalies(
+            combined, ("check",), "run_ts", "value",
+            method=args.anomaly_method, z=args.anomaly_z,
+            min_history=args.anomaly_min_history, **kw,
+        ).filter(F.col("run_ts") == run_ts)
+        verdicts = verdicts.unionByName(flags.select(
+            F.lit(f"metrics_anomaly_{args.anomaly_method}").alias("check"),
+            F.col("check").alias("scope"),
+            (~F.coalesce(F.col("is_anomaly"), F.lit(False))).alias("passed"),
+            F.when(F.col("is_anomaly"), F.lit(1)).otherwise(F.lit(0))
+            .cast("long").alias("violation_count"),
+            F.concat_ws(
+                " ", F.lit("output_rows"), F.col("value").cast("string"),
+                F.lit(f"method={args.anomaly_method}"),
+            ).alias("detail"),
+        ))
+
+    verdicts.write.mode("overwrite").parquet(f"{args.output}/verdicts")
     res.violations.write.mode("overwrite").parquet(f"{args.output}/violations")
     res.metrics.write.mode("overwrite").parquet(f"{args.output}/metrics")
     res.stats.write.mode("overwrite").parquet(f"{args.output}/stats")
     res.lineage.write.mode("overwrite").parquet(f"{args.output}/lineage")
     if res.profile is not None:
         res.profile.write.mode("overwrite").parquet(f"{args.output}/profile")
-    n_fail = res.verdicts.filter("passed = false").count()
+    # count from the WRITTEN verdicts, not the lazy plan: the plan
+    # embeds a read of the metrics-history path, and re-executing it
+    # after the append below would see this run's own row as "prior"
+    n_fail = (
+        spark.read.parquet(f"{args.output}/verdicts")
+        .filter("passed = false").count()
+    )
+    if hist_cur is not None:
+        hist_cur.write.mode("append").parquet(args.metrics_history)
     print(f"validation finished in {time.time()-t0:.1f}s; failing checks: {n_fail}")
     return 0 if n_fail == 0 else 2
 

@@ -71,3 +71,49 @@ def test_job_main_end_to_end(spark, job_io):
         for r in res.verdicts.select("check", "scope", "passed").collect()
     )
     assert verd == direct
+
+
+def test_job_metrics_history_anomaly_check(spark, tmp_path_factory):
+    """deequ addAnomalyCheck loop end-to-end: three job runs sharing a
+    --metrics-history dir. Runs 1+2 see identical input (same seed ⇒
+    bit-identical per-check output_rows, zero prior variance); run 3's
+    input is 3× larger, so its output_rows break the learned band and
+    must surface as failing metrics_anomaly verdicts. Runs 1+2 have
+    too little history (min 2 priors) and must all pass."""
+    from random_cut_forest_by_aws_spark.plans.job import main
+    from random_cut_forest_by_aws_spark.sources import sequences
+
+    root = tmp_path_factory.mktemp("job_anom")
+    small, big = str(root / "small"), str(root / "big")
+    sequences(spark, 4_000, seed=11).write.parquet(small)
+    sequences(spark, 12_000, seed=12).write.parquet(big)
+    hist = str(root / "history")
+    common = ["--cpus", "8", "--trees", "10", "--sample-size", "64",
+              "--metrics-history", hist, "--anomaly-method", "zscore",
+              "--anomaly-min-history", "2"]
+
+    con = duckdb.connect()
+
+    def anomaly_rows(out):
+        return con.execute(
+            f"SELECT scope, passed FROM '{out}/verdicts/*.parquet' "
+            "WHERE \"check\" = 'metrics_anomaly_zscore' ORDER BY 1"
+        ).fetchall()
+
+    for i, inp in enumerate([small, small, big]):
+        out = str(root / f"out{i}")
+        main(["--input", inp, "--output", out] + common)
+
+    # every run emitted one anomaly verdict per metric, on every run
+    r0, r2 = anomaly_rows(str(root / "out0")), anomaly_rows(str(root / "out2"))
+    assert len(r0) > 0 and len(r0) == len(r2)
+    # runs 1+2: insufficient history ⇒ all pass (never flag while warming)
+    assert all(p for _, p in r0)
+    assert all(p for _, p in anomaly_rows(str(root / "out1")))
+    # run 3: 3× input must break at least one metric's learned band
+    assert any(not p for _, p in r2)
+    # the history dir accumulated all three runs for every check
+    n_hist, n_runs = con.execute(
+        f"SELECT count(*), count(DISTINCT run_ts) FROM '{hist}/*.parquet'"
+    ).fetchone()
+    assert n_runs == 3 and n_hist == 3 * len(r0)
