@@ -1308,6 +1308,7 @@ def _q_constraint_profile_docs(spark, sf_dir):
         .has_uniqueness("doc_id", at_least=0.999)
         .has_unique_value_ratio("source", at_least=0.0)
         .has_mutual_information("lang", "source", at_least=0.0)
+        .has_quantile("n_chars", 0.9, at_least=1.0)
         .run(d)
     )
 
@@ -2850,6 +2851,10 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT 'mi(lang,source)>=', 'lang', '>=', 0.0,
                        (SELECT m FROM mi), n FROM a
+                UNION ALL
+                SELECT 'quantile(n_chars,0.9)>=', 'n_chars', '>=', 1.0,
+                       (SELECT quantile_cont(CAST(n_chars AS DOUBLE), 0.9)
+                        FROM documents), n FROM a
             )
             SELECT 'docs_profile' AS "check", con AS "constraint",
                    col AS "column", round(m, 6) AS metric, op,

@@ -46,7 +46,7 @@ _SPEC_METHODS = frozenset({
     "has_sum", "has_size", "has_distinctness", "is_unique",
     "has_correlation", "has_standard_deviation", "has_min_length",
     "has_max_length", "has_entropy", "has_uniqueness",
-    "has_unique_value_ratio", "has_mutual_information",
+    "has_unique_value_ratio", "has_mutual_information", "has_quantile",
 })
 
 #: frequency-based analyzers that need a per-value aggregation of their
@@ -71,6 +71,7 @@ class _Rule:
     op: str
     threshold: float
     column2: str | None = None  # second column for 'corr'
+    param: float | None = None  # q for 'quantile'
 
 
 def check_from_spec(spec: dict) -> "Check":
@@ -228,6 +229,31 @@ class Check:
                        at_least=None, at_most=None) -> "Check":
         """max(length(column)) over non-null values (deequ MaxLength)."""
         return self._agg("max_length", column, at_least, at_most)
+
+    def has_quantile(self, column: str, q: float,
+                     at_least=None, at_most=None) -> "Check":
+        """EXACT q-quantile of the non-null values — linear
+        interpolation on the sorted sample, the same definition as
+        DuckDB's quantile_cont (deequ offers ApproxQuantile; the exact
+        form makes the verdict oracle-replayable). NOTE: exact
+        percentile buffers each group's values inside the aggregate —
+        right for profile/metrics-sized groups; for row-scale
+        quantiles at 100 TB use the percentile_approx sketch in
+        operators/stats.py."""
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile({column}): q must be in [0,1]")
+        if at_least is None and at_most is None:
+            raise ValueError(f"quantile({column}): need a bound")
+        name = f"quantile({column},{q:g})"
+        if at_least is not None:
+            self._rules.append(_Rule("agg", f"{name}>=", column, None,
+                                     "quantile", ">=", float(at_least),
+                                     param=float(q)))
+        if at_most is not None:
+            self._rules.append(_Rule("agg", f"{name}<=", column, None,
+                                     "quantile", "<=", float(at_most),
+                                     param=float(q)))
+        return self
 
     # -- frequency-based (grouping) rules -------------------------------
 
@@ -425,6 +451,9 @@ class Check:
                 aggs.append(F.sum(x).alias(f"__x{i}"))
                 aggs.append(F.sum(x * x).alias(f"__xx{i}"))
                 aggs.append(F.count(x).cast("double").alias(f"__c{i}"))
+            elif r.agg == "quantile":
+                aggs.append(F.percentile(F.col(r.column).cast("double"),
+                                         F.lit(r.param)).alias(f"__s{i}"))
             elif r.agg in ("min_length", "max_length"):
                 fn = F.min if r.agg == "min_length" else F.max
                 aggs.append(fn(F.length(F.col(r.column)))

@@ -125,6 +125,7 @@ def hostile_sf(spark, tmp_path_factory):
     "winnow_containment_docs", "simhash_portable_docs",
     "chunk_docs", "rollup_report_docs", "tfidf_keywords_docs",
     "constraint_check_docs", "suggest_rules_docs",
+    "constraint_profile_docs",
 ])
 def test_text_oracles_survive_hostile_docs(spark, hostile_sf, name):
     """The text/media oracles must match DuckDB even with non-ASCII and
