@@ -185,6 +185,29 @@ def _q_exact_dup_docs(spark, sf_dir):
     )
 
 
+def _q_boilerplate_lines_docs(spark, sf_dir):
+    """Line-level boilerplate discovery: distinct-doc frequency of every
+    normalized line, thresholded to the boilerplate set. The synthetic
+    corpus is word-granular (no newlines), so the gate splits on the
+    word separator — same operator semantics at line granularity."""
+    from random_cut_forest_by_aws_spark.operators.lines import line_frequencies
+
+    return line_frequencies(_docs(spark, sf_dir), sep=" ").filter(
+        F.col("n_docs") >= 300
+    )
+
+
+def _q_line_dedup_docs(spark, sf_dir):
+    """RefinedWeb-style line dedup: strip lines repeating in >= 300 docs,
+    rebuild each doc in original order. Runs the production hashed-key
+    path (xxhash64(normalized line), broadcast boilerplate set); the
+    oracle replays the whole computation on line STRINGS in DuckDB —
+    equality certifies the hashed join collision-free here."""
+    from random_cut_forest_by_aws_spark.operators.lines import dedup_lines
+
+    return dedup_lines(_docs(spark, sf_dir), max_doc_freq=300, sep=" ")
+
+
 def _q_text_profile(spark, sf_dir):
     from random_cut_forest_by_aws_spark.operators.textqc import stopword_frac, word_stats
 
@@ -1440,6 +1463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "events_by_type": _q_events_by_type,
         "exact_dup_docs": _q_exact_dup_docs,
+        "boilerplate_lines_docs": _q_boilerplate_lines_docs,
+        "line_dedup_docs": _q_line_dedup_docs,
         "text_profile_docs": _q_text_profile,
         "token_counts_docs": _q_token_counts,
         "ann_cosine_topk": _q_ann_cosine,
@@ -1582,6 +1607,39 @@ def oracle_sql() -> dict[str, str]:
         "exact_dup_docs": """
             SELECT text, count(*) AS dup_count FROM documents
             GROUP BY text HAVING count(*) > 1
+        """,
+        "boilerplate_lines_docs": """
+            WITH l AS (
+                SELECT doc_id,
+                       lower(trim(unnest(string_split(text, ' ')))) AS line
+                FROM documents WHERE text IS NOT NULL
+            )
+            SELECT line, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM l WHERE length(line) >= 1
+            GROUP BY line HAVING count(DISTINCT doc_id) >= 300
+        """,
+        "line_dedup_docs": """
+            WITH l AS (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS line,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos
+                FROM documents WHERE text IS NOT NULL
+            ),
+            n AS (SELECT doc_id, pos, line, lower(trim(line)) AS norm FROM l),
+            freq AS (
+                SELECT norm FROM (
+                    SELECT norm, count(DISTINCT doc_id) AS nd FROM n
+                    WHERE length(norm) >= 1 GROUP BY norm
+                ) WHERE nd >= 300
+            )
+            SELECT n.doc_id,
+                   coalesce(string_agg(CASE WHEN f.norm IS NULL THEN n.line END,
+                                       ' ' ORDER BY n.pos), '') AS text_clean,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CASE WHEN f.norm IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_removed
+            FROM n LEFT JOIN freq f ON n.norm = f.norm
+            GROUP BY n.doc_id
         """,
         "text_profile_docs": f"""
             SELECT doc_id,
