@@ -1265,6 +1265,38 @@ def _q_embedding_drift_labels(spark, sf_dir):
     return embedding_drift(base, curr, "embedding", group_by=["label"])
 
 
+def _q_token_drift_docs(spark, sf_dir):
+    """Vocabulary drift of the token-array column between two halves of
+    the corpus (operators/distdrift.token_drift_split): every token
+    occurrence is one histogram observation, ONE FileScan feeds both
+    sides, one map-side-combined (source, token) aggregate bounds the
+    exchange by the observed vocabulary — never by token count. The
+    oracle replays the unnest + pivot + metric arithmetic in DuckDB
+    (w1 is NULL: transport over a categorical vocabulary is undefined).
+    Word tokens (split on space) rather than hashed ids so the oracle
+    replay is engine-portable."""
+    from random_cut_forest_by_aws_spark.operators.distdrift import token_drift_split
+
+    docs = _docs(spark, sf_dir).select(
+        "source", "doc_id", F.split("text", " ").alias("toks"))
+    return token_drift_split(docs, "doc_id % 3 = 0", "toks",
+                             group_by=["source"])
+
+
+def _q_token_bigram_drift_docs(spark, sf_dir):
+    """token_drift over adjacent bigrams (ngram=2) via the two-DataFrame
+    API path: catches word-order / template shifts that unigram counts
+    miss. The gram array is built JVM-side (sequence + transform +
+    concat_ws) and exploded inside the scan stage."""
+    from random_cut_forest_by_aws_spark.operators.distdrift import token_drift
+
+    docs = _docs(spark, sf_dir).select(
+        "source", "doc_id", F.split("text", " ").alias("toks"))
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    curr = docs.filter(F.col("doc_id") % 3 != 0)
+    return token_drift(base, curr, "toks", group_by=["source"], ngram=2)
+
+
 def _q_constraint_check_docs(spark, sf_dir):
     """Declarative deequ-style constraint set compiled to ONE conditional
     aggregate over ONE scan (operators/checks.py): row-predicate rules
@@ -1525,9 +1557,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_anomaly_online_events": _q_metric_anomaly_online_events,
         "metric_anomaly_change_events": _q_metric_anomaly_change_events,
         "embedding_drift_labels": _q_embedding_drift_labels,
+        "token_drift_docs": _q_token_drift_docs,
+        "token_bigram_drift_docs": _q_token_bigram_drift_docs,
         "snapshot_drift_multi_events": _q_snapshot_drift_multi_events,
         "validation_suite_verdicts": _q_suite_verdicts,
     }
+
+
+def _token_drift_oracle(grams_expr: str) -> str:
+    """DuckDB replay of token_drift over word tokens split on space:
+    unnest the gram array per side, pivot with conditional sums, then
+    the exact metric expression shapes of operators/distdrift.py
+    (same IEEE op order => bit-identical doubles before rounding).
+    ``grams_expr`` maps the token list ``t`` to the gram list."""
+    return f"""
+        WITH tk AS (
+            SELECT source,
+                   CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS side,
+                   string_split(text, ' ') AS t
+            FROM documents WHERE doc_id IS NOT NULL
+        ), obs AS (
+            SELECT source, side, unnest({grams_expr}) AS bin FROM tk
+        ), joined AS (
+            SELECT source, bin,
+                   CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS cnt_a,
+                   CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS cnt_b
+            FROM obs GROUP BY source, bin
+        ), tot AS (
+            SELECT source,
+                   CAST(sum(cnt_a) AS BIGINT) AS n_base,
+                   CAST(sum(cnt_b) AS BIGINT) AS n_curr,
+                   count(*) AS n_bins
+            FROM joined GROUP BY source
+        ), terms AS (
+            SELECT j.source, j.bin, t.n_base, t.n_curr, t.n_bins,
+                   CAST(j.cnt_a AS DOUBLE) AS a,
+                   CAST(j.cnt_b AS DOUBLE) AS b,
+                   CAST(t.n_base AS DOUBLE) AS ta,
+                   CAST(t.n_curr AS DOUBLE) AS tb,
+                   (CAST(j.cnt_a AS DOUBLE) + 0.5)
+                     / (CAST(t.n_base AS DOUBLE)
+                        + 0.5 * CAST(t.n_bins AS DOUBLE)) AS p,
+                   (CAST(j.cnt_b AS DOUBLE) + 0.5)
+                     / (CAST(t.n_curr AS DOUBLE)
+                        + 0.5 * CAST(t.n_bins AS DOUBLE)) AS q
+            FROM joined j JOIN tot t USING (source)
+        ), terms2 AS (
+            SELECT *,
+                   abs(SUM(a / ta - b / tb) OVER (
+                       PARTITION BY source
+                       ORDER BY bin ASC NULLS FIRST
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)) AS ks_t
+            FROM terms
+        )
+        SELECT source,
+               CAST(MAX(n_bins) AS BIGINT) AS n_bins,
+               MAX(n_base) AS n_base,
+               MAX(n_curr) AS n_curr,
+               round(SUM((p - q) * (ln(p) - ln(q))), 6) AS psi,
+               round(SUM(0.5 * (p * (ln(p) - ln((p + q) / 2.0))
+                              + q * (ln(q) - ln((p + q) / 2.0)))), 6)
+                   AS js_div,
+               round(MAX(abs(p - q)), 6) AS linf,
+               round(SUM(abs(p - q)) / 2.0, 6) AS tvd,
+               round(SUM((a - (a + b) * ta / (ta + tb))
+                         * (a - (a + b) * ta / (ta + tb))
+                         / ((a + b) * ta / (ta + tb))
+                       + (b - (a + b) * tb / (ta + tb))
+                         * (b - (a + b) * tb / (ta + tb))
+                         / ((a + b) * tb / (ta + tb))), 6) AS chi2,
+               round(MAX(ks_t), 6) AS ks,
+               CAST(NULL AS DOUBLE) AS w1
+        FROM terms2 GROUP BY source
+    """
 
 
 _STOP_EN = "['the','a','and','of','to','in','is','it','that','for']"
@@ -2660,6 +2765,11 @@ def oracle_sql() -> dict[str, str]:
         # identical to the single-column oracle (whole-table, no group),
         # unioned — numeric 'value' (bw 25.0) + categorical 'event_type'
         # (w1 undefined).
+        "token_drift_docs": _token_drift_oracle("t"),
+        "token_bigram_drift_docs": _token_drift_oracle(
+            "list_transform(generate_series(1, len(t) - 1),"
+            " i -> t[i] || ' ' || t[i + 1])"
+        ),
         "snapshot_drift_multi_events": """
             WITH ha_v AS (
                 SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bin,

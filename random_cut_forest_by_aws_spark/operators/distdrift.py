@@ -610,3 +610,118 @@ def snapshot_drift_bins(
         F.round(q, round_dp).alias("p_curr"),
         F.round((p - q) * (F.log(p) - F.log(q)), round_dp).alias("psi_contrib"),
     )
+
+
+def _gram_bins(tokens_col: str, ngram: int, sep: str):
+    """Array-of-string n-gram bins for one row's token array.
+
+    ``ngram=1`` returns the tokens themselves cast to string (works for
+    ``array<int>`` token ids and ``array<string>`` word tokens alike).
+    ``ngram>1`` returns the ``size−ngram+1`` adjacent grams joined with
+    ``sep`` via ``concat_ws`` — which SKIPS NULL elements in both Spark
+    and DuckDB, the documented (engine-portable) convention for NULL
+    tokens inside a gram. The index ``sequence`` is guarded by an
+    explicit ``when(size >= ngram)`` rather than NULL propagation:
+    with ANSI off ``size(NULL) = -1`` and ``sequence(1, -1)`` THROWS
+    (mixed-direction bounds) — the round-5 gotcha in CLAUDE.md.
+    NULL / empty / shorter-than-ngram arrays yield an empty gram array,
+    which ``explode`` drops (a document with no grams contributes no
+    histogram mass).
+    """
+    sv = F.transform(F.col(tokens_col), lambda x: x.cast("string"))
+    if ngram == 1:
+        return sv
+    n = F.size(sv)
+    idx = F.sequence(F.lit(1), n - F.lit(ngram - 1))
+    return F.when(
+        n >= F.lit(ngram),
+        F.transform(idx, lambda i: F.concat_ws(
+            sep, *[F.element_at(sv, i + F.lit(j)) for j in range(ngram)])),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def token_drift(
+    base: DataFrame,
+    current: DataFrame,
+    tokens_col: str,
+    group_by: Sequence[str] = (),
+    ngram: int = 1,
+    sep: str = " ",
+    smoothing: float = 0.5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Vocabulary-distribution drift between two snapshots of a
+    token-array column — the tokens-axis validation check for the
+    north-star table shape ``(doc_id, tokens:array<int32>, n_tok,
+    source)``: did the unigram (or n-gram) token distribution of the
+    new crawl move against the previous one?
+
+    Each token OCCURRENCE (or adjacent n-gram occurrence) is one
+    histogram observation; the bin is the token id / word cast to
+    string (n-grams joined with ``sep``). Output is one row per group
+    with the full ``snapshot_drift`` metric set (psi, js_div, linf,
+    tvd, chi2, ks; w1 is NULL — transport distance over a categorical
+    vocabulary is undefined). A tokenizer change, a new source's
+    vocabulary, or a language shift shows up here before any scalar
+    column moves.
+
+    Scale shape at 10^12 sequences: the explode happens INSIDE the scan
+    stage and is immediately collapsed by the ONE map-side-combined
+    HashAggregate of ``_pivot_counts`` on (group, gram) — the exchange
+    is bounded by |groups| × |observed gram vocabulary| (≈ 2^15..2^17
+    for a BPE unigram vocab; bigrams by the OBSERVED pair set), never
+    by token-occurrence row count. No join stage, no driver collect.
+
+    Reference analogue: none in the RCF engine — north-star "detects
+    distribution drift per partition" surface, the batch complement of
+    the RCF stream detector (TFDV ``jensen_shannon_divergence`` /
+    deequ histogram-distance style).
+    """
+    if ngram < 1:
+        raise ValueError("ngram must be >= 1")
+    group_by = list(group_by)
+
+    def tag(df: DataFrame, side: int) -> DataFrame:
+        return df.select(
+            *group_by,
+            F.explode(_gram_bins(tokens_col, ngram, sep)).alias("bin"),
+            F.lit(side).alias("__side"),
+            F.lit(1).cast("long").alias("__w"),
+        )
+
+    tagged = tag(base, 0).unionByName(tag(current, 1))
+    hist = _pivot_counts(tagged, group_by + ["bin"], group_by)
+    return _drift_metrics(hist, group_by, ["bin"], None, None,
+                          smoothing, round_dp)
+
+
+def token_drift_split(
+    df: DataFrame,
+    base_predicate,
+    tokens_col: str,
+    group_by: Sequence[str] = (),
+    ngram: int = 1,
+    sep: str = " ",
+    smoothing: float = 0.5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """``token_drift`` where both snapshots live in ONE table split by a
+    predicate (date partitions, crawl ids, A/B cohorts) — the side is
+    computed inside ONE FileScan instead of planning two (same rationale
+    and NULL-predicate exclusion rule as ``snapshot_drift_split``)."""
+    if ngram < 1:
+        raise ValueError("ngram must be >= 1")
+    group_by = list(group_by)
+    pred = F.expr(base_predicate) if isinstance(base_predicate, str) else base_predicate
+    sided = df.withColumn(
+        "__side", F.when(pred, F.lit(0)).when(~pred, F.lit(1))
+    ).filter(F.col("__side").isNotNull())
+    tagged = sided.select(
+        *group_by,
+        F.explode(_gram_bins(tokens_col, ngram, sep)).alias("bin"),
+        F.col("__side"),
+        F.lit(1).cast("long").alias("__w"),
+    )
+    hist = _pivot_counts(tagged, group_by + ["bin"], group_by)
+    return _drift_metrics(hist, group_by, ["bin"], None, None,
+                          smoothing, round_dp)

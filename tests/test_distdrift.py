@@ -391,3 +391,99 @@ def test_embedding_profile_roundtrip_equals_direct(spark, tmp_path):
             assert np.allclose(a, b, rtol=0, atol=1e-9, equal_nan=True), c
         else:
             assert np.array_equal(a, b), c
+
+
+# ---------------------------------------------------------------------------
+# token_drift: vocabulary drift over token-array columns
+
+
+def _tok_df(spark, rows):
+    return spark.createDataFrame(rows, "src string, toks array<string>")
+
+
+def test_token_drift_matches_numpy(spark):
+    from random_cut_forest_by_aws_spark.operators.distdrift import token_drift
+
+    # base: a×5, b×3, c×2   curr: a×2, b×3, c×4, d×1  (occurrences, spread
+    # over unequal-length docs so per-doc layout can't matter)
+    base = _tok_df(spark, [
+        ("s", ["a", "a", "b"]), ("s", ["a", "c"]),
+        ("s", ["a", "a", "b", "b", "c"]),
+    ])
+    curr = _tok_df(spark, [
+        ("s", ["a", "b", "c", "c"]), ("s", ["b", "c"]),
+        ("s", ["a", "b", "c", "d"]),
+    ])
+    r = token_drift(base, curr, "toks", round_dp=9).toPandas().iloc[0]
+    exp = _np_metrics([5, 3, 2, 0], [2, 3, 4, 1])
+    assert r["n_bins"] == 4 and r["n_base"] == 10 and r["n_curr"] == 10
+    for k in ("psi", "js_div", "linf", "tvd", "chi2"):
+        assert r[k] == pytest.approx(exp[k], abs=1e-8), k
+    # categorical vocabulary: transport distance undefined
+    assert np.isnan(r["w1"])
+
+
+def test_token_drift_int_token_ids_and_zero_drift(spark):
+    from random_cut_forest_by_aws_spark.operators.distdrift import token_drift
+
+    rows = [(f"d{i}", [i % 5, (i * 3) % 5, 7]) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc string, toks array<int>")
+    out = token_drift(df, df, "toks", round_dp=9).toPandas()
+    r = out.iloc[0]
+    assert r["n_base"] == 120 and r["n_curr"] == 120
+    for m in ("psi", "js_div", "linf", "tvd", "chi2", "ks"):
+        assert r[m] == 0.0, m
+
+
+def test_token_drift_bigram_bins(spark):
+    from random_cut_forest_by_aws_spark.operators.distdrift import token_drift
+
+    # grams: doc1 -> "a b","b c"; doc2 -> "a b"; short/NULL/empty docs
+    # contribute nothing
+    base = _tok_df(spark, [
+        ("s", ["a", "b", "c"]), ("s", ["a", "b"]),
+        ("s", ["x"]), ("s", []), ("s", None),
+    ])
+    curr = _tok_df(spark, [("s", ["b", "c", "b", "c"])])
+    r = token_drift(base, curr, "toks", ngram=2, round_dp=9).toPandas().iloc[0]
+    # base: {"a b": 2, "b c": 1}; curr: {"b c": 2, "c b": 1}
+    exp = _np_metrics([2, 1, 0], [0, 2, 1])
+    assert r["n_bins"] == 3 and r["n_base"] == 3 and r["n_curr"] == 3
+    for k in ("psi", "js_div", "linf", "tvd", "chi2"):
+        assert r[k] == pytest.approx(exp[k], abs=1e-8), k
+
+
+def test_token_drift_null_elements_and_groups(spark):
+    from random_cut_forest_by_aws_spark.operators.distdrift import token_drift
+
+    # unigram: a NULL element is its own bin (null-token drift); per-group
+    # isolation: g2 identical on both sides stays zero
+    base = _tok_df(spark, [("g1", ["a", None, "a"]), ("g2", ["z", "z"])])
+    curr = _tok_df(spark, [("g1", ["a", None, None]), ("g2", ["z", "z"])])
+    out = token_drift(base, curr, "toks", group_by=["src"],
+                      round_dp=9).toPandas().set_index("src")
+    exp = _np_metrics([2, 1], [1, 2])
+    assert out.loc["g1", "psi"] == pytest.approx(exp["psi"], abs=1e-8)
+    for m in ("psi", "js_div", "linf", "tvd", "chi2", "ks"):
+        assert out.loc["g2", m] == 0.0, m
+
+
+def test_token_drift_split_equals_two_dataframe_path(spark):
+    from random_cut_forest_by_aws_spark.operators.distdrift import (
+        token_drift,
+        token_drift_split,
+    )
+
+    rows = [("g%d" % ((i // 3) % 2), i, ["t%d" % (i % 7), "t%d" % ((i * i) % 11)])
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "g string, i long, toks array<string>")
+    split = (
+        token_drift_split(df, "i % 2 = 0", "toks", group_by=["g"], ngram=2)
+        .toPandas().sort_values("g").reset_index(drop=True)
+    )
+    two = token_drift(
+        df.filter("i % 2 = 0"), df.filter("i % 2 = 1"), "toks",
+        group_by=["g"], ngram=2,
+    ).toPandas().sort_values("g").reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(split, two)
