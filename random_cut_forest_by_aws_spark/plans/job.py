@@ -11,8 +11,12 @@ Local sandbox:
 
 Reads the tokenized-sequence table, runs the full validation suite
 (resumable via --checkpoint-dir), and writes verdicts / violations /
-metrics / stats as parquet (Iceberg `.format("iceberg")` on a cluster
-with a catalog — the writer is the only line that changes).
+metrics / stats through the connector named by ``--format``: parquet by
+default (all this sandbox ships), ``--format iceberg`` on a cluster
+with the Iceberg runtime jars + a catalog routes every read and write
+— input, ref-dim, baseline profile, metrics history, result tables —
+through the same DataSourceV2 connector with no code change
+(north-rule Iceberg surface).
 """
 
 from __future__ import annotations
@@ -26,6 +30,14 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="RCF-Spark validation job")
     ap.add_argument("--input", required=True, help="sequences table path (parquet)")
     ap.add_argument("--output", required=True, help="output dir for result tables")
+    ap.add_argument(
+        "--format", default="parquet", dest="fmt",
+        help="table format for every read and write: parquet (default, "
+        "path-addressed), or any DataSourceV2 short name whose jars are "
+        "on the cluster classpath — 'iceberg' / 'delta' read catalog "
+        "table identifiers and write through the same connector "
+        "(north-rule Iceberg surface; this sandbox ships only parquet)",
+    )
     ap.add_argument("--ref-dim", default=None, help="sources dimension table path")
     ap.add_argument("--checkpoint-dir", default=None, help="resume checkpoints")
     ap.add_argument("--cpus", type=int, default=None, help="local[N] override")
@@ -111,8 +123,17 @@ def main(argv=None) -> int:
     master = f"local[{args.cpus}]" if args.cpus else None
     spark = get_spark(app_name="rcf-validate", master=master)
     t0 = time.time()
-    df = spark.read.parquet(args.input)
-    ref_dim = spark.read.parquet(args.ref_dim) if args.ref_dim else None
+
+    def _read(path):
+        # .format(fmt).load(path) covers path-addressed parquet and
+        # DataSourceV2 identifiers (iceberg/delta) with the same call.
+        return spark.read.format(args.fmt).load(path)
+
+    def _write(sdf, path, mode="overwrite"):
+        sdf.write.mode(mode).format(args.fmt).save(path)
+
+    df = _read(args.input)
+    ref_dim = _read(args.ref_dim) if args.ref_dim else None
     cfg = SuiteConfig(
         drift=DriftConfig(
             num_trees=args.trees,
@@ -129,8 +150,7 @@ def main(argv=None) -> int:
         # never rescans this run's data
         profile_cols={"n_tok": 16.0, "source": None},
         baseline_profile=(
-            spark.read.parquet(args.baseline_profile)
-            if args.baseline_profile else None
+            _read(args.baseline_profile) if args.baseline_profile else None
         ),
         psi_threshold=args.psi_threshold,
     )
@@ -153,7 +173,7 @@ def main(argv=None) -> int:
             F.col("output_rows").cast("double").alias("value"),
         )
         try:
-            prior = spark.read.parquet(args.metrics_history).select(
+            prior = _read(args.metrics_history).select(
                 "check", "run_ts", "value"
             )
             combined = prior.unionByName(hist_cur)
@@ -179,22 +199,21 @@ def main(argv=None) -> int:
             ).alias("detail"),
         ))
 
-    verdicts.write.mode("overwrite").parquet(f"{args.output}/verdicts")
-    res.violations.write.mode("overwrite").parquet(f"{args.output}/violations")
-    res.metrics.write.mode("overwrite").parquet(f"{args.output}/metrics")
-    res.stats.write.mode("overwrite").parquet(f"{args.output}/stats")
-    res.lineage.write.mode("overwrite").parquet(f"{args.output}/lineage")
+    _write(verdicts, f"{args.output}/verdicts")
+    _write(res.violations, f"{args.output}/violations")
+    _write(res.metrics, f"{args.output}/metrics")
+    _write(res.stats, f"{args.output}/stats")
+    _write(res.lineage, f"{args.output}/lineage")
     if res.profile is not None:
-        res.profile.write.mode("overwrite").parquet(f"{args.output}/profile")
+        _write(res.profile, f"{args.output}/profile")
     # count from the WRITTEN verdicts, not the lazy plan: the plan
     # embeds a read of the metrics-history path, and re-executing it
     # after the append below would see this run's own row as "prior"
     n_fail = (
-        spark.read.parquet(f"{args.output}/verdicts")
-        .filter("passed = false").count()
+        _read(f"{args.output}/verdicts").filter("passed = false").count()
     )
     if hist_cur is not None:
-        hist_cur.write.mode("append").parquet(args.metrics_history)
+        _write(hist_cur, args.metrics_history, mode="append")
     print(f"validation finished in {time.time()-t0:.1f}s; failing checks: {n_fail}")
     return 0 if n_fail == 0 else 2
 
