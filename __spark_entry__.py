@@ -1481,6 +1481,59 @@ def _q_suite_verdicts(spark, sf_dir):
     return ValidationSuite(spark, cfg).run(seqs, ref_dim=docs.select("source").distinct()).verdicts
 
 
+def _diff_doc_snapshots(spark, sf_dir):
+    """Two deterministic snapshots of the documents table standing in
+    for yesterday-vs-today crawls of the same corpus: the base keeps
+    doc_id % 10 < 8, the current keeps doc_id % 10 >= 1 (so % 10 == 0
+    rows are removed and % 10 in {8, 9} rows are added) with a
+    deterministic overlay of value changes — lang rewritten for
+    doc_id % 7 == 0, n_chars bumped for doc_id % 11 == 0 — that the
+    oracle replays verbatim."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 10 < 8)
+    curr = docs.filter(F.col("doc_id") % 10 >= 1).select(
+        "doc_id",
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, F.lit("xx"))
+        .otherwise(F.col("lang")).alias("lang"),
+        "source",
+        F.when(F.col("doc_id") % 11 == 0, F.col("n_chars") + 1)
+        .otherwise(F.col("n_chars")).alias("n_chars"),
+    )
+    return base, curr
+
+
+def _q_snapshot_diff_docs(spark, sf_dir):
+    """Row-level snapshot reconciliation: added / removed / changed /
+    duplicate-key verdicts per doc_id between two deterministic
+    snapshots of the documents table, with the differing columns named.
+    One side-tagged union + ONE hash aggregate pivoting per-side counts
+    and per-column xxhash64 fingerprints — the exchange carries 8 bytes
+    per compared column instead of the text payload, no join stage
+    (plan pinned in tests/test_diff.py). The oracle replays the same
+    semantics by comparing the actual values in a DuckDB full outer
+    join; equality also certifies the hash comparison collision-free."""
+    from random_cut_forest_by_aws_spark.operators.diff import snapshot_diff
+
+    base, curr = _diff_doc_snapshots(spark, sf_dir)
+    return snapshot_diff(base, curr, "doc_id").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "status", "changed_cols", "cnt_base", "cnt_curr",
+    )
+
+
+def _q_snapshot_diff_summary_docs(spark, sf_dir):
+    """Reconciliation scorecard over the same snapshot pair: key and
+    row counts per diff status — the aggregate a churn-threshold
+    validation verdict reads."""
+    from random_cut_forest_by_aws_spark.operators.diff import (
+        snapshot_diff_summary,
+    )
+
+    base, curr = _diff_doc_snapshots(spark, sf_dir)
+    return snapshot_diff_summary(base, curr, "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_ntok_by_source": _q_stats_ntok,
@@ -1560,6 +1613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_drift_docs": _q_token_drift_docs,
         "token_bigram_drift_docs": _q_token_bigram_drift_docs,
         "snapshot_drift_multi_events": _q_snapshot_drift_multi_events,
+        "snapshot_diff_docs": _q_snapshot_diff_docs,
+        "snapshot_diff_summary_docs": _q_snapshot_diff_summary_docs,
         "validation_suite_verdicts": _q_suite_verdicts,
     }
 
@@ -1638,6 +1693,64 @@ def _token_drift_oracle(grams_expr: str) -> str:
 _STOP_EN = "['the','a','and','of','to','in','is','it','that','for']"
 _STOP_DE = "['der','die','das','und','ist','von','zu','mit','den','nicht']"
 _STOP_FR = "['le','la','et','de','un','une','est','que','pour','dans']"
+
+
+def _snapshot_diff_oracle(tail: str) -> str:
+    """DuckDB replay of snapshot_diff over the deterministic documents
+    snapshot pair: per-side key aggregates full-outer-joined on the key,
+    actual VALUES compared with IS DISTINCT FROM (the engine compares
+    xxhash64 fingerprints — gate equality certifies them collision-free),
+    changed column names concat_ws'd in the engine's compare order."""
+    return f"""
+        WITH base AS (
+            SELECT doc_id, text, lang, source, n_chars
+            FROM documents WHERE doc_id % 10 < 8
+        ), curr AS (
+            SELECT doc_id, text,
+                   CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS lang,
+                   source,
+                   CASE WHEN doc_id % 11 = 0 THEN n_chars + 1
+                        ELSE n_chars END AS n_chars
+            FROM documents WHERE doc_id % 10 >= 1
+        ), ba AS (
+            SELECT doc_id, count(*) AS rb,
+                   max(text) AS text, max(lang) AS lang,
+                   max(source) AS source, max(n_chars) AS n_chars
+            FROM base GROUP BY doc_id
+        ), cu AS (
+            SELECT doc_id, count(*) AS rc,
+                   max(text) AS text, max(lang) AS lang,
+                   max(source) AS source, max(n_chars) AS n_chars
+            FROM curr GROUP BY doc_id
+        ), j AS (
+            SELECT COALESCE(ba.doc_id, cu.doc_id) AS doc_id,
+                   ba.rb AS rb, cu.rc AS rc,
+                   CASE WHEN ba.rb = 1 AND cu.rc = 1 THEN concat_ws(',',
+                        CASE WHEN ba.text IS DISTINCT FROM cu.text
+                             THEN 'text' END,
+                        CASE WHEN ba.lang IS DISTINCT FROM cu.lang
+                             THEN 'lang' END,
+                        CASE WHEN ba.source IS DISTINCT FROM cu.source
+                             THEN 'source' END,
+                        CASE WHEN ba.n_chars IS DISTINCT FROM cu.n_chars
+                             THEN 'n_chars' END)
+                   ELSE '' END AS changed_cols
+            FROM ba FULL OUTER JOIN cu
+              ON ba.doc_id IS NOT DISTINCT FROM cu.doc_id
+        ), v AS (
+            SELECT doc_id,
+                   CASE WHEN rb IS NULL THEN 'added'
+                        WHEN rc IS NULL THEN 'removed'
+                        WHEN rb > 1 OR rc > 1 THEN 'duplicate_key'
+                        WHEN changed_cols <> '' THEN 'changed'
+                        ELSE 'unchanged' END AS status,
+                   changed_cols,
+                   CAST(COALESCE(rb, 0) AS BIGINT) AS cnt_base,
+                   CAST(COALESCE(rc, 0) AS BIGINT) AS cnt_curr
+            FROM j
+        )
+        {tail}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2894,6 +3007,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT * FROM out_v UNION ALL SELECT * FROM out_c
         """,
+        "snapshot_diff_docs": _snapshot_diff_oracle(
+            "SELECT doc_id, status, changed_cols, cnt_base, cnt_curr "
+            "FROM v WHERE status <> 'unchanged'"
+        ),
+        "snapshot_diff_summary_docs": _snapshot_diff_oracle(
+            "SELECT status, CAST(count(*) AS BIGINT) AS n_keys, "
+            "CAST(sum(cnt_base) AS BIGINT) AS rows_base, "
+            "CAST(sum(cnt_curr) AS BIGINT) AS rows_curr "
+            "FROM v GROUP BY status"
+        ),
         # grouped declarative check: same arithmetic per source group
         "constraint_check_by_source": """
             WITH a AS (

@@ -1,0 +1,158 @@
+"""Snapshot table diff / reconciliation (added / removed / changed rows).
+
+The distribution-drift operators (``operators/distdrift.py``) answer
+"did the column's *distribution* move between two snapshots?".
+Production validation pipelines also ask the row-level question: "which
+keys were added, which disappeared, and which rows changed — and in
+which columns?" (yesterday's corpus vs today's re-crawl, a migration's
+before/after audit, replica reconciliation). This operator is that
+table-diff as a single DataFrame aggregation.
+
+Semantics per key (the caller-chosen key column set):
+
+* ``added``          — key present only in the current snapshot
+* ``removed``        — key present only in the base snapshot
+* ``duplicate_key``  — key appears more than once on either side
+  (value comparison is undefined for multisets; the per-side counts are
+  reported and the key is surfaced as its own verdict)
+* ``changed``        — exactly one row on each side and at least one
+  compared column differs (NULL-safe: NULL vs value is a change,
+  NULL vs NULL is not)
+* ``unchanged``      — exactly one row on each side, all compared
+  columns equal (excluded from the output unless asked for)
+
+``changed_cols`` lists the differing columns (comma-joined, in the
+caller's compare-column order) and is '' for every non-``changed``
+status — for duplicate keys a per-column verdict over multisets is not
+well defined, so it is never emitted there.
+
+Scale shape (what Catalyst sees at 10^12 rows): the two snapshots are
+side-tagged and unioned, each projected to ``keys + one xxhash64 per
+compared column`` — the exchange therefore carries 8 bytes per compared
+column instead of the payload (a ``text`` column never shuffles). ONE
+partial→final HashAggregate on the keys pivots the sides into per-side
+counts and per-side column hashes via conditional max; the status /
+changed-column arithmetic is a projection over that aggregate, and the
+default output is filtered to the churn (added+removed+changed+dups)
+before anything downstream sees it. No join stage, no driver collect;
+key skew cannot explode (duplicate keys collapse into one aggregate row
+with counts). Column equality is decided by 64-bit xxhash64 equality —
+the driver gate's value-equality vs a DuckDB oracle that compares the
+actual values also certifies the hashes collision-free on the fixture
+(same argument as ``operators/contamination.py``).
+
+Reference analogue: none — north-star "validation engine" surface
+(cf. deequ's ``ReferentialIntegrity``/dataset-comparison checks and
+data-reconciliation tools); complements ``operators/referential.py``
+(key containment) with full row-payload reconciliation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_list(keys) -> list[str]:
+    return [keys] if isinstance(keys, str) else list(keys)
+
+
+def snapshot_diff(
+    base: DataFrame,
+    curr: DataFrame,
+    keys: Sequence[str] | str,
+    compare_cols: Sequence[str] | None = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Row-level diff of two snapshots keyed by ``keys``.
+
+    Returns one row per key with a non-``unchanged`` status (plus
+    unchanged keys when ``include_unchanged``): the key columns,
+    ``status``, ``changed_cols`` (comma-joined differing columns, ''
+    unless status is ``changed``), and the per-side row counts
+    ``cnt_base`` / ``cnt_curr``.
+
+    ``compare_cols`` defaults to every shared non-key column of the two
+    snapshots, in the base snapshot's column order.
+    """
+    keys = _as_list(keys)
+    if compare_cols is None:
+        shared = set(base.columns) & set(curr.columns)
+        compare_cols = [c for c in base.columns
+                        if c in shared and c not in keys]
+    else:
+        compare_cols = list(compare_cols)
+
+    def side(df: DataFrame, tag: int) -> DataFrame:
+        # Shuffle 8 bytes per compared column, never the payload.
+        return df.select(
+            *[F.col(k) for k in keys],
+            F.lit(tag).alias("__side"),
+            *[F.xxhash64(F.col(c)).alias(f"__h_{c}") for c in compare_cols],
+        )
+
+    tagged = side(base, 0).unionByName(side(curr, 1))
+
+    aggs = [
+        F.sum(F.when(F.col("__side") == 0, 1).otherwise(0))
+        .cast("bigint").alias("cnt_base"),
+        F.sum(F.when(F.col("__side") == 1, 1).otherwise(0))
+        .cast("bigint").alias("cnt_curr"),
+    ]
+    for c in compare_cols:
+        aggs.append(F.max(F.when(F.col("__side") == 0, F.col(f"__h_{c}")))
+                    .alias(f"__ha_{c}"))
+        aggs.append(F.max(F.when(F.col("__side") == 1, F.col(f"__h_{c}")))
+                    .alias(f"__hb_{c}"))
+    pivoted = tagged.groupBy(*keys).agg(*aggs)
+
+    one_each = (F.col("cnt_base") == 1) & (F.col("cnt_curr") == 1)
+    diffs = [
+        F.when(~F.col(f"__ha_{c}").eqNullSafe(F.col(f"__hb_{c}")), F.lit(c))
+        for c in compare_cols
+    ]
+    changed_list = (F.array_compact(F.array(*diffs)) if diffs
+                    else F.array().cast("array<string>"))
+    changed_cols = F.when(one_each, F.array_join(changed_list, ",")) \
+        .otherwise(F.lit(""))
+    status = (
+        F.when(F.col("cnt_base") == 0, F.lit("added"))
+        .when(F.col("cnt_curr") == 0, F.lit("removed"))
+        .when(~one_each, F.lit("duplicate_key"))
+        .when(changed_cols != "", F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+
+    out = pivoted.select(
+        *keys,
+        status.alias("status"),
+        changed_cols.alias("changed_cols"),
+        "cnt_base", "cnt_curr",
+    )
+    if not include_unchanged:
+        # Filter AFTER the aggregate's projection: status is derived,
+        # but the aggregate output is tiny per key and the predicate
+        # only re-evaluates on survivors (round-5 Catalyst gotcha #1 —
+        # harmless here because the exchange already happened).
+        out = out.filter(F.col("status") != "unchanged")
+    return out
+
+
+def snapshot_diff_summary(
+    base: DataFrame,
+    curr: DataFrame,
+    keys: Sequence[str] | str,
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Reconciliation scorecard: one row per status with the key count
+    and the total row count on each side — the aggregate a validation
+    verdict thresholds on (e.g. churn ≤ x%, zero duplicate keys)."""
+    d = snapshot_diff(base, curr, keys, compare_cols,
+                      include_unchanged=True)
+    return d.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("cnt_base").cast("bigint").alias("rows_base"),
+        F.sum("cnt_curr").cast("bigint").alias("rows_curr"),
+    )
