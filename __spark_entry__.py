@@ -1319,6 +1319,8 @@ def _q_constraint_check_docs(spark, sf_dir):
         .has_mean("n_chars", at_least=1.0, at_most=10000.0)
         .has_size(at_least=1.0)
         .is_unique("doc_id")
+        .are_complete(["text", "lang"], 0.9)
+        .is_primary_key(["doc_id", "source"])
         .has_correlation("doc_id", "n_chars", at_least=-1.0)
         .run(d)
     )
@@ -2790,6 +2792,13 @@ def oracle_sql() -> dict[str, str]:
                        sum(CAST(n_chars AS DOUBLE)) AS v_sum,
                        count(n_chars) AS c_mean,
                        count(DISTINCT doc_id) AS s_dst,
+                       sum(CASE WHEN COALESCE(text IS NOT NULL
+                                              AND lang IS NOT NULL, FALSE)
+                                THEN 1 ELSE 0 END) AS s_ac,
+                       count(DISTINCT CASE WHEN doc_id IS NOT NULL
+                                            AND source IS NOT NULL
+                                           THEN ROW(doc_id, source) END)
+                           AS s_pk,
                        -- pairwise-complete Pearson moments (integer-valued
                        -- doubles < 2^53: exact in both engines)
                        CAST(count(CASE WHEN doc_id IS NOT NULL
@@ -2851,6 +2860,15 @@ def oracle_sql() -> dict[str, str]:
                   UNION ALL
                   SELECT 'distinctness(doc_id)>=', 'doc_id', '>=', 1.0,
                          CAST(s_dst AS DOUBLE) / CAST(n AS DOUBLE),
+                         CAST(-1 AS BIGINT), n FROM a
+                  UNION ALL
+                  SELECT 'complete(text,lang)', 'text', '>=', 0.9,
+                         CAST(s_ac AS DOUBLE) / CAST(n AS DOUBLE),
+                         CAST(n - s_ac AS BIGINT), n FROM a
+                  UNION ALL
+                  SELECT 'primary_key(doc_id,source)', 'doc_id,source',
+                         '>=', 1.0,
+                         CAST(s_pk AS DOUBLE) / CAST(n AS DOUBLE),
                          CAST(-1 AS BIGINT), n FROM a
                   UNION ALL
                   SELECT 'corr(doc_id,n_chars)>=', 'doc_id', '>=', -1.0,

@@ -47,6 +47,7 @@ _SPEC_METHODS = frozenset({
     "has_correlation", "has_standard_deviation", "has_min_length",
     "has_max_length", "has_entropy", "has_uniqueness",
     "has_unique_value_ratio", "has_mutual_information", "has_quantile",
+    "are_complete", "is_primary_key", "has_approx_count_distinct",
 })
 
 #: frequency-based analyzers that need a per-value aggregation of their
@@ -159,6 +160,14 @@ class Check:
     def is_non_negative(self, column: str, min_fraction: float = 1.0) -> "Check":
         return self.satisfies(f"{column} >= 0",
                               f"non_negative({column})", min_fraction, column)
+
+    def are_complete(self, columns, min_fraction: float = 1.0) -> "Check":
+        """deequ areComplete: every listed column is non-null in the
+        same row for at least ``min_fraction`` of rows."""
+        cols = [columns] if isinstance(columns, str) else list(columns)
+        pred = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+        return self.satisfies(pred, f"complete({','.join(cols)})",
+                              min_fraction, cols[0])
 
     # -- aggregate rules (metric = the aggregate itself) ---------------
 
@@ -313,6 +322,44 @@ class Check:
         needs its own shuffle by design)."""
         return self.has_distinctness(column, 1.0)
 
+    def is_primary_key(self, columns) -> "Check":
+        """deequ isPrimaryKey: metric = (#distinct fully-non-null key
+        tuples) / (#rows), which is exactly 1.0 iff the columns form a
+        primary key — any NULL in a key column or any duplicate tuple
+        drops it strictly below. One countDistinct over a NULL-gated
+        struct in the shared single-scan aggregate; exactly replayable
+        (COUNT(DISTINCT CASE WHEN all-non-null THEN ROW(...) END)
+        / COUNT(*))."""
+        cols = [columns] if isinstance(columns, str) else list(columns)
+        self._rules.append(_Rule("agg", f"primary_key({','.join(cols)})",
+                                 ",".join(cols), None, "primary_key",
+                                 ">=", 1.0))
+        return self
+
+    def has_approx_count_distinct(self, column: str, at_least=None,
+                                  at_most=None, rsd: float = 0.05) -> "Check":
+        """deequ hasApproxCountDistinct: HyperLogLog++ cardinality
+        estimate with relative standard deviation ``rsd``, in the same
+        single-scan aggregate. Sketch-valued — NOT oracle-replayable in
+        another engine (use has_distinctness/is_unique for exact gates);
+        tolerance-tested against exact cardinality in pytest. Thresholds
+        should leave ~3·rsd headroom."""
+        if at_least is None and at_most is None:
+            raise ValueError(
+                f"approx_count_distinct({column}): need at_least/at_most"
+            )
+        if at_least is not None:
+            self._rules.append(_Rule(
+                "agg", f"approx_count_distinct({column})>=", column, None,
+                "approx_count_distinct", ">=", float(at_least),
+                param=float(rsd)))
+        if at_most is not None:
+            self._rules.append(_Rule(
+                "agg", f"approx_count_distinct({column})<=", column, None,
+                "approx_count_distinct", "<=", float(at_most),
+                param=float(rsd)))
+        return self
+
     # -- compilation ----------------------------------------------------
 
     def _attach_grouping_metrics(
@@ -428,6 +475,20 @@ class Check:
             elif r.agg == "distinctness":
                 aggs.append(F.countDistinct(F.col(r.column))
                             .cast("bigint").alias(f"__s{i}"))
+            elif r.agg == "primary_key":
+                cols = [F.col(c) for c in r.column.split(",")]
+                cond = cols[0].isNotNull()
+                for c in cols[1:]:
+                    cond = cond & c.isNotNull()
+                # NULL-gated struct: rows with any NULL key column are
+                # excluded from the distinct tuple count, so the
+                # metric can only reach 1.0 on a complete unique key
+                aggs.append(F.countDistinct(F.when(cond, F.struct(*cols)))
+                            .cast("bigint").alias(f"__s{i}"))
+            elif r.agg == "approx_count_distinct":
+                aggs.append(F.approx_count_distinct(F.col(r.column),
+                                                    rsd=r.param)
+                            .cast("double").alias(f"__s{i}"))
             elif r.agg == "mean":
                 # explicit sum + count of non-null values: the oracle
                 # replays SUM(col)/COUNT(col), same expression shape
@@ -476,7 +537,7 @@ class Check:
             elif r.agg == "size":
                 metric = nd
                 nviol = F.lit(-1).cast("bigint")
-            elif r.agg == "distinctness":
+            elif r.agg in ("distinctness", "primary_key"):
                 metric = F.when(n > 0, F.col(f"__s{i}").cast("double") / nd)
                 nviol = F.lit(-1).cast("bigint")
             elif r.agg == "mean":

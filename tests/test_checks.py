@@ -419,3 +419,59 @@ def test_profile_rules_from_spec(spark, docs):
     out = _run(chk, docs)
     assert len(out) == 7
     assert out["metric"].notna().all()
+
+
+def test_primary_key_rule(spark, docs):
+    # doc_id has a duplicate (5) -> 5 distinct / 6 rows
+    out = _run(Check("c").is_primary_key("doc_id"), docs)
+    r = out.loc["primary_key(doc_id)"]
+    assert not r["passed"]
+    assert r["metric"] == pytest.approx(5 / 6, abs=1e-6)
+    # (doc_id, text) is unique and fully non-null except text NULL on 3
+    out = _run(Check("c").is_primary_key(["doc_id", "text"]), docs)
+    r = out.loc["primary_key(doc_id,text)"]
+    assert not r["passed"]  # NULL text excludes that tuple: 5/6
+    assert r["metric"] == pytest.approx(5 / 6, abs=1e-6)
+    # (doc_id, lang) is unique where complete, but lang NULL on one row
+    clean = docs.filter("text IS NOT NULL AND lang IS NOT NULL")
+    out = _run(Check("c").is_primary_key(["doc_id", "lang"]), clean)
+    assert out.loc["primary_key(doc_id,lang)"]["passed"]
+
+
+def test_are_complete_rule(spark, docs):
+    out = _run(Check("c").are_complete(["text", "lang"], 0.5), docs)
+    r = out.loc["complete(text,lang)"]
+    # rows 3 (text NULL) and 5 (lang NULL) fail -> 4/6
+    assert r["metric"] == pytest.approx(4 / 6, abs=1e-6)
+    assert r["passed"] and r["n_violations"] == 2
+
+
+def test_approx_count_distinct_tolerance(spark):
+    df = spark.range(0, 5000).selectExpr("id", "id % 137 AS v")
+    out = _run(
+        Check("c")
+        .has_approx_count_distinct("v", at_least=110.0, at_most=170.0)
+        .has_approx_count_distinct("id", at_least=4000.0),
+        df,
+    )
+    m = out.loc["approx_count_distinct(v)>="]["metric"]
+    assert abs(m - 137.0) / 137.0 < 0.15  # HLL within tolerance
+    assert out.loc["approx_count_distinct(v)>="]["passed"]
+    assert out.loc["approx_count_distinct(v)<="]["passed"]
+    assert out.loc["approx_count_distinct(id)>="]["passed"]
+
+
+def test_new_rules_from_spec(spark, docs):
+    from random_cut_forest_by_aws_spark.operators.checks import check_from_spec
+
+    chk = check_from_spec({"name": "s", "rules": [
+        {"type": "are_complete", "columns": ["text", "lang"],
+         "min_fraction": 0.5},
+        {"type": "is_primary_key", "columns": ["doc_id", "text"]},
+        {"type": "has_approx_count_distinct", "column": "doc_id",
+         "at_least": 3.0},
+    ]})
+    out = _run(chk, docs)
+    assert len(out) == 3
+    assert out.loc["complete(text,lang)"]["passed"]
+    assert not out.loc["primary_key(doc_id,text)"]["passed"]
