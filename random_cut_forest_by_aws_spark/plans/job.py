@@ -84,6 +84,23 @@ def main(argv=None) -> int:
         help="rel/abs_change upper bound (anomaly when change > this)",
     )
     ap.add_argument(
+        "--reconcile-against", default=None,
+        help="a prior snapshot of the input table — adds row-level "
+        "reconciliation verdicts (check=reconciliation: churn fraction "
+        "and duplicate-key count via operators/diff) and writes the "
+        "per-status summary to {output}/reconciliation; the diff "
+        "shuffles only keys + per-column hashes, never payloads",
+    )
+    ap.add_argument(
+        "--reconcile-keys", default="doc_id",
+        help="comma-separated key columns for --reconcile-against",
+    )
+    ap.add_argument(
+        "--max-churn", type=float, default=0.5,
+        help="reconciliation churn verdict passes while (keys not "
+        "unchanged) / (all keys) <= this",
+    )
+    ap.add_argument(
         "--expect-schema-json", default=None,
         help="structural schema contract: inline JSON or a file path; "
         '{"columns": {name: ddl_type, ...}, "non_nullable": [...], '
@@ -198,6 +215,38 @@ def main(argv=None) -> int:
                 F.lit(f"method={args.anomaly_method}"),
             ).alias("detail"),
         ))
+
+    if args.reconcile_against:
+        from random_cut_forest_by_aws_spark.operators.diff import (
+            snapshot_diff_summary,
+        )
+
+        rkeys = [k.strip() for k in args.reconcile_keys.split(",") if k.strip()]
+        summary = snapshot_diff_summary(
+            _read(args.reconcile_against), df, rkeys
+        )
+        # the summary is <= 5 rows: collect ONCE and write the collected
+        # rows, so the full-table diff computes exactly one time
+        srows = summary.collect()
+        _write(spark.createDataFrame(srows, summary.schema),
+               f"{args.output}/reconciliation")
+        by = {r["status"]: r["n_keys"] for r in srows}
+        total = sum(by.values())
+        churn_keys = total - by.get("unchanged", 0)
+        churn = churn_keys / total if total else 1.0
+        dups = by.get("duplicate_key", 0)
+        rec = spark.createDataFrame(
+            [
+                ("reconciliation", "churn", bool(churn <= args.max_churn),
+                 int(churn_keys),
+                 f"churn={churn:.6f} max={args.max_churn} keys={total}"),
+                ("reconciliation", "duplicate_keys", bool(dups == 0),
+                 int(dups), f"duplicate_key_groups={dups}"),
+            ],
+            "check string, scope string, passed boolean, "
+            "violation_count long, detail string",
+        )
+        verdicts = verdicts.unionByName(rec)
 
     _write(verdicts, f"{args.output}/verdicts")
     _write(res.violations, f"{args.output}/violations")

@@ -117,3 +117,56 @@ def test_job_metrics_history_anomaly_check(spark, tmp_path_factory):
         f"SELECT count(*), count(DISTINCT run_ts) FROM '{hist}/*.parquet'"
     ).fetchone()
     assert n_runs == 3 and n_hist == 3 * len(r0)
+
+def test_job_reconciliation_check(spark, job_io, tmp_path_factory):
+    """--reconcile-against end-to-end: the prior snapshot is the input
+    with a slice of rows dropped and one n_tok perturbed, so the diff
+    must report removed+changed churn; a tight --max-churn fails the
+    churn verdict, a loose one passes it, and the per-status summary
+    table lands in {output}/reconciliation."""
+    from random_cut_forest_by_aws_spark.plans.job import main
+
+    root, inp, dim = job_io
+    prior = str(tmp_path_factory.mktemp("job_rec") / "prior")
+    cur = spark.read.parquet(inp)
+    # prior snapshot: 90% of current rows, one value changed
+    from pyspark.sql import functions as F
+    cur.filter(F.xxhash64("doc_id") % 10 != 0).withColumn(
+        "n_tok",
+        F.when(F.xxhash64("doc_id") % 7 == 0, F.col("n_tok") + 1)
+        .otherwise(F.col("n_tok")),
+    ).write.parquet(prior)
+
+    con = duckdb.connect()
+
+    def rec_verdicts(out):
+        return dict(con.execute(
+            f"SELECT scope, passed FROM '{out}/verdicts/*.parquet' "
+            "WHERE \"check\" = 'reconciliation'"
+        ).fetchall())
+
+    common = ["--input", inp, "--ref-dim", dim, "--cpus", "8",
+              "--trees", "10", "--sample-size", "64",
+              "--reconcile-against", prior, "--reconcile-keys", "doc_id"]
+    out_tight = str(root / "out_rec_tight")
+    main(common + ["--output", out_tight, "--max-churn", "0.01"])
+    v = rec_verdicts(out_tight)
+    assert v["churn"] is False
+    # the sequences generator PLANTS duplicate doc_ids — the
+    # duplicate-key verdict must surface them
+    assert v["duplicate_keys"] is False
+
+    out_loose = str(root / "out_rec_loose")
+    main(common + ["--output", out_loose, "--max-churn", "0.9"])
+    v = rec_verdicts(out_loose)
+    assert v["churn"] is True
+
+    # summary table: statuses consistent with the construction
+    s = dict(con.execute(
+        f"SELECT status, n_keys FROM '{out_tight}/reconciliation/*.parquet'"
+    ).fetchall())
+    assert s.get("added", 0) > 0          # rows dropped from prior
+    assert s.get("changed", 0) > 0        # perturbed n_tok
+    assert s.get("removed", 0) == 0       # prior ⊆ current
+    assert s.get("unchanged", 0) > 0
+    assert s.get("duplicate_key", 0) > 0  # planted dup doc_ids
