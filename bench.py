@@ -371,6 +371,26 @@ def main() -> None:
 
         timed("pipeline_curate", run_pipeline_curate)
 
+        def run_reconcile():
+            # row-level snapshot reconciliation over the 2M-row token
+            # table: a synthetic prior crawl (10% of keys dropped, n_tok
+            # perturbed on ~1/7) diffed against the full table — the
+            # exchange carries doc_id + per-column hashes (the tokens
+            # array is hashed, never shuffled). Summary is <= 5 rows;
+            # collecting it consumes the whole diff.
+            from random_cut_forest_by_aws_spark.operators.diff import (
+                snapshot_diff_summary,
+            )
+
+            base = seqs.filter(F.xxhash64("doc_id") % 10 != 0).withColumn(
+                "n_tok",
+                F.when(F.xxhash64("doc_id") % 7 == 0, F.col("n_tok") + 1)
+                .otherwise(F.col("n_tok")),
+            )
+            return snapshot_diff_summary(base, seqs, "doc_id").collect()
+
+        timed("reconcile", run_reconcile)
+
     # bracketing calibration: the window the suite ran in is bounded by
     # (cal_pre, cal_post); host_cal_mops stays the post value for
     # continuity with earlier rounds' JSONs.
