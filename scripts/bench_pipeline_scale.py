@@ -156,6 +156,17 @@ def main() -> None:
         timed("lm_quality", lambda: unigram_logprob(docs, min_count=5).agg(
             F.sum("n_oov").alias("a"), F.sum("logprob").alias("b")).collect())
 
+        # row-level snapshot reconciliation: prior crawl = 90% of keys;
+        # the exchange carries doc_id + per-column hashes only (the text
+        # payload is hashed below the shuffle, never moved)
+        from random_cut_forest_by_aws_spark.operators.diff import (
+            snapshot_diff_summary,
+        )
+
+        timed("snapshot_diff", lambda: snapshot_diff_summary(
+            docs.filter(F.pmod("doc_id", F.lit(10)) != 0), docs,
+            "doc_id").collect())
+
         # the full curation chain (plans/pipeline.py): funnel → minhash/
         # Jaccard keep-one dedup → cluster-keyed splits → packing; timed
         # as ONE action over the packed train output (the end-to-end
