@@ -1364,6 +1364,7 @@ def _q_constraint_profile_docs(spark, sf_dir):
         .has_entropy("lang", at_least=0.1)
         .has_uniqueness("doc_id", at_least=0.999)
         .has_unique_value_ratio("source", at_least=0.0)
+        .has_top_value_share("lang", at_most=0.9)
         .has_mutual_information("lang", "source", at_least=0.0)
         .has_quantile("n_chars", 0.9, at_least=1.0)
         .run(d)
@@ -3156,6 +3157,11 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT 'unique_value_ratio(source)>=', 'source', '>=', 0.0,
                        (SELECT CASE WHEN d > 0 THEN u / d END FROM us),
+                       n FROM a
+                UNION ALL
+                SELECT 'top_value_share(lang)<=', 'lang', '<=', 0.9,
+                       (SELECT CASE WHEN sum(c) > 0
+                                    THEN max(c) / sum(c) END FROM fl),
                        n FROM a
                 UNION ALL
                 SELECT 'mi(lang,source)>=', 'lang', '>=', 0.0,

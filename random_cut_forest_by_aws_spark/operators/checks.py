@@ -48,6 +48,7 @@ _SPEC_METHODS = frozenset({
     "has_max_length", "has_entropy", "has_uniqueness",
     "has_unique_value_ratio", "has_mutual_information", "has_quantile",
     "are_complete", "is_primary_key", "has_approx_count_distinct",
+    "has_top_value_share",
 })
 
 #: frequency-based analyzers that need a per-value aggregation of their
@@ -59,6 +60,7 @@ _SPEC_METHODS = frozenset({
 #: are broadcast-joined back onto the scan-sharing verdict row.
 _GROUPING_AGGS = frozenset({
     "entropy", "uniqueness", "unique_value_ratio", "mutual_information",
+    "top_value_share",
 })
 
 
@@ -288,6 +290,17 @@ class Check:
         (#distinct values)."""
         return self._agg("unique_value_ratio", column, at_least, None)
 
+    def has_top_value_share(self, column: str,
+                            at_least=None, at_most=None) -> "Check":
+        """Share of the single most frequent non-null value:
+        max(count) / (#non-null rows) — the mode-dominance gate a
+        histogram assertion usually reduces to (deequ
+        hasHistogramValues; e.g. at_most=0.5 ⇒ no value may cover half
+        the column). Frequency-based: shares the per-value aggregation
+        basis with entropy/uniqueness rules on the same column; exactly
+        replayable (MAX(cnt)::DOUBLE / SUM(cnt))."""
+        return self._agg("top_value_share", column, at_least, at_most)
+
     def has_mutual_information(self, column_a: str, column_b: str,
                                at_least=None, at_most=None) -> "Check":
         """Mutual information (nats) of two columns over rows where
@@ -401,6 +414,7 @@ class Check:
                 # entropy in the order-stable closed form:
                 # −Σ(c/N)ln(c/N) = ln(N) − Σ c·ln(c)/N
                 F.sum(c * F.log(c)).alias("__S"),
+                F.max(c).alias("__M"),
             )
             N, D, U, S = (F.col("__N"), F.col("__D"),
                           F.col("__U"), F.col("__S"))
@@ -410,6 +424,8 @@ class Check:
                     m = F.when(N > 0, F.log(N) - S / N)
                 elif r.agg == "uniqueness":
                     m = F.when(N > 0, U / N)
+                elif r.agg == "top_value_share":
+                    m = F.when(N > 0, F.col("__M") / N)
                 else:  # unique_value_ratio
                     m = F.when(D > 0, U / D)
                 exprs.append(m.alias(f"__g{i}"))

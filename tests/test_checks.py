@@ -475,3 +475,20 @@ def test_new_rules_from_spec(spark, docs):
     assert len(out) == 3
     assert out.loc["complete(text,lang)"]["passed"]
     assert not out.loc["primary_key(doc_id,text)"]["passed"]
+
+
+def test_top_value_share_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, None)],
+        "id bigint, v string",
+    )
+    out = _run(
+        Check("c")
+        .has_top_value_share("v", at_most=0.8)
+        .has_top_value_share("v", at_least=0.9),
+        df,
+    )
+    # mode 'a' covers 3 of 4 non-null rows
+    assert out.loc["top_value_share(v)<="]["metric"] == pytest.approx(0.75)
+    assert out.loc["top_value_share(v)<="]["passed"]
+    assert not out.loc["top_value_share(v)>="]["passed"]
