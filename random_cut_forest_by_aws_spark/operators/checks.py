@@ -476,69 +476,7 @@ class Check:
             raise ValueError(f"duplicate constraint names: {names}")
         group_by = list(group_by)
 
-        aggs: list[Column] = [F.count(F.lit(1)).cast("bigint").alias("__n")]
-        for i, r in enumerate(self._rules):
-            if r.agg in _GROUPING_AGGS:
-                continue  # compiled separately below
-            if r.kind == "frac":
-                ok = F.coalesce(F.expr(r.predicate), F.lit(False))
-                aggs.append(
-                    F.coalesce(F.sum(F.when(ok, 1).otherwise(0)), F.lit(0))
-                    .cast("bigint").alias(f"__s{i}")
-                )
-            elif r.agg == "size":
-                pass  # reuses __n
-            elif r.agg == "distinctness":
-                aggs.append(F.countDistinct(F.col(r.column))
-                            .cast("bigint").alias(f"__s{i}"))
-            elif r.agg == "primary_key":
-                cols = [F.col(c) for c in r.column.split(",")]
-                cond = cols[0].isNotNull()
-                for c in cols[1:]:
-                    cond = cond & c.isNotNull()
-                # NULL-gated struct: rows with any NULL key column are
-                # excluded from the distinct tuple count, so the
-                # metric can only reach 1.0 on a complete unique key
-                aggs.append(F.countDistinct(F.when(cond, F.struct(*cols)))
-                            .cast("bigint").alias(f"__s{i}"))
-            elif r.agg == "approx_count_distinct":
-                aggs.append(F.approx_count_distinct(F.col(r.column),
-                                                    rsd=r.param)
-                            .cast("double").alias(f"__s{i}"))
-            elif r.agg == "mean":
-                # explicit sum + count of non-null values: the oracle
-                # replays SUM(col)/COUNT(col), same expression shape
-                aggs.append(F.sum(F.col(r.column).cast("double"))
-                            .alias(f"__s{i}"))
-                aggs.append(F.count(F.col(r.column))
-                            .cast("bigint").alias(f"__c{i}"))
-            elif r.agg == "corr":
-                # pairwise-complete moments for one-pass Pearson
-                both = F.col(r.column).isNotNull() & F.col(r.column2).isNotNull()
-                x = F.when(both, F.col(r.column).cast("double"))
-                y = F.when(both, F.col(r.column2).cast("double"))
-                aggs.append(F.count(x).cast("double").alias(f"__n{i}"))
-                aggs.append(F.sum(x).alias(f"__x{i}"))
-                aggs.append(F.sum(y).alias(f"__y{i}"))
-                aggs.append(F.sum(x * x).alias(f"__xx{i}"))
-                aggs.append(F.sum(y * y).alias(f"__yy{i}"))
-                aggs.append(F.sum(x * y).alias(f"__xy{i}"))
-            elif r.agg == "stddev":
-                x = F.col(r.column).cast("double")
-                aggs.append(F.sum(x).alias(f"__x{i}"))
-                aggs.append(F.sum(x * x).alias(f"__xx{i}"))
-                aggs.append(F.count(x).cast("double").alias(f"__c{i}"))
-            elif r.agg == "quantile":
-                aggs.append(F.percentile(F.col(r.column).cast("double"),
-                                         F.lit(r.param)).alias(f"__s{i}"))
-            elif r.agg in ("min_length", "max_length"):
-                fn = F.min if r.agg == "min_length" else F.max
-                aggs.append(fn(F.length(F.col(r.column)))
-                            .cast("double").alias(f"__s{i}"))
-            else:  # min | max | sum
-                fn = {"min": F.min, "max": F.max, "sum": F.sum}[r.agg]
-                aggs.append(fn(F.col(r.column).cast("double"))
-                            .alias(f"__s{i}"))
+        aggs = self._scan_agg_exprs()
         one = df.groupBy(*group_by).agg(*aggs) if group_by else df.agg(*aggs)
         one = self._attach_grouping_metrics(one, df, group_by)
 
@@ -600,3 +538,178 @@ class Check:
                 nviol.alias("n_violations"),
             ))
         return one.select(*group_by, F.inline(F.array(*rows)))
+
+    def _scan_agg_exprs(self) -> list[Column]:
+        """The scan-sharing aggregate expressions for every non-grouping
+        rule, plus the leading ``__n`` row count — one conditional
+        aggregate over one scan (shared by ``run`` and ``observe``)."""
+        aggs: list[Column] = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+        for i, r in enumerate(self._rules):
+            if r.agg in _GROUPING_AGGS:
+                continue  # compiled separately by run()
+            if r.kind == "frac":
+                ok = F.coalesce(F.expr(r.predicate), F.lit(False))
+                aggs.append(
+                    F.coalesce(F.sum(F.when(ok, 1).otherwise(0)), F.lit(0))
+                    .cast("bigint").alias(f"__s{i}")
+                )
+            elif r.agg == "size":
+                pass  # reuses __n
+            elif r.agg == "distinctness":
+                aggs.append(F.countDistinct(F.col(r.column))
+                            .cast("bigint").alias(f"__s{i}"))
+            elif r.agg == "primary_key":
+                cols = [F.col(c) for c in r.column.split(",")]
+                cond = cols[0].isNotNull()
+                for c in cols[1:]:
+                    cond = cond & c.isNotNull()
+                # NULL-gated struct: rows with any NULL key column are
+                # excluded from the distinct tuple count, so the
+                # metric can only reach 1.0 on a complete unique key
+                aggs.append(F.countDistinct(F.when(cond, F.struct(*cols)))
+                            .cast("bigint").alias(f"__s{i}"))
+            elif r.agg == "approx_count_distinct":
+                aggs.append(F.approx_count_distinct(F.col(r.column),
+                                                    rsd=r.param)
+                            .cast("double").alias(f"__s{i}"))
+            elif r.agg == "mean":
+                # explicit sum + count of non-null values: the oracle
+                # replays SUM(col)/COUNT(col), same expression shape
+                aggs.append(F.sum(F.col(r.column).cast("double"))
+                            .alias(f"__s{i}"))
+                aggs.append(F.count(F.col(r.column))
+                            .cast("bigint").alias(f"__c{i}"))
+            elif r.agg == "corr":
+                # pairwise-complete moments for one-pass Pearson
+                both = F.col(r.column).isNotNull() & F.col(r.column2).isNotNull()
+                x = F.when(both, F.col(r.column).cast("double"))
+                y = F.when(both, F.col(r.column2).cast("double"))
+                aggs.append(F.count(x).cast("double").alias(f"__n{i}"))
+                aggs.append(F.sum(x).alias(f"__x{i}"))
+                aggs.append(F.sum(y).alias(f"__y{i}"))
+                aggs.append(F.sum(x * x).alias(f"__xx{i}"))
+                aggs.append(F.sum(y * y).alias(f"__yy{i}"))
+                aggs.append(F.sum(x * y).alias(f"__xy{i}"))
+            elif r.agg == "stddev":
+                x = F.col(r.column).cast("double")
+                aggs.append(F.sum(x).alias(f"__x{i}"))
+                aggs.append(F.sum(x * x).alias(f"__xx{i}"))
+                aggs.append(F.count(x).cast("double").alias(f"__c{i}"))
+            elif r.agg == "quantile":
+                aggs.append(F.percentile(F.col(r.column).cast("double"),
+                                         F.lit(r.param)).alias(f"__s{i}"))
+            elif r.agg in ("min_length", "max_length"):
+                fn = F.min if r.agg == "min_length" else F.max
+                aggs.append(fn(F.length(F.col(r.column)))
+                            .cast("double").alias(f"__s{i}"))
+            else:  # min | max | sum
+                fn = {"min": F.min, "max": F.max, "sum": F.sum}[r.agg]
+                aggs.append(fn(F.col(r.column).cast("double"))
+                            .alias(f"__s{i}"))
+        return aggs
+
+
+    #: rules that cannot ride a Spark Observation: CollectMetrics
+    #: forbids DISTINCT aggregates, and frequency-based rules need a
+    #: second per-value aggregation no observation can express
+    _OBSERVE_UNSUPPORTED = frozenset(
+        {"distinctness", "primary_key"}) | _GROUPING_AGGS
+
+    def observe(self, df: DataFrame, name: str | None = None):
+        """Attach the rule set to ``df`` as a Spark ``Observation`` so
+        the metrics are collected DURING the caller's own action — the
+        validation rides the write (or any other full materialization)
+        for ZERO extra scans, the strongest possible shape at 100 TB
+        (``run()`` re-reads the table; this doesn't read it at all).
+
+        Returns ``(instrumented_df, observation)``. Execute any action
+        that materializes every row of ``instrumented_df`` (``.write``,
+        ``.count()``, ...), then feed ``observation.get`` to
+        :meth:`verdicts_from_metrics`.
+
+        Distinct-based rules (``is_unique``/``has_distinctness``/
+        ``is_primary_key``) and frequency-based rules (entropy/
+        uniqueness/top-share/MI) cannot ride an observation — use
+        ``run()`` for those; this raises if any are present.
+        """
+        from pyspark.sql import Observation
+
+        if not self._rules:
+            raise ValueError("Check has no constraints")
+        bad = [r.name for r in self._rules
+               if r.agg in self._OBSERVE_UNSUPPORTED]
+        if bad:
+            raise ValueError(
+                f"rules not observable (distinct/frequency-based): {bad}; "
+                "use run() for these"
+            )
+        names = [r.name for r in self._rules]
+        if len(set(names)) != len(names):
+            raise ValueError(f"duplicate constraint names: {names}")
+        obs = Observation(name or self.name)
+        return df.observe(obs, *self._scan_agg_exprs()), obs
+
+    def verdicts_from_metrics(self, metrics: dict) -> list[dict]:
+        """Assemble verdict rows (same fields as ``run()``'s output)
+        from an ``Observation.get`` dict on the driver — the aggregated
+        metrics are one tiny row, so this is pure Python arithmetic
+        mirroring ``run()``'s column expressions (NULL ⇒ fail closed).
+        """
+        import math
+
+        n = metrics["__n"]
+        out = []
+        for i, r in enumerate(self._rules):
+            nviol = -1
+            if r.kind == "frac":
+                s = metrics[f"__s{i}"] or 0
+                metric = (s / n) if n > 0 else None
+                nviol = n - s
+            elif r.agg == "size":
+                metric = float(n)
+            elif r.agg == "mean":
+                c = metrics[f"__c{i}"]
+                metric = (metrics[f"__s{i}"] / c) if c else None
+            elif r.agg == "corr":
+                np_ = metrics[f"__n{i}"] or 0.0
+                sx, sy = metrics[f"__x{i}"], metrics[f"__y{i}"]
+                if np_ > 0:
+                    vx = np_ * metrics[f"__xx{i}"] - sx * sx
+                    vy = np_ * metrics[f"__yy{i}"] - sy * sy
+                    metric = (
+                        (np_ * metrics[f"__xy{i}"] - sx * sy)
+                        / (math.sqrt(vx) * math.sqrt(vy))
+                        if vx > 0 and vy > 0 else None
+                    )
+                else:
+                    metric = None
+            elif r.agg == "stddev":
+                c = metrics[f"__c{i}"]
+                if c and c > 0:
+                    sx, sxx = metrics[f"__x{i}"], metrics[f"__xx{i}"]
+                    metric = math.sqrt(
+                        max(sxx / c - (sx / c) * (sx / c), 0.0))
+                else:
+                    metric = None
+            else:  # min | max | sum | quantile | lengths | approx_cd
+                metric = metrics[f"__s{i}"]
+                metric = float(metric) if metric is not None else None
+            if metric is None:
+                passed = False
+            elif r.op == ">=":
+                passed = metric >= r.threshold
+            else:
+                passed = metric <= r.threshold
+            out.append({
+                "check": self.name,
+                "constraint": r.name,
+                "column": r.column,
+                "metric": (round(metric, self.round_dp)
+                           if metric is not None else None),
+                "op": r.op,
+                "threshold": r.threshold,
+                "passed": bool(passed),
+                "n_rows": int(n),
+                "n_violations": int(nviol),
+            })
+        return out

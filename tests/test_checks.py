@@ -492,3 +492,58 @@ def test_top_value_share_hand_computed(spark):
     assert out.loc["top_value_share(v)<="]["metric"] == pytest.approx(0.75)
     assert out.loc["top_value_share(v)<="]["passed"]
     assert not out.loc["top_value_share(v)>="]["passed"]
+
+
+def test_observe_matches_run(spark, docs):
+    """Zero-extra-scan validation: the Observation-collected verdicts
+    must equal run() field-for-field for every observable rule family,
+    with the metrics riding the caller's own action."""
+    chk = (Check("obs")
+           .is_complete("text")
+           .has_completeness("lang", 0.8)
+           .satisfies("n_chars >= 3", "min3", 0.5)
+           .has_min("n_chars", at_least=0.0)
+           .has_max("n_chars", at_most=100.0)
+           .has_mean("n_chars", at_least=1.0)
+           .has_sum("n_chars", at_least=1.0)
+           .has_size(at_least=1.0)
+           .has_standard_deviation("n_chars", at_least=0.0)
+           .has_min_length("text", at_least=0.0)
+           .has_max_length("text", at_most=50.0)
+           .has_correlation("doc_id", "n_chars", at_least=-1.0)
+           .has_quantile("n_chars", 0.5, at_least=0.0)
+           .has_approx_count_distinct("doc_id", at_least=1.0))
+    inst, obs = chk.observe(docs)
+    assert inst.count() == docs.count()  # the caller's own action
+    got = chk.verdicts_from_metrics(obs.get)
+    exp = [r.asDict() for r in chk.run(docs).collect()]
+    assert len(got) == len(exp)
+    for g, e in zip(got, exp):
+        assert g["constraint"] == e["constraint"]
+        assert g["passed"] == e["passed"], g["constraint"]
+        if e["metric"] is None:
+            assert g["metric"] is None, g["constraint"]
+        else:
+            assert g["metric"] == pytest.approx(e["metric"], abs=1e-9), \
+                g["constraint"]
+        assert g["n_rows"] == e["n_rows"]
+        assert g["n_violations"] == e["n_violations"]
+
+
+def test_observe_rejects_distinct_and_grouping_rules(spark, docs):
+    for chk in (Check("c").is_unique("doc_id"),
+                Check("c").is_primary_key("doc_id"),
+                Check("c").has_entropy("lang", at_least=0.0),
+                Check("c").has_top_value_share("lang", at_most=1.0)):
+        with pytest.raises(ValueError, match="not observable"):
+            chk.observe(docs)
+
+
+def test_observe_rides_a_write(spark, docs, tmp_path):
+    """The canonical 100TB shape: validate WHILE writing the output."""
+    chk = Check("w").is_complete("doc_id").has_size(at_least=1.0)
+    inst, obs = chk.observe(docs)
+    inst.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    v = {r["constraint"]: r for r in chk.verdicts_from_metrics(obs.get)}
+    assert v["complete(doc_id)"]["passed"]
+    assert v["size(*)>="]["n_rows"] == docs.count()
