@@ -1506,6 +1506,41 @@ def _diff_doc_snapshots(spark, sf_dir):
     return base, curr
 
 
+def _q_stats_state_merge_docs(spark, sf_dir):
+    """Mergeable metric states (operators/states.py — deequ algebraic
+    states): per-slice stats states over the even/odd doc_id halves are
+    merged and the verdict statistics derived WITHOUT rescanning either
+    slice. The oracle computes the same statistics directly on the full
+    table — equality certifies merge associativity end-to-end. Only the
+    exact algebraic fields are projected (n_chars is integer-valued, so
+    every double sum is exact in any merge order); the HLL cardinality
+    estimate has no cross-engine replay and is pinned by tolerance in
+    tests/test_states.py instead."""
+    from random_cut_forest_by_aws_spark.operators.states import (
+        merge_stats_states,
+        stats_from_state,
+        stats_state,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    halves = [d.filter(F.col("doc_id") % 2 == i) for i in (0, 1)]
+    states = stats_state(halves[0], ["n_chars"]).unionByName(
+        stats_state(halves[1], ["n_chars"]))
+    out = stats_from_state(merge_stats_states(states, ["n_chars"]),
+                           ["n_chars"])
+    return out.select(
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_chars_cnt").cast("bigint").alias("n_chars_cnt"),
+        F.col("n_chars_nulls").cast("bigint").alias("n_chars_nulls"),
+        F.round("n_chars_null_rate", 6).alias("n_chars_null_rate"),
+        F.col("n_chars_sum").alias("n_chars_sum"),
+        F.col("n_chars_min").alias("n_chars_min"),
+        F.col("n_chars_max").alias("n_chars_max"),
+        F.round("n_chars_mean", 6).alias("n_chars_mean"),
+        F.round("n_chars_stddev_pop", 6).alias("n_chars_stddev_pop"),
+    )
+
+
 def _q_snapshot_diff_docs(spark, sf_dir):
     """Row-level snapshot reconciliation: added / removed / changed /
     duplicate-key verdicts per doc_id between two deterministic
@@ -1616,6 +1651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_drift_docs": _q_token_drift_docs,
         "token_bigram_drift_docs": _q_token_bigram_drift_docs,
         "snapshot_drift_multi_events": _q_snapshot_drift_multi_events,
+        "stats_state_merge_docs": _q_stats_state_merge_docs,
         "snapshot_diff_docs": _q_snapshot_diff_docs,
         "snapshot_diff_summary_docs": _q_snapshot_diff_summary_docs,
         "validation_suite_verdicts": _q_suite_verdicts,
@@ -3025,6 +3061,31 @@ def oracle_sql() -> dict[str, str]:
                 FROM tm2_c
             )
             SELECT * FROM out_v UNION ALL SELECT * FROM out_c
+        """,
+        "stats_state_merge_docs": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(n_chars) AS BIGINT) AS n_chars_cnt,
+                   CAST(count(*) - count(n_chars) AS BIGINT)
+                       AS n_chars_nulls,
+                   round(CAST(count(*) - count(n_chars) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6)
+                       AS n_chars_null_rate,
+                   sum(CAST(n_chars AS DOUBLE)) AS n_chars_sum,
+                   min(CAST(n_chars AS DOUBLE)) AS n_chars_min,
+                   max(CAST(n_chars AS DOUBLE)) AS n_chars_max,
+                   round(sum(CAST(n_chars AS DOUBLE))
+                         / CAST(count(n_chars) AS DOUBLE), 6)
+                       AS n_chars_mean,
+                   round(sqrt(greatest(
+                       sum(CAST(n_chars AS DOUBLE)
+                           * CAST(n_chars AS DOUBLE))
+                           / CAST(count(n_chars) AS DOUBLE)
+                       - (sum(CAST(n_chars AS DOUBLE))
+                          / CAST(count(n_chars) AS DOUBLE))
+                         * (sum(CAST(n_chars AS DOUBLE))
+                            / CAST(count(n_chars) AS DOUBLE)), 0.0)), 6)
+                       AS n_chars_stddev_pop
+            FROM documents
         """,
         "snapshot_diff_docs": _snapshot_diff_oracle(
             "SELECT doc_id, status, changed_cols, cnt_base, cnt_curr "

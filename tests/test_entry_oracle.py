@@ -129,6 +129,7 @@ def hostile_sf(spark, tmp_path_factory):
     "boilerplate_lines_docs", "line_dedup_docs",
     "token_drift_docs", "token_bigram_drift_docs",
     "snapshot_diff_docs", "snapshot_diff_summary_docs",
+    "stats_state_merge_docs",
 ])
 def test_text_oracles_survive_hostile_docs(spark, hostile_sf, name):
     """The text/media oracles must match DuckDB even with non-ASCII and
