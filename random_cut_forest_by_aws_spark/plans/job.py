@@ -84,6 +84,14 @@ def main(argv=None) -> int:
         help="rel/abs_change upper bound (anomaly when change > this)",
     )
     ap.add_argument(
+        "--stats-state", default=None,
+        help="dir accumulating per-run mergeable stats states "
+        "(operators/states): each run appends the state of ITS input "
+        "slice (counts/sums/min-max/HLL, one aggregate over the data it "
+        "already scans) and writes the merged full-corpus statistics to "
+        "{output}/cumulative_stats — prior runs' data is never rescanned",
+    )
+    ap.add_argument(
         "--reconcile-against", default=None,
         help="a prior snapshot of the input table — adds row-level "
         "reconciliation verdicts (check=reconciliation: churn fraction "
@@ -215,6 +223,27 @@ def main(argv=None) -> int:
                 F.lit(f"method={args.anomaly_method}"),
             ).alias("detail"),
         ))
+
+    if args.stats_state:
+        from pyspark.sql import functions as F
+
+        from random_cut_forest_by_aws_spark.operators.states import (
+            merge_stats_states,
+            stats_from_state,
+            stats_state,
+        )
+
+        num_cols, key_cols = ["n_tok"], ["doc_id", "source"]
+        st = stats_state(df, num_cols, key_cols).withColumn(
+            "run_ts", F.lit(float(time.time())))
+        _write(st, args.stats_state, mode="append")
+        cum = stats_from_state(
+            merge_stats_states(
+                _read(args.stats_state).drop("run_ts"), num_cols, key_cols
+            ),
+            num_cols, key_cols,
+        )
+        _write(cum, f"{args.output}/cumulative_stats")
 
     if args.reconcile_against:
         from random_cut_forest_by_aws_spark.operators.diff import (

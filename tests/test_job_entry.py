@@ -170,3 +170,42 @@ def test_job_reconciliation_check(spark, job_io, tmp_path_factory):
     assert s.get("removed", 0) == 0       # prior ⊆ current
     assert s.get("unchanged", 0) > 0
     assert s.get("duplicate_key", 0) > 0  # planted dup doc_ids
+
+
+def test_job_stats_state_accumulates(spark, tmp_path_factory):
+    """--stats-state end-to-end: two runs over two disjoint slices must
+    leave cumulative statistics equal to a direct computation over the
+    union, without either run reading the other's data."""
+    from pyspark.sql import functions as F
+
+    from random_cut_forest_by_aws_spark.plans.job import main
+    from random_cut_forest_by_aws_spark.sources import sequences
+
+    root = tmp_path_factory.mktemp("job_state")
+    full = sequences(spark, 6_000, seed=21)
+    a, b = str(root / "a"), str(root / "b")
+    full.filter(F.col("seq") % 2 == 0).write.parquet(a)
+    full.filter(F.col("seq") % 2 == 1).write.parquet(b)
+    state = str(root / "state")
+    common = ["--cpus", "8", "--trees", "10", "--sample-size", "64",
+              "--stats-state", state]
+    for i, inp in enumerate([a, b]):
+        main(["--input", inp, "--output", str(root / f"out{i}")] + common)
+
+    cum = spark.read.parquet(str(root / "out1/cumulative_stats")) \
+        .collect()[0].asDict()
+    direct = full.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("n_tok").cast("double")).alias("s"),
+        F.min(F.col("n_tok").cast("double")).alias("mn"),
+        F.max(F.col("n_tok").cast("double")).alias("mx"),
+        F.countDistinct("source").alias("src"),
+    ).collect()[0]
+    assert cum["n_rows"] == direct["n"]
+    assert cum["n_tok_sum"] == pytest.approx(direct["s"])
+    assert cum["n_tok_min"] == direct["mn"]
+    assert cum["n_tok_max"] == direct["mx"]
+    # HLL estimate of source cardinality (tiny set -> exact in practice)
+    assert abs(cum["source_cardinality"] - direct["src"]) <= 1
+    # the state dir accumulated one row per run
+    assert spark.read.parquet(state).count() == 2
