@@ -201,3 +201,60 @@ def check_from_suggestions(
         else:  # pragma: no cover - forward compat
             raise ValueError(f"unknown suggested rule {rule!r}")
     return chk
+
+
+def suggest_from_state(
+    state: DataFrame,
+    numeric_cols: list[str],
+    key_cols: list[str] = (),
+    unique_min_distinctness: float = 0.98,
+) -> DataFrame:
+    """Propose rules from a (merged) mergeable stats state
+    (``operators/states.stats_state`` / ``merge_stats_states``) — ZERO
+    scans of the data. Completes the never-rescan loop: each crawl
+    folds its slice state into the store, and the rules that guard the
+    next crawl are suggested from the store alone.
+
+    Covers the state-derivable subset of :func:`suggest_rules`:
+    completeness + numeric range + non-negativity per numeric column,
+    and key-ness per key column from the HLL estimate (the
+    ``exact=False`` rule: estimate/n >= ``unique_min_distinctness``;
+    the state has no per-key null counts, so — as with deequ's
+    approximate rule — key completeness is not asserted). Categorical
+    domains need observed value sets the state does not carry; use
+    :func:`suggest_rules` on a snapshot for those. Output rows are
+    schema-compatible with :func:`check_from_suggestions`.
+    """
+    from .states import stats_from_state
+
+    derived = stats_from_state(state, numeric_cols, key_cols).collect()
+    if len(derived) != 1:
+        raise ValueError(
+            "suggest_from_state expects one merged state row; "
+            f"got {len(derived)} (pass group_by-free, merged state)"
+        )
+    d = derived[0].asDict()
+    n = d["n_rows"]
+    rows: list[tuple] = []
+    for c in numeric_cols:
+        cnt, nulls = d[f"{c}_cnt"], d[f"{c}_nulls"]
+        comp = (cnt / n) if n > 0 else None
+        if n > 0 and nulls == 0:
+            rows.append((c, "is_complete", 1.0, None, comp, n))
+        elif n > 0 and cnt > 0:
+            rows.append((c, "has_completeness", _floor4(comp), None, comp, n))
+        if cnt and cnt > 0:
+            lo, hi = d[f"{c}_min"], d[f"{c}_max"]
+            rows.append((c, "has_min", lo, None, lo, n))
+            rows.append((c, "has_max", hi, None, hi, n))
+            if lo >= 0:
+                rows.append((c, "is_non_negative", 1.0, None, lo, n))
+    for c in key_cols:
+        est = d[f"{c}_cardinality"]
+        if n > 1 and est is not None:
+            distinctness = est / n
+            if distinctness >= unique_min_distinctness:
+                rows.append((c, "is_unique", 1.0, None, distinctness, n))
+    rows.sort(key=lambda r: (r[0], r[1]))
+    spark = SparkSession.getActiveSession() or state.sparkSession
+    return spark.createDataFrame(rows, _SCHEMA)

@@ -107,3 +107,42 @@ def test_state_roundtrips_through_parquet(spark, docs, tmp_path):
     assert abs(got["doc_id_cardinality"]
                - direct["doc_id_cardinality"]) <= 0.05 * direct["doc_id_cardinality"]
     assert got["n_chars_mean"] == pytest.approx(direct["n_chars_mean"])
+
+
+def test_suggest_from_state_matches_snapshot_suggestions(spark, docs):
+    """Rules discovered from the merged state must equal the
+    state-derivable subset of suggest_rules on the full data — the
+    never-rescan loop: fold slice states, suggest from the store,
+    enforce on the next crawl."""
+    from random_cut_forest_by_aws_spark.operators.suggest import (
+        check_from_suggestions,
+        suggest_from_state,
+        suggest_rules,
+    )
+
+    halves = [docs.filter(F.col("doc_id") % 2 == i) for i in (0, 1)]
+    merged = merge_stats_states(
+        stats_state(halves[0], NUM, KEY).unionByName(
+            stats_state(halves[1], NUM, KEY)), NUM, KEY)
+    from_state = suggest_from_state(merged, NUM, ["doc_id"])
+    # exact snapshot run as the reference (approx_count_distinct's
+    # rsd=0.05 HLL++ underestimates 500 as ~484 < the 0.98 keyness bar,
+    # while the state's lg_k=12 DataSketches estimate nails it)
+    snap = suggest_rules(docs, columns=NUM + ["doc_id"], exact=True)
+
+    fs = {(r["column"], r["rule"]): r for r in from_state.collect()}
+    sn = {(r["column"], r["rule"]): r for r in snap.collect()}
+    # every state-derivable numeric rule matches the snapshot run
+    for key in [("n_chars", "has_min"), ("n_chars", "has_max"),
+                ("n_chars", "is_non_negative")]:
+        assert key in fs and key in sn
+        assert fs[key]["threshold"] == sn[key]["threshold"], key
+    comp = [(c, r) for (c, r) in fs if r in ("is_complete",
+                                             "has_completeness")]
+    assert comp and all(k in sn for k in comp)
+    # doc_id key-ness proposed from the HLL estimate on both paths
+    assert ("doc_id", "is_unique") in fs
+    assert ("doc_id", "is_unique") in sn
+    # and the suggested check passes on the data that produced the state
+    verdicts = check_from_suggestions(from_state).run(docs)
+    assert all(r["passed"] for r in verdicts.collect())
