@@ -1321,6 +1321,8 @@ def _q_constraint_check_docs(spark, sf_dir):
         .is_unique("doc_id")
         .are_complete(["text", "lang"], 0.9)
         .is_primary_key(["doc_id", "source"])
+        .has_data_type("text", "numeric", 0.0)
+        .contains_email("text", 0.5)
         .has_correlation("doc_id", "n_chars", at_least=-1.0)
         .run(d)
     )
@@ -2836,6 +2838,15 @@ def oracle_sql() -> dict[str, str]:
                                             AND source IS NOT NULL
                                            THEN ROW(doc_id, source) END)
                            AS s_pk,
+                       sum(CASE WHEN COALESCE((text IS NULL) OR
+                                    (TRY_CAST(text AS DOUBLE) IS NOT NULL),
+                                    FALSE)
+                                THEN 1 ELSE 0 END) AS s_dt,
+                       sum(CASE WHEN COALESCE(NOT COALESCE(
+                                    regexp_matches(text,
+                                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+'),
+                                    FALSE), FALSE)
+                                THEN 1 ELSE 0 END) AS s_ne,
                        -- pairwise-complete Pearson moments (integer-valued
                        -- doubles < 2^53: exact in both engines)
                        CAST(count(CASE WHEN doc_id IS NOT NULL
@@ -2907,6 +2918,14 @@ def oracle_sql() -> dict[str, str]:
                          '>=', 1.0,
                          CAST(s_pk AS DOUBLE) / CAST(n AS DOUBLE),
                          CAST(-1 AS BIGINT), n FROM a
+                  UNION ALL
+                  SELECT 'data_type(text,numeric)', 'text', '>=', 0.0,
+                         CAST(s_dt AS DOUBLE) / CAST(n AS DOUBLE),
+                         CAST(n - s_dt AS BIGINT), n FROM a
+                  UNION ALL
+                  SELECT 'no_email(text)', 'text', '>=', 0.5,
+                         CAST(s_ne AS DOUBLE) / CAST(n AS DOUBLE),
+                         CAST(n - s_ne AS BIGINT), n FROM a
                   UNION ALL
                   SELECT 'corr(doc_id,n_chars)>=', 'doc_id', '>=', -1.0,
                          CASE WHEN (r_n * r_xx - r_x * r_x) > 0

@@ -48,7 +48,8 @@ _SPEC_METHODS = frozenset({
     "has_max_length", "has_entropy", "has_uniqueness",
     "has_unique_value_ratio", "has_mutual_information", "has_quantile",
     "are_complete", "is_primary_key", "has_approx_count_distinct",
-    "has_top_value_share",
+    "has_top_value_share", "is_positive", "has_data_type",
+    "contains_email", "contains_url",
 })
 
 #: frequency-based analyzers that need a per-value aggregation of their
@@ -162,6 +163,54 @@ class Check:
     def is_non_negative(self, column: str, min_fraction: float = 1.0) -> "Check":
         return self.satisfies(f"{column} >= 0",
                               f"non_negative({column})", min_fraction, column)
+
+    def is_positive(self, column: str, min_fraction: float = 1.0) -> "Check":
+        return self.satisfies(f"{column} > 0",
+                              f"positive({column})", min_fraction, column)
+
+    def has_data_type(self, column: str, dtype: str,
+                      min_fraction: float = 1.0) -> "Check":
+        """deequ hasDataType: at least ``min_fraction`` of rows are
+        NULL or parse as ``dtype`` ('numeric' | 'integral' |
+        'boolean') — i.e. at most 1−min_fraction of rows hold a
+        non-parseable value (a NULL carries no type evidence; bound
+        NULLs separately with is_complete). TRY_CAST keeps the probe
+        ANSI-safe and replays in DuckDB; prefer 'numeric' in
+        cross-engine gates ('integral'/'boolean' string-acceptance
+        grammars differ slightly between engines on exotic literals)."""
+        spark_t = {"numeric": "DOUBLE", "integral": "BIGINT",
+                   "boolean": "BOOLEAN"}.get(dtype)
+        if spark_t is None:
+            raise ValueError(f"dtype must be numeric|integral|boolean, "
+                             f"got {dtype!r}")
+        pred = (f"({column} IS NULL) OR "
+                f"(TRY_CAST({column} AS {spark_t}) IS NOT NULL)")
+        return self.satisfies(pred, f"data_type({column},{dtype})",
+                              min_fraction, column)
+
+    def contains_email(self, column: str, max_fraction: float = 0.0) -> "Check":
+        """No more than ``max_fraction`` of rows contain an email-shaped
+        substring (PII hygiene gate; pattern shared with
+        operators/scrub.py). The ``\\.`` is rewritten to ``[.]``: this
+        rule travels inside an SQL string literal, and Spark processes
+        backslash escapes in literals while DuckDB does not — a bare
+        backslash in a shared predicate silently diverges. Implemented
+        as the complement fraction (rule ops are >=)."""
+        from .scrub import PII_PATTERNS
+
+        pat = PII_PATTERNS["email"].replace("\\.", "[.]")
+        pred = f"NOT COALESCE(regexp_like({column}, '{pat}'), FALSE)"
+        return self.satisfies(pred, f"no_email({column})",
+                              1.0 - float(max_fraction), column)
+
+    def contains_url(self, column: str, max_fraction: float = 0.0) -> "Check":
+        """No more than ``max_fraction`` of rows contain a URL."""
+        from .scrub import PII_PATTERNS
+
+        pred = (f"NOT COALESCE(regexp_like({column}, "
+                f"'{PII_PATTERNS['url']}'), FALSE)")
+        return self.satisfies(pred, f"no_url({column})",
+                              1.0 - float(max_fraction), column)
 
     def are_complete(self, columns, min_fraction: float = 1.0) -> "Check":
         """deequ areComplete: every listed column is non-null in the

@@ -547,3 +547,36 @@ def test_observe_rides_a_write(spark, docs, tmp_path):
     v = {r["constraint"]: r for r in chk.verdicts_from_metrics(obs.get)}
     assert v["complete(doc_id)"]["passed"]
     assert v["size(*)>="]["n_rows"] == docs.count()
+
+
+def test_data_type_positive_and_pii_rules(spark):
+    df = spark.createDataFrame(
+        [("1", 5, "write to a@b.co now"),
+         ("2.5", -1, "clean"),
+         ("abc", 0, "see https://x.io/p"),
+         (None, 3, None)],
+        "s string, v bigint, t string",
+    )
+    out = _run(
+        Check("c")
+        .has_data_type("s", "numeric", 0.7)
+        .has_data_type("s", "integral", 0.4)
+        .is_positive("v", 0.5)
+        .contains_email("t", max_fraction=0.3)
+        .contains_url("t", max_fraction=0.0),
+        df,
+    )
+    # 'abc' fails numeric parse; NULL passes -> 3/4
+    r = out.loc["data_type(s,numeric)"]
+    assert r["metric"] == pytest.approx(0.75) and r["passed"]
+    assert out.loc["positive(v)"]["metric"] == pytest.approx(0.5)
+    assert out.loc["positive(v)"]["passed"]
+    # one email in 4 rows -> no_email fraction 0.75 >= 0.7 passes
+    r = out.loc["no_email(t)"]
+    assert r["metric"] == pytest.approx(0.75) and r["passed"]
+    # one URL -> no_url 0.75 < 1.0 fails (NULL text counts as no-match)
+    r = out.loc["no_url(t)"]
+    assert r["metric"] == pytest.approx(0.75) and not r["passed"]
+
+    with pytest.raises(ValueError, match="dtype"):
+        Check("c").has_data_type("s", "uuid")
