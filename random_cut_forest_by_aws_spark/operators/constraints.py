@@ -25,7 +25,20 @@ def row_invariant_violations(
     ``invariants`` maps name → boolean Column that must hold. One scan
     evaluates all invariants; output keeps only ``id_cols`` plus the
     array of failed constraint names.
+
+    Plan shape (round 6): filter FIRST on the plain boolean conjunction
+    of the conditions, then build the ``failed_constraints`` name array
+    only for the (rare) surviving rows. Filtering on ``size(failed) >
+    0`` instead pushes the filter below the projection and evaluates
+    the whole array+filter(lambda) construction for EVERY row (~4x the
+    scan measured at 2M rows); the conjunction is equivalent — the
+    array is non-empty iff some condition is not true. Violating rows
+    pay each condition twice (filter + array), which is the right
+    trade-off exactly because violations are rare.
     """
+    all_ok = F.lit(True)
+    for cond in invariants.values():
+        all_ok = all_ok & F.coalesce(cond, F.lit(False))
     failed = F.filter(
         F.array(
             *[
@@ -36,8 +49,8 @@ def row_invariant_violations(
         lambda x: x.isNotNull(),
     )
     return (
-        df.withColumn("failed_constraints", failed)
-        .filter(F.size("failed_constraints") > 0)
+        df.filter(~all_ok)
+        .withColumn("failed_constraints", failed)
         .select(*id_cols, "failed_constraints")
     )
 

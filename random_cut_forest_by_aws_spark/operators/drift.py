@@ -523,6 +523,18 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
         "n_drifted_windows", "n_imputed", "mean_score",
     ]
 
+    def _row_features(row) -> np.ndarray:
+        """Feature vector of one pandas row — array column or the
+        scalarized ``__feat{j}`` columns (see drift_scores)."""
+        if feature_col in row.index:
+            return np.asarray(row[feature_col], np.float64)
+        j = 0
+        out = []
+        while f"__feat{j}" in row.index:
+            out.append(float(row[f"__feat{j}"]))
+            j += 1
+        return np.asarray(out, np.float64)
+
     def fn(key, pdf):
         import time as _time
 
@@ -551,12 +563,27 @@ def _make_drift_fn(group_cols: list[str], order_col: str, feature_col: str, cfg:
                 anc = pdf[amask].iloc[-1]
                 block_anchor = (
                     int(anc[order_col]),
-                    np.asarray(anc[feature_col], np.float64),
+                    _row_features(anc),
                 )
                 pdf = pdf[~amask]
             if len(pdf) == 0:
                 return pd.DataFrame([], columns=out_cols)
-        X = np.stack(pdf[feature_col].to_numpy()).astype(np.float64)
+        if feature_col in pdf.columns:
+            X = np.stack(pdf[feature_col].to_numpy()).astype(np.float64)
+        else:
+            # scalarized features (drift_scores projects the array to
+            # __feat{j} float columns before the exchange): each column
+            # arrives as one contiguous Arrow float vector — no per-row
+            # ndarray objects to build, ~2x less grouped-map overhead
+            # (round-6 A/B: 5.1 -> 2.7 s trivial-fn wall at 2M rows)
+            fcols = []
+            j = 0
+            while f"__feat{j}" in pdf.columns:
+                fcols.append(f"__feat{j}")
+                j += 1
+            X = np.empty((len(pdf), len(fcols)), np.float64)
+            for jj, c in enumerate(fcols):
+                X[:, jj] = pdf[c].to_numpy(np.float64)
         seqs = pdf[order_col].to_numpy(np.int64)
         if cfg.mode == "time_augmented" and len(X):
             # ForestMode.TIME_AUGMENTED: the order_col gap becomes an extra
@@ -1208,6 +1235,30 @@ def drift_scores(
         n_part = cfg.extra.get("parallelism") or max(16, min(2 * known_b, 30_000))
     else:
         n_part = cfg.extra.get("parallelism") or max(dp * 2, 16)
+    # Scalarize the feature array to __feat{j} float columns BEFORE the
+    # exchange (guide §2.3 project-before-exchange + §4 fewer bytes
+    # across the Arrow boundary): flat float vectors shuffle tighter
+    # than list arrays, and on the Python side each column arrives as
+    # one contiguous buffer instead of 2M per-row ndarray objects
+    # (measured 5.1 -> 2.7 s trivial-fn grouped-map wall at 2M rows).
+    # The width is probed from one row; an empty/NULL-leading input
+    # falls back to shipping the array column unchanged (the grouped
+    # map accepts both shapes).
+    d_feat = None
+    try:
+        r0 = df.select(F.size(F.col(feature_col)).alias("d")).first()
+        if r0 is not None and r0["d"] is not None and int(r0["d"]) > 0:
+            d_feat = int(r0["d"])
+    except Exception:
+        d_feat = None
+    if d_feat:
+        bucketed = bucketed.select(
+            *[c for c in bucketed.columns if c != feature_col],
+            *[
+                F.element_at(F.col(feature_col), j + 1).alias(f"__feat{j}")
+                for j in range(d_feat)
+            ],
+        )
     bucketed = bucketed.repartition(n_part, *key_cols)
     schema_prefix = ", ".join(
         f"{c} {t}" for c, t in bucketed.select(*key_cols).dtypes
