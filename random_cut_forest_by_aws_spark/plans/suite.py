@@ -141,9 +141,19 @@ class ValidationSuite:
         holder: dict[str, DataFrame] = {}
 
         def run_drift() -> int:
+            # localCheckpoint, not cache(): raw's logical plan is the
+            # suite's biggest (bucket-count literals + 2B-partition
+            # repartition + grouped map) and a cache() registers it with
+            # the CacheManager, which re-canonicalizes EVERY registered
+            # plan on every subsequent action in the session (round-5
+            # gotcha #4) — the verdict/violation consumption paid that
+            # tax per query. Checkpointing truncates raw to a leaf; the
+            # output is tiny (anomaly + summary rows), so executor
+            # storage cost is nil and the materialization stays inside
+            # this timed phase.
             raw = drift_scores(
                 feat, "features", (cfg.group_col,), cfg.order_col, cfg.drift
-            ).cache()
+            ).localCheckpoint(eager=True)
             dv = drift_verdicts(raw, (cfg.group_col,), cfg.drift).cache()
             holder["raw"], holder["dv"] = raw, dv
             return dv.filter(~F.col("passed")).count()
