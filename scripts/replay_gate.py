@@ -39,6 +39,18 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_float_dtype(pdf[c]):
             pdf[c] = pdf[c].astype("float64")
         else:
+            # The driver sorts object columns AS-IS (pandas factorize),
+            # which CRASHES on unhashable values (lists/arrays/dicts).
+            # Round 5 masked exactly that failure class by stringifying
+            # first — the replay certified "0 failures" while the driver
+            # recorded one. Fail here like the driver fails.
+            head = pdf[c].head(100)
+            if any(isinstance(v, (list, np.ndarray, dict, set)) for v in head):
+                raise TypeError(
+                    f"column {c!r} holds unhashable values (list/array) — "
+                    "the driver canonicalizer cannot sort it; flatten the "
+                    "query output (concat_ws / posexplode)"
+                )
             pdf[c] = pdf[c].astype(str)
     return pdf.sort_values(list(pdf.columns), kind="mergesort").reset_index(drop=True)
 

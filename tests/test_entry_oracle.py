@@ -34,6 +34,17 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_float_dtype(pdf[c]):
             pdf[c] = pdf[c].astype("float64")
         else:
+            # fail like the driver's canonicalizer fails: it sorts
+            # object columns unstringified, which crashes on list
+            # values (round-5 lesson — astype(str) masked that)
+            import numpy as np
+
+            head = pdf[c].head(100)
+            if any(isinstance(v, (list, np.ndarray, dict, set)) for v in head):
+                raise TypeError(
+                    f"column {c!r} holds unhashable values — the driver "
+                    "canonicalizer cannot sort it; flatten the output"
+                )
             pdf[c] = pdf[c].astype(str)
     return pdf.sort_values(list(pdf.columns), kind="mergesort").reset_index(drop=True)
 
