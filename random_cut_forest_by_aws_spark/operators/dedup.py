@@ -13,6 +13,7 @@ and cluster sizes.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 import numpy as np
@@ -42,12 +43,167 @@ def word_shingles(text_col: str = "text", k: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingle_hashes: Column, num_hashes: int = 32, seed: int = 42) -> Column:
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+
+
+def _xxh_fmix_np(h):
+    import numpy as np
+
+    u = np.uint64
+    h = h ^ (h >> u(33))
+    h = h * u(_XXH_P2)
+    h = h ^ (h >> u(29))
+    h = h * u(_XXH_P3)
+    h = h ^ (h >> u(32))
+    return h
+
+
+def _xxh_hash_long_np(vals, seed: int):
+    """Vectorized transcription of catalyst ``XXH64.hashLong(input,
+    seed)`` (init → one 8-byte round → avalanche). uint64 arithmetic
+    wraps exactly like Java longs; bit-parity vs the JVM is pinned in
+    tests/test_dedup.py."""
+    import numpy as np
+
+    u = np.uint64
+    x = vals.astype(np.uint64)
+    h = u((seed + _XXH_P5 + 8) & 0xFFFFFFFFFFFFFFFF)
+    k1 = x * u(_XXH_P2)
+    k1 = (k1 << u(31)) | (k1 >> u(33))
+    k1 = k1 * u(_XXH_P1)
+    h = h ^ k1
+    h = ((h << u(27)) | (h >> u(37))) * u(_XXH_P1) + u(_XXH_P4)
+    return _xxh_fmix_np(h)
+
+
+def _xxh_hash_int_scalar_over_seeds_np(i: int, seeds):
+    """Vectorized ``XXH64.hashInt(i, seed)`` for ONE 4-byte value over a
+    VECTOR of seeds — the shape of Spark's multi-argument ``xxhash64``
+    chain, where the previous argument's hash becomes the seed."""
+    import numpy as np
+
+    u = np.uint64
+    h = seeds + u((_XXH_P5 + 4) & 0xFFFFFFFFFFFFFFFF)
+    h = h ^ u(((i & 0xFFFFFFFF) * _XXH_P1) & 0xFFFFFFFFFFFFFFFF)
+    h = ((h << u(23)) | (h >> u(41))) * u(_XXH_P2) + u(_XXH_P3)
+    return _xxh_fmix_np(h)
+
+
+def _xxh_hash_long_scalar_over_seeds_np(l: int, seeds):
+    """Vectorized ``XXH64.hashLong(l, seed)`` for ONE long value over a
+    VECTOR of seeds (used when a permutation literal overflows int32
+    and Spark plans it as a long literal)."""
+    import numpy as np
+
+    u = np.uint64
+    h = seeds + u((_XXH_P5 + 8) & 0xFFFFFFFFFFFFFFFF)
+    k1 = ((l & 0xFFFFFFFFFFFFFFFF) * _XXH_P2) & 0xFFFFFFFFFFFFFFFF
+    k1 = ((k1 << 31) | (k1 >> 33)) & 0xFFFFFFFFFFFFFFFF
+    k1 = (k1 * _XXH_P1) & 0xFFFFFFFFFFFFFFFF
+    h = h ^ u(k1)
+    h = ((h << u(27)) | (h >> u(37))) * u(_XXH_P1) + u(_XXH_P4)
+    return _xxh_fmix_np(h)
+
+
+def _xxhash64_long_lit_np(vals, lit: int):
+    """Spark ``F.xxhash64(col_bigint, F.lit(lit))`` exactly: the literal
+    is a SECOND HASHED ARGUMENT (the function's seed is fixed at 42),
+    chained as ``hash_lit(lit, hashLong(val, 42))``; an int-range
+    literal takes the 4-byte path, a long literal the 8-byte path."""
+    base = _xxh_hash_long_np(vals, 42)
+    if -(2**31) <= lit < 2**31:
+        return _xxh_hash_int_scalar_over_seeds_np(lit, base).view("int64")
+    return _xxh_hash_long_scalar_over_seeds_np(lit, base).view("int64")
+
+
+_MINHASH_UDFS: dict[tuple[int, int], object] = {}
+
+
+def _minhash_arrow_udf(num_hashes: int, seed: int):
+    """Arrow kernel for the banded-MinHash signature: all ``num_hashes``
+    permutation streams + per-row minima in one vectorized pass instead
+    of ``num_hashes`` interpreted per-element ``transform`` lambdas
+    (the dominant cost of candidate generation at bench scale)."""
+    key = (num_hashes, seed)
+    if key in _MINHASH_UDFS:
+        return _MINHASH_UDFS[key]
+    import numpy as np
+
+    def _sig(hs: pd.Series) -> pd.Series:
+        arrs = hs.to_numpy()
+        n = len(arrs)
+        lens = np.fromiter(
+            (len(a) if a is not None else 0 for a in arrs), np.int64, n
+        )
+        nonempty = [a for a in arrs if a is not None and len(a)]
+        vals = (
+            np.concatenate(nonempty).astype(np.int64, copy=False)
+            if nonempty
+            else np.zeros(0, np.int64)
+        )
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        ne = lens > 0
+        ne_starts = starts[ne]
+        mins = np.empty((num_hashes, int(ne.sum())), np.int64)
+        # the chain's first link hashLong(h, 42) is permutation-
+        # independent: compute it once, then one 4-byte link per
+        # permutation (vs num_hashes full interpreted passes in the
+        # expression path)
+        base = _xxh_hash_long_np(vals, 42)
+        for j in range(num_hashes):
+            lit = seed + j
+            if -(2**31) <= lit < 2**31:
+                hj = _xxh_hash_int_scalar_over_seeds_np(lit, base).view(np.int64)
+            else:
+                hj = _xxh_hash_long_scalar_over_seeds_np(lit, base).view(np.int64)
+            if len(ne_starts):
+                mins[j] = np.minimum.reduceat(hj, ne_starts)
+        out = np.empty(n, object)
+        k = 0
+        none_sig = [None] * num_hashes
+        for i in range(n):
+            if ne[i]:
+                out[i] = mins[:, k].tolist()
+                k += 1
+            else:
+                # array_min(transform(NULL/empty)) per permutation is
+                # NULL — an array of num_hashes NULLs, not a NULL array
+                out[i] = none_sig
+        return pd.Series(out)
+
+    udf = pandas_udf(_sig, "array<bigint>")
+    _MINHASH_UDFS[key] = udf
+    return udf
+
+
+def minhash_signature(
+    shingle_hashes: Column,
+    num_hashes: int = 32,
+    seed: int = 42,
+    impl: str | None = None,
+) -> Column:
     """array<bigint> of per-permutation min-hashes over pre-hashed shingles
     (one xxhash64 stream per permutation index — the standard 'k
     independent hash functions'). Takes int64 shingle hashes, not strings:
     hash the (expensive) shingle strings exactly once, then derive every
-    permutation by re-hashing the cheap integers."""
+    permutation by re-hashing the cheap integers.
+
+    Two bit-identical implementations (parity-pinned): ``impl='arrow'``
+    (default; env ``RCF_MINHASH_IMPL`` overrides) computes every
+    permutation in one vectorized NumPy pass — the ``num_hashes``
+    interpreted ``transform`` lambdas of the expression path measured
+    ~2-5 s of the bench minhash query at 5k docs; ``impl='expr'`` keeps
+    the pure-JVM higher-order expressions (no Python workers)."""
+    impl = impl or os.environ.get("RCF_MINHASH_IMPL", "arrow")
+    if impl not in ("arrow", "expr"):
+        raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
+    if impl == "arrow":
+        return _minhash_arrow_udf(num_hashes, seed)(shingle_hashes)
     return F.array(
         *[
             F.array_min(
@@ -96,15 +252,19 @@ def _band_buckets(
     incremental (new-vs-corpus) candidate generators join on."""
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    # Hash each shingle string ONCE, then force an exchange so Catalyst's
-    # CollapseProject cannot inline the (expensive) shingle construction
-    # into all num_hashes array_min expressions downstream.
     hashed = df.select(
         F.col(id_col).alias("_id"),
         F.transform(word_shingles(text_col, shingle_k), lambda s: F.xxhash64(s)).alias(
             "_h"
         ),
-    ).repartition(F.col("_id"))
+    )
+    if os.environ.get("RCF_MINHASH_IMPL", "arrow") == "expr":
+        # expression impl only: force an exchange so CollapseProject
+        # cannot inline the (expensive) shingle construction into all
+        # num_hashes array_min expressions downstream. The Arrow impl
+        # consumes _h as a single UDF argument (evaluated once), so the
+        # exchange would be pure overhead there.
+        hashed = hashed.repartition(F.col("_id"))
     sig = minhash_signature(F.col("_h"), num_hashes, seed)
     return hashed.select(F.col("_id"), sig.alias("_sig")).select(
         "_id",

@@ -376,3 +376,37 @@ def test_winnow_containment_prefix_and_disjoint(spark):
     assert row["containment"] == 1.0
     assert row["n_shared_fps"] == row["n_a"] and row["n_a"] <= row["n_b"]
     assert not any(2 in idx for idx in out.index)
+
+
+def test_minhash_arrow_kernel_parity(spark):
+    """The vectorized XXH64 minhash kernel must replay Spark's
+    ``xxhash64(h, lit(seed + j))`` chain bit-for-bit — including the
+    int-literal (4-byte) vs long-literal (8-byte) second link — and the
+    array/expr signature paths must agree on null/empty inputs."""
+    from pyspark.sql import functions as F
+
+    from random_cut_forest_by_aws_spark.operators.dedup import (
+        _xxhash64_long_lit_np,
+        minhash_signature,
+    )
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(-(2**63), 2**63 - 1, size=500, dtype=np.int64)
+    df = spark.createDataFrame([(int(v),) for v in vals], "v long")
+    for lit in (42, 73, 0, -5, 2**31 + 5):
+        exp = np.array(
+            [r[0] for r in df.select(F.xxhash64("v", F.lit(lit))).collect()],
+            np.int64,
+        )
+        assert np.array_equal(_xxhash64_long_lit_np(vals, lit), exp), lit
+
+    rows = [(1, [123, 456, 789]), (2, []), (3, None), (4, [-5]),
+            (5, list(range(200)))]
+    d2 = spark.createDataFrame(rows, "id int, h array<long>")
+    a = {r["id"]: r["s"] for r in d2.select(
+        "id", minhash_signature(F.col("h"), 32, 42, impl="arrow").alias("s")
+    ).collect()}
+    b = {r["id"]: r["s"] for r in d2.select(
+        "id", minhash_signature(F.col("h"), 32, 42, impl="expr").alias("s")
+    ).collect()}
+    assert a == b
