@@ -43,16 +43,38 @@ def ngram_contamination(
     POSITIONS (not distinct grams) — the conservative quantity used to
     decide whether to drop the document.
     """
-    words = F.split(F.col(text_col), " ")
-    gram_col = F.explode(_word_ngrams(words, n)).alias("gram")
+    from ._parallel import ensure_compute_parallelism
 
-    eval_grams = eval_docs.select(gram_col).distinct()
-    corpus_grams = corpus.select(F.col(id_col), gram_col)
+    # gram generation is fused into the corpus scan; a single-file
+    # input would run it on one core (no-op on multi-split inputs)
+    corpus = ensure_compute_parallelism(corpus)
+    words = F.split(F.col(text_col), " ")
     if hash_ngrams:
-        eval_grams = eval_grams.select(F.xxhash64("gram").alias("gram"))
-        corpus_grams = corpus_grams.select(
-            id_col, F.xxhash64("gram").alias("gram")
+        # Hash the word TUPLE directly (xxhash64 chains its arguments)
+        # instead of building the space-joined gram string and hashing
+        # that: same join semantics — split(text, ' ') words never
+        # contain the joiner, so tuple <-> string is a bijection and
+        # the hash key is 1:1 with the gram — without allocating ~n
+        # words of string per position. The driver-gate oracle
+        # recomputes overlaps on gram STRINGS, certifying this hashed
+        # join collision-free on the fixture.
+        size = F.size(words)
+        hashed = F.transform(
+            F.sequence(F.lit(1), size - F.lit(n - 1)),
+            lambda i: F.xxhash64(
+                *[F.element_at(words, i + F.lit(j)) for j in range(n)]
+            ),
         )
+        gram_arr = F.when(size >= F.lit(n), hashed).otherwise(
+            F.array().cast("array<bigint>")
+        )
+        gram_col = F.explode(gram_arr).alias("gram")
+        eval_grams = eval_docs.select(gram_col).distinct()
+        corpus_grams = corpus.select(F.col(id_col), gram_col)
+    else:
+        gram_col = F.explode(_word_ngrams(words, n)).alias("gram")
+        eval_grams = eval_docs.select(gram_col).distinct()
+        corpus_grams = corpus.select(F.col(id_col), gram_col)
 
     totals = corpus.select(
         F.col(id_col),

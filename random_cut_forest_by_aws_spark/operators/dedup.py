@@ -252,6 +252,13 @@ def _band_buckets(
     incremental (new-vs-corpus) candidate generators join on."""
     assert num_hashes % bands == 0
     rows = num_hashes // bands
+    from ._parallel import ensure_compute_parallelism
+
+    # single-file inputs plan ONE scan task; shingle construction +
+    # string hashing are the pipeline's heaviest per-row work, so
+    # spread low-split inputs across the cluster first (no-op on real
+    # multi-split tables)
+    df = ensure_compute_parallelism(df)
     hashed = df.select(
         F.col(id_col).alias("_id"),
         F.transform(word_shingles(text_col, shingle_k), lambda s: F.xxhash64(s)).alias(
@@ -471,6 +478,11 @@ def winnow_fingerprints(
         raise ValueError("k > 5 would overflow the closed-form hash")
     if impl not in ("arrow", "expr"):
         raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
+    from ._parallel import ensure_compute_parallelism
+
+    # per-char hashing is the heaviest per-row kernel in the engine —
+    # don't let a single-file input serialize it onto one core
+    df = ensure_compute_parallelism(df)
     if impl == "arrow":
         fps_udf = _winnow_arrow_udf(k, window)
         return df.select(

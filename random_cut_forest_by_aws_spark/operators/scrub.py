@@ -49,6 +49,11 @@ def pii_profile(
     ORIGINAL text, independently per pattern (a digit run inside a phone
     number counts for both; consumers filter on whichever they police).
     """
+    from ._parallel import ensure_compute_parallelism
+
+    # 10 regex passes per document fused into the scan: spread
+    # single-file inputs first (no-op on real multi-split tables)
+    docs = ensure_compute_parallelism(docs)
     t = F.col(text_col)
     counts = [
         F.regexp_count(t, F.lit(p)).cast("bigint").alias(f"n_{name}")

@@ -55,14 +55,23 @@ def test_lm_quality_two_scans(spark):
     assert plan.count("Reused") >= 1, plan
 
 
-def test_pii_profile_is_bare_scan(spark):
-    """Scrub is scan-fused: no exchange anywhere in the plan."""
+def test_pii_profile_spreads_single_file_scan_only(spark):
+    """Scrub is scan-fused, with ONE exception (round 6): a low-split
+    input (single-file/single-row-group table ⇒ one scan task) gets a
+    round-robin spread so the 10 regex passes parallelize. On an input
+    that already has enough partitions the plan must stay exchange-free
+    — the production (many-split) shape."""
     from random_cut_forest_by_aws_spark.operators.scrub import pii_profile
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = _final_plan(pii_profile(docs))
     assert plan.count("FileScan parquet") == 1, plan
-    assert "Exchange" not in plan, plan
+    assert plan.count("Exchange") == 1, plan  # the single-file spread
+
+    wide = docs.repartition(spark.sparkContext.defaultParallelism)
+    plan_wide = _final_plan(pii_profile(wide))
+    # exactly the caller's own exchange — pii_profile added none
+    assert plan_wide.count("Exchange") == 1, plan_wide
 
 
 def test_pack_scan_prunes_and_evaluates_ntok_once(spark):
