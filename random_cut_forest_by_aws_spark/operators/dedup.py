@@ -771,6 +771,11 @@ def ngram_jaccard(
     of dying on the broadcast cap. Callers reusing ``pairs`` several
     times should persist or localCheckpoint it first (curate_corpus
     does)."""
+    from ._parallel import ensure_compute_parallelism
+
+    # shingle sets for the candidate docs are computed map-side off the
+    # corpus scan; spread single-file inputs first (no-op otherwise)
+    df = ensure_compute_parallelism(df)
     cand_ids = (
         pairs.select(F.col("id_a").alias("_id"))
         .unionByName(pairs.select(F.col("id_b").alias("_id")))

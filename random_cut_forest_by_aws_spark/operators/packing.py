@@ -67,6 +67,12 @@ def doc_token_offsets(
     afterwards is semantically identical and evaluates the expression
     once.
     """
+    from ._parallel import ensure_compute_parallelism
+
+    # the ntok_col expression (often a regex over the full text) is
+    # evaluated map-side BEFORE the window exchange; a single-file
+    # input would run it on one core (no-op on multi-split inputs)
+    docs = ensure_compute_parallelism(docs)
     base = (
         docs.select(
             F.col(key_col).alias("pk_key"),
