@@ -29,6 +29,13 @@ def uniqueness_violations(
     Null keys are a separate constraint (null-rate in stats); by default
     they are excluded here, matching SQL UNIQUE semantics.
     """
+    from ._parallel import ensure_compute_parallelism
+
+    # phase-1 (key, salt) aggregation runs map-side off the scan; a
+    # single-file input would build its hash map on one core (no-op on
+    # multi-split inputs). Column pruning still reaches the scan
+    # through the round-robin exchange, so only the key columns ship.
+    df = ensure_compute_parallelism(df)
     keys = [F.col(k) for k in key_cols]
     scoped = df
     if not count_nulls:
