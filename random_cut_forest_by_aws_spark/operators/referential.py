@@ -29,11 +29,8 @@ def referential_violations(
     anti-join input small and skew-free regardless of fact-side key
     distribution (a hot FK collapses to one row pre-join).
     """
-    from ._parallel import ensure_compute_parallelism
-
-    # the distinct-FK partial aggregate runs map-side off the fact
-    # scan; spread single-file inputs first (no-op on real tables)
-    fact = ensure_compute_parallelism(fact)
+    # NOT spread (round-6 A/B, see uniqueness.py): the distinct-FK
+    # partial aggregate is cheap per row — the exchange loses.
     dim_keys = list(dim_keys or fact_keys)
     fact_keys = list(fact_keys)
     not_null = F.lit(True)

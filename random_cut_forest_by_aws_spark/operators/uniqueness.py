@@ -29,13 +29,11 @@ def uniqueness_violations(
     Null keys are a separate constraint (null-rate in stats); by default
     they are excluded here, matching SQL UNIQUE semantics.
     """
-    from ._parallel import ensure_compute_parallelism
-
-    # phase-1 (key, salt) aggregation runs map-side off the scan; a
-    # single-file input would build its hash map on one core (no-op on
-    # multi-split inputs). Column pruning still reaches the scan
-    # through the round-robin exchange, so only the key columns ship.
-    df = ensure_compute_parallelism(df)
+    # NOT spread via ensure_compute_parallelism (round-6 A/B): the
+    # phase-1 aggregate is a cheap key-only hash map — on a single-file
+    # input the round-robin exchange costs more than the parallelism
+    # buys (0.51 s vs 1.12 s at 600k rows). The spread guard is
+    # reserved for operators with heavy per-row compute.
     keys = [F.col(k) for k in key_cols]
     scoped = df
     if not count_nulls:
