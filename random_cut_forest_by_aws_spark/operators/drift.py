@@ -1079,7 +1079,6 @@ def drift_scores(
     ):
         raise ValueError(f"unknown ScoringStrategy {cfg.scoring!r}")
     gcols = list(group_cols)
-    probed_d = None  # feature width, when a sizing job already found it
     if cfg.mode in ("streaming_impute", "time_augmented"):
         if cfg.buckets is not None:
             # explicit bucket count: gap detection / cadence measurement
@@ -1130,17 +1129,11 @@ def drift_scores(
             span_row = df.groupBy(*gcols).agg(
                 (
                     F.ceil((F.max(order_col) - F.min(order_col)) / F.lit(span)) + 1
-                ).alias("__blocks"),
-                F.first(F.size(F.col(feature_col)), ignorenulls=True)
-                .alias("__d"),
-            ).agg(
-                F.sum("__blocks").alias("b"), F.max("__d").alias("d")
-            ).first()
+                ).alias("__blocks")
+            ).agg(F.sum("__blocks").alias("b")).first()
             cfg = replace(
                 cfg, extra={**cfg.extra, "__total_buckets": int(span_row["b"] or 0)}
             )
-            if span_row["d"] is not None and int(span_row["d"]) > 0:
-                probed_d = int(span_row["d"])
     else:
         # salt the (skewed) group key into bounded buckets. With buckets=
         # None the bucket count adapts per group value (ceil(rows/rows_per_
@@ -1166,25 +1159,17 @@ def drift_scores(
                 ),
             ).cast("long")
             counts = df.groupBy(*gcols).agg(
-                F.count(F.lit(1)).alias("__group_rows"),
-                # feature width rides the SAME aggregate (size() is O(1)
-                # array metadata) so the scalarization below needs no
-                # extra probe job
-                F.first(F.size(F.col(feature_col)), ignorenulls=True)
-                .alias("__d"),
-            ).select(*gcols, nb.alias("__nb"), F.col("__d")).cache()
+                F.count(F.lit(1)).alias("__group_rows")
+            ).select(*gcols, nb.alias("__nb")).cache()
             # ONE tiny driver-side row over the AGGREGATED counts (never
             # the fact table): the total bucket count sizes the explicit
             # repartition below. Without it the CPU-bound grouped map
             # hash-packs several forests per task (measured: 162 buckets
             # into 64 partitions → 35s wall vs a 15s ideal makespan).
             tot = counts.agg(
-                F.sum("__nb").alias("b"), F.count(F.lit(1)).alias("g"),
-                F.max("__d").alias("d"),
+                F.sum("__nb").alias("b"), F.count(F.lit(1)).alias("g")
             ).first()
             total_buckets, n_groups = int(tot["b"] or 0), int(tot["g"] or 0)
-            if tot["d"] is not None and int(tot["d"]) > 0:
-                probed_d = int(tot["d"])
             if n_groups and n_groups <= 1000 and len(gcols) == 1:
                 # small group cardinality (the common case: group = source
                 # with tens of values): inline the per-group bucket count
@@ -1256,18 +1241,16 @@ def drift_scores(
     # than list arrays, and on the Python side each column arrives as
     # one contiguous buffer instead of 2M per-row ndarray objects
     # (measured 5.1 -> 2.7 s trivial-fn grouped-map wall at 2M rows).
-    # The width rides the bucket-sizing aggregate when one ran (no
-    # extra job); otherwise it is probed from one row. An empty/NULL
-    # input falls back to shipping the array column unchanged (the
-    # grouped map accepts both shapes).
-    d_feat = probed_d
-    if d_feat is None:
-        try:
-            r0 = df.select(F.size(F.col(feature_col)).alias("d")).first()
-            if r0 is not None and r0["d"] is not None and int(r0["d"]) > 0:
-                d_feat = int(r0["d"])
-        except Exception:
-            d_feat = None
+    # The width is probed from one row; an empty/NULL-leading input
+    # falls back to shipping the array column unchanged (the grouped
+    # map accepts both shapes).
+    d_feat = None
+    try:
+        r0 = df.select(F.size(F.col(feature_col)).alias("d")).first()
+        if r0 is not None and r0["d"] is not None and int(r0["d"]) > 0:
+            d_feat = int(r0["d"])
+    except Exception:
+        d_feat = None
     if d_feat:
         bucketed = bucketed.select(
             *[c for c in bucketed.columns if c != feature_col],
