@@ -1,13 +1,25 @@
-"""Uniqueness constraint via two-phase salted hash-aggregate (north_rule b).
+"""Uniqueness constraint via a single count aggregate (north_rule b).
 
-Phase 1 groups by ``(key, salt)`` where salt = task partition id mod S —
-this bounds the size of any single reducer group even when one key value
-dominates (e.g. a null-ish sentinel doc_id repeated 10^9 times at
-10^12-row scale). Phase 2 re-aggregates the per-salt partial counts by
-key. For well-distributed keys Catalyst's map-side partial aggregation
-already gives the same effect; the explicit salt is the insurance policy
-for adversarial skew, at the cost of a second (tiny) shuffle over
-partially-aggregated rows.
+One ``groupBy(key).count()`` over the key columns only. Catalyst plans it
+as partial aggregation per input task, ONE exchange of the partially-
+aggregated ``(key, count)`` rows, and a final aggregation — which already
+contains the skew insurance an explicit salt would buy: a hot key (e.g. a
+null-ish sentinel doc_id repeated 10^9 times at 10^12-row scale) is
+reduced to ONE row per map task before the shuffle, so the reducer for
+that key sums at most ``n_tasks`` partial counts. The task id is the
+implicit salt. Near-unique keys (the other extreme) make the partial maps
+as large as the task input, but the buffer is a single 8-byte count — the
+cheapest aggregate there is — and Tungsten's sort-based fallback keeps it
+linear; what near-unique keys must NOT pay is a second full shuffle.
+
+Through round 5 this module shipped an explicit two-phase salted
+aggregate (``groupBy(key, partition_id % S)`` then re-aggregate by key).
+That plan shuffles the ~|distinct keys| partial rows TWICE; an
+interleaved round-6 A/B (4 rounds, same session, identical outputs)
+measured the single-aggregate form consistently faster on both bench
+shapes: 2 M near-unique doc_ids 0.66 → 0.38 s min (every round faster),
+600 k-row lineitem/l_orderkey 0.44 → 0.27 s (guide §2.1: remove the
+shuffle outright).
 """
 
 from __future__ import annotations
@@ -28,12 +40,17 @@ def uniqueness_violations(
 
     Null keys are a separate constraint (null-rate in stats); by default
     they are excluded here, matching SQL UNIQUE semantics.
+
+    ``salt_buckets`` is retained for signature stability; the explicit
+    pre-salt it sized was removed in round 6 (see module docstring —
+    map-side partial aggregation provides the same hot-key splitting
+    without the second shuffle), so it is no longer consulted.
     """
     # NOT spread via ensure_compute_parallelism (round-6 A/B): the
-    # phase-1 aggregate is a cheap key-only hash map — on a single-file
-    # input the round-robin exchange costs more than the parallelism
-    # buys (0.51 s vs 1.12 s at 600k rows). The spread guard is
-    # reserved for operators with heavy per-row compute.
+    # aggregate is a cheap key-only hash map — on a single-file input
+    # the round-robin exchange costs more than the parallelism buys
+    # (0.51 s vs 1.12 s at 600k rows). The spread guard is reserved for
+    # operators with heavy per-row compute.
     keys = [F.col(k) for k in key_cols]
     scoped = df
     if not count_nulls:
@@ -42,14 +59,10 @@ def uniqueness_violations(
             c = F.col(k).isNotNull()
             cond = c if cond is None else (cond & c)
         scoped = df.filter(cond)
-    salted = (
-        scoped.withColumn("_salt", F.pmod(F.spark_partition_id(), F.lit(salt_buckets)))
-        .groupBy(*keys, F.col("_salt"))
-        .agg(F.count(F.lit(1)).alias("_partial"))
-    )
     return (
-        salted.groupBy(*[F.col(k) for k in key_cols])
-        .agg(F.sum("_partial").alias("dup_count"))
+        scoped.select(*keys)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("dup_count"))
         .filter(F.col("dup_count") > 1)
     )
 

@@ -159,3 +159,16 @@ def test_constraint_profile_scan_budget_and_broadcast_joins(spark):
     # each basis scan prunes to its own columns and pushes the
     # not-null filter into the parquet reader
     assert plan.count("PushedFilters: [IsNotNull(") == 4, plan
+
+
+def test_uniqueness_single_exchange(spark):
+    """Uniqueness is ONE count aggregate: partial per scan task, a single
+    exchange of (key, count) partials, final aggregate + dup filter. The
+    round-5 salted two-phase shape shuffled the near-unique partials a
+    second time (measured 1.6-1.7x end-to-end, round-6 A/B); if a salt
+    (or any second shuffle) sneaks back in, this climbs to 2 Exchanges."""
+    import __spark_entry__ as em
+
+    plan = _final_plan(em.queries()["uniqueness_lineitem_orderkey"](spark, SF_DIR))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert plan.count("Exchange") == 1, plan
