@@ -25,7 +25,8 @@ from pyspark.sql.functions import pandas_udf
 
 def exact_duplicates(df: DataFrame, cols: Sequence[str], salt_buckets: int = 64) -> DataFrame:
     """Groups of rows identical on ``cols``: (cols…, dup_count). Same
-    two-phase salted aggregate as uniqueness (skew-proof)."""
+    single count aggregate as uniqueness (map-side partials absorb
+    hot keys; one exchange)."""
     from .uniqueness import uniqueness_violations
 
     return uniqueness_violations(df, list(cols), salt_buckets=salt_buckets)

@@ -474,7 +474,7 @@ below is the cluster-relevant one.
 
 ## Measured job: full validation suite
 
-Column stats + salted uniqueness + broadcast-anti-join referential +
+Column stats + single-aggregate uniqueness + broadcast-anti-join referential +
 token invariants + per-partition RCF drift sketches over the
 deterministic tokenized-sequence table
 ({lo["bench_rows"]:,} rows, {lo["bench_tokens"]:,} tokens, seed 42), bench.py,
